@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB-oracle gate.
+
+Usage: python3 scripts/check_oracle.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name>/ parquet (written by graft.Verify),
+runs the matching SQL from oracle_sql.json in DuckDB over the same
+parquet tables, sorts columns by name + rows by value, and compares.
+"""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    con.sql("SET TimeZone='UTC'")
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(os.listdir(out_dir)):
+        d = os.path.join(out_dir, name)
+        if not os.path.isdir(d):
+            continue
+        files = glob.glob(f"{d}/*.parquet")
+        got = pd.concat([pd.read_parquet(f) for f in files]) if files \
+            else pd.DataFrame()
+        if name not in oracle:
+            print(f"  [rows-only] {name}: {len(got)} rows")
+            continue
+        try:
+            exp = con.sql(oracle[name]).df()
+        except Exception as e:
+            print(f"  [FAIL-sql ] {name}: {e}")
+            n_fail += 1
+            continue
+        g, e = canon(got), canon(exp)
+        ok_schema = list(g.columns) == list(e.columns)
+        ok_rows = len(g) == len(e)
+        ok_vals = False
+        if ok_schema and ok_rows:
+            try:
+                pd.testing.assert_frame_equal(
+                    g, e, check_dtype=False, check_exact=False,
+                    rtol=1e-9, atol=1e-9)
+                ok_vals = True
+            except AssertionError as ex:
+                msg = str(ex).splitlines()[0]
+        if ok_schema and ok_rows and ok_vals:
+            # strict: also check exact equality (what a hash would see)
+            exact = True
+            try:
+                pd.testing.assert_frame_equal(g, e, check_dtype=False,
+                                              check_exact=True)
+            except AssertionError:
+                exact = False
+            tag = "PASS      " if exact else "PASS~tol  "
+            print(f"  [{tag}] {name}: {len(g)} rows")
+            n_pass += 1
+        else:
+            n_fail += 1
+            why = ("schema " + str(list(g.columns)) + " vs " +
+                   str(list(e.columns))) if not ok_schema else \
+                  (f"rowcount {len(g)} vs {len(e)}" if not ok_rows else msg)
+            print(f"  [FAIL      ] {name}: {why}")
+    print(f"{n_pass} pass, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,29 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** One place to build a correctly-configured local session.
+  *
+  * Defaults are scale-aware: AQE on (runtime shuffle-partition
+  * coalescing + skew-join splitting), shuffle partitions sized to the
+  * local core count instead of Spark's default 200 (on a real cluster
+  * the deploy config overrides this), UTC so timestamps hash the same
+  * as the DuckDB oracle.
+  */
+object Sessions {
+  def local(appName: String = "graft", cores: String = "*"): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

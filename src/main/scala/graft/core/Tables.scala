@@ -1,0 +1,41 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated synthetic star schema (TESTDATA.md).
+  *
+  * Tables are plain parquet files under `sfDir`; reads go through
+  * `spark.read.parquet` so Catalyst gets vectorized scans, column
+  * pruning and filter pushdown for free. At cluster scale the same
+  * call works on a directory of many files — nothing here assumes a
+  * single file or a single executor.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
+  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
+    * TimestampType (micros) refuses to read directly. Read it as a raw
+    * long (legacy nanosAsLong) and convert with integer division so no
+    * precision is lost to a double round-trip.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, d, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.expr(
+        "timestamp_micros(ts div 1000)"))
+  }
+  def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}

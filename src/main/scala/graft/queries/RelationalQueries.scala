@@ -1,0 +1,263 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+
+/** Relational operator pack — covers SURVEY.md §2.1–2.8 on the
+  * synthetic star schema, each with a DuckDB oracle.
+  *
+  * Scale notes baked into every query:
+  *  - dimension joins (`nation`, `region`, `customer`, `supplier`)
+  *    use `broadcast()` — at 100 TB the fact tables shuffle on join
+  *    keys only when both sides are large;
+  *  - aggregates are expressed declaratively so Catalyst plans
+  *    partial (map-side) aggregation before the shuffle;
+  *  - top-K uses orderBy+limit which plans as TakeOrderedAndProject
+  *    (per-partition heap + driver merge, no global sort);
+  *  - money sums are rounded in BOTH engines so float summation
+  *    order cannot flip the comparison hash.
+  */
+object RelationalQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // A1/A10/A12 — TPC-H Q1-shaped hash aggregate with partial agg.
+    "q01_agg_pricing" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_price"),
+          round(avg("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("cnt"))
+    }),
+
+    // P1/P2/S2 — filter + projection + derived column; predicate and
+    // column pruning must reach the parquet scan.
+    "q02_filter_project" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .filter($"l_quantity" > 45 && $"l_discount" < 0.03)
+        // no round(): per-row IEEE arithmetic is bit-identical across
+        // engines, while round() semantics differ within 1 ULP of a
+        // half-cent boundary (Spark rounds the shortest decimal repr,
+        // DuckDB the raw double).
+        .select($"l_orderkey", $"l_linenumber", $"l_quantity",
+          ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+    }),
+
+    // J1 — broadcast equi-join of a fact table with a small dim.
+    "q03_join_broadcast" -> ((s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)),
+          $"o_custkey" === $"c_custkey")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum($"o_totalprice"), 2).as("sum_price"))
+    }),
+
+    // J1 chained — 5-way star join, all dims broadcast.
+    "q04_join_star" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(Tables.customer(s, d)), $"o_custkey" === $"c_custkey")
+        .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(Tables.region(s, d)), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name", $"n_name")
+        .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2)
+          .as("revenue"))
+    }),
+
+    // T1/A2 — global top-K via TakeOrderedAndProject; deterministic
+    // tie-break on the key.
+    "q05_topk_orders" -> ((s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+        .select($"o_orderkey", round($"o_totalprice", 2).as("o_totalprice"))
+        .limit(10)
+    }),
+
+    // J2 — distinct (plans as HashAggregate).
+    "q06_distinct_flags" -> ((s, d) =>
+      Tables.lineitem(s, d).select("l_returnflag", "l_linestatus").distinct()),
+
+    // Left-semi join (EXISTS): customers that placed a high-value order.
+    "q07_semi_join" -> ((s, d) => {
+      import s.implicits._
+      val hi = Tables.orders(s, d).filter($"o_totalprice" > 400000)
+      Tables.customer(s, d)
+        .join(hi, $"c_custkey" === $"o_custkey", "left_semi")
+        .select($"c_custkey", $"c_name")
+    }),
+
+    // Left-anti join (NOT EXISTS): customers with no orders at all.
+    "q08_anti_join" -> ((s, d) => {
+      import s.implicits._
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", $"c_name")
+    }),
+
+    // §2.5 window — latest order per customer via row_number.
+    "q09_window_latest_order" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate".desc, $"o_orderkey".asc)
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"o_custkey", $"o_orderkey",
+          round($"o_totalprice", 2).as("o_totalprice"))
+    }),
+
+    // A9/F9 — one-pass conditional-sum aggregate (confusion-matrix shape).
+    "q10_conditional_agg" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d).agg(
+        sum(when($"l_returnflag" === "R" && $"l_linestatus" === "F", 1)
+          .otherwise(0)).as("rf"),
+        sum(when($"l_returnflag" === "R" && $"l_linestatus" === "O", 1)
+          .otherwise(0)).as("ro"),
+        sum(when($"l_returnflag" =!= "R" && $"l_linestatus" === "F", 1)
+          .otherwise(0)).as("nf"),
+        sum(when($"l_returnflag" =!= "R" && $"l_linestatus" === "O", 1)
+          .otherwise(0)).as("no_"))
+    }),
+
+    // A13-shaped time-bucketed aggregate over the events table.
+    "q11_events_hourly" -> ((s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy(date_trunc("hour", $"ts").cast("long").as("hour_epoch"),
+          $"event_type")
+        .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"))
+    }),
+
+    // P5 — membership filter against a small in-list.
+    "q12_in_filter" -> ((s, d) => {
+      import s.implicits._
+      Tables.part(s, d)
+        .filter($"p_brand".isin("Brand#1", "Brand#2", "Brand#3"))
+        .groupBy($"p_brand", $"p_type")
+        .agg(count(lit(1)).as("n"),
+          round(avg($"p_retailprice"), 4).as("avg_price"))
+    }),
+
+    // Group-by + having-shaped post-aggregation filter.
+    "q13_having" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_suppkey")
+        .agg(round(sum($"l_quantity"), 2).as("total_qty"),
+          count(lit(1)).as("n"))
+        .filter($"total_qty" > 100)
+    }),
+
+    // Scalar date/math functions + multi-key grouping.
+    "q14_order_year_priority" -> ((s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .groupBy(year($"o_orderdate").as("o_year"), $"o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          round(sum($"o_totalprice"), 2).as("sum_price"))
+    }),
+
+    // Correlated-style per-group average comparison: lineitems whose
+    // quantity exceeds 1.5x the partwise average (join against an agg).
+    "q15_above_avg" -> ((s, d) => {
+      import s.implicits._
+      val partAvg = Tables.lineitem(s, d)
+        .groupBy($"l_partkey".as("pk"))
+        .agg(avg($"l_quantity").as("avg_qty"))
+      Tables.lineitem(s, d)
+        .join(partAvg, $"l_partkey" === $"pk")
+        .filter($"l_quantity" > $"avg_qty" * 1.5)
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(sum($"l_quantity"), 2).as("sum_qty"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q01_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_price,
+         round(avg(l_discount), 6) AS avg_disc,
+         count(*) AS cnt
+         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+         l_extendedprice * (1.0 - l_discount) AS revenue
+         FROM lineitem WHERE l_quantity > 45 AND l_discount < 0.03""",
+    "q03_join_broadcast" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+         round(sum(o_totalprice), 2) AS sum_price
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment""",
+    "q04_join_star" ->
+      """SELECT r_name, n_name,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name""",
+    "q05_topk_orders" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+         FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+    "q06_distinct_flags" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "q07_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+           WHERE o_custkey = c_custkey AND o_totalprice > 400000)""",
+    "q08_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    "q09_window_latest_order" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice
+         FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate DESC, o_orderkey ASC) AS rn
+               FROM orders) WHERE rn = 1""",
+    "q10_conditional_agg" ->
+      """SELECT
+         CAST(sum(CASE WHEN l_returnflag = 'R' AND l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS rf,
+         CAST(sum(CASE WHEN l_returnflag = 'R' AND l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS ro,
+         CAST(sum(CASE WHEN l_returnflag <> 'R' AND l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS nf,
+         CAST(sum(CASE WHEN l_returnflag <> 'R' AND l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS no_
+         FROM lineitem""",
+    "q11_events_hourly" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+         event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+         FROM events GROUP BY 1, 2""",
+    "q12_in_filter" ->
+      """SELECT p_brand, p_type, count(*) AS n,
+         round(avg(p_retailprice), 4) AS avg_price
+         FROM part WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+         GROUP BY p_brand, p_type""",
+    "q13_having" ->
+      """SELECT l_suppkey, round(sum(l_quantity), 2) AS total_qty,
+         count(*) AS n
+         FROM lineitem GROUP BY l_suppkey
+         HAVING round(sum(l_quantity), 2) > 100""",
+    "q14_order_year_priority" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, o_orderpriority,
+         count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+         FROM orders GROUP BY 1, 2""",
+    "q15_above_avg" ->
+      """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+         FROM lineitem
+         JOIN (SELECT l_partkey AS pk, avg(l_quantity) AS avg_qty
+               FROM lineitem GROUP BY 1) ON l_partkey = pk
+         WHERE l_quantity > avg_qty * 1.5
+         GROUP BY l_returnflag"""
+  )
+}
