@@ -1,0 +1,137 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.{Dedup, Similarity}
+import graft.text.TextOps
+
+/** Dedup + similarity-search operator pack (the training-data-pipeline
+  * extensions): exact dedup, n-gram Jaccard, MinHash-LSH (md5-based,
+  * so even the LSH path is DuckDB-verifiable), SimHash, brute-force
+  * cosine KNN, and LSH-bucketed ANN.
+  */
+object DedupQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docTokens(s: SparkSession) = TextOps.tokenize(col("text"))
+
+  val queries: Map[String, Q] = Map(
+    // Exact dedup groups: shuffle 16-byte hashes, not documents.
+    "d01_dedup_exact" -> ((s, d) =>
+      Dedup.exactGroups(Tables.documents(s, d), "doc_id", "text")),
+
+    // Exact n-gram Jaccard near-dup pairs (threshold 0.5).
+    "d02_jaccard_pairs" -> ((s, d) => {
+      val sh = Dedup.shingles(Tables.documents(s, d), "doc_id",
+        docTokens(s))
+      Dedup.jaccardPairs(sh, 0.5)
+    }),
+
+    // MinHash-LSH: shingle → 16 minhashes → 4 bands → bucket-join →
+    // exact-Jaccard verify on candidates only.
+    "d03_minhash_lsh_pairs" -> ((s, d) => {
+      val sh = Dedup.shingles(Tables.documents(s, d), "doc_id",
+        docTokens(s))
+      Dedup.minhashLshPairs(sh, numHashes = 16, rowsPerBand = 4,
+        threshold = 0.5)
+    }),
+
+    // SimHash near-dup pairs within Hamming distance 3 (rows-only:
+    // variable-shift bit packing isn't portable SQL).
+    "d04_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(Tables.documents(s, d), "doc_id",
+        docTokens(s), maxDist = 3)),
+
+    // Brute-force exact cosine top-10 for 10 query vectors.
+    "e01_knn_brute" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceKnn(emb, emb.filter(col("vec_id") < 10), k = 10)
+    }),
+
+    // LSH-bucketed ANN (rows-only; recall vs brute force asserted in
+    // unit specs).
+    "e02_knn_lsh" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.lshKnn(emb, emb.filter(col("vec_id") < 10), k = 10,
+        numPlanes = 4)
+    })
+  )
+
+  /** Shared SQL fragments, mirrored from the Scala operators. */
+  private val tokSql = "list_filter(string_split(text, ' '), w -> len(w) > 0)"
+
+  private val shingleCte =
+    s"""tok AS (
+         SELECT doc_id, unnest($tokSql) AS w,
+                generate_subscripts($tokSql, 1) AS pos
+         FROM documents),
+       sh AS (
+         SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+         FROM tok a
+         JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2)"""
+
+  private val jaccardCte =
+    """sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       inter AS (
+         SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+         FROM sh x JOIN sh y
+           ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+         GROUP BY 1, 2),
+       jac AS (
+         SELECT a, b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+         FROM inter
+         JOIN sizes sa ON a = sa.doc_id
+         JOIN sizes sb ON b = sb.doc_id)"""
+
+  /** float64 sequential dot product — bit-identical to Spark's
+    * `aggregate(zip_with(...))`. */
+  private def dotSql(a: String, b: String): String =
+    s"""list_sum(list_transform(list_zip($a, $b),
+        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"""
+
+  private def normSql(a: String): String =
+    s"sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+  val oracleSql: Map[String, String] = Map(
+    "d01_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, count(*) AS n_copies,
+         min(doc_id) AS keep_id
+         FROM documents GROUP BY md5(text)""",
+    "d02_jaccard_pairs" ->
+      s"""WITH $shingleCte, $jaccardCte
+          SELECT a, b, jaccard FROM jac WHERE jaccard >= 0.5""",
+    "d03_minhash_lsh_pairs" ->
+      s"""WITH $shingleCte, $jaccardCte,
+          minh AS (
+            SELECT doc_id, h.range AS h,
+                   min(md5(CAST(h.range AS VARCHAR) || '|' || shingle)) AS m
+            FROM sh, range(16) h GROUP BY 1, 2),
+          bands AS (
+            SELECT doc_id, h // 4 AS b,
+                   md5(string_agg(m, '' ORDER BY h)) AS sig
+            FROM minh GROUP BY doc_id, h // 4),
+          cands AS (
+            SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+            FROM bands x JOIN bands y
+              ON x.b = y.b AND x.sig = y.sig AND x.doc_id < y.doc_id)
+          SELECT jac.a, jac.b, jac.jaccard
+          FROM jac JOIN cands ON jac.a = cands.a AND jac.b = cands.b
+          WHERE jac.jaccard >= 0.5""",
+    "e01_knn_brute" ->
+      s"""WITH q AS (
+            SELECT vec_id AS q_id, embedding AS q_vec
+            FROM embeddings WHERE vec_id < 10),
+          scored AS (
+            SELECT q_id, e.vec_id AS n_id,
+                   ${dotSql("q_vec", "e.embedding")} /
+                   (${normSql("q_vec")} * ${normSql("e.embedding")}) AS cos
+            FROM embeddings e, q WHERE e.vec_id <> q_id),
+          ranked AS (
+            SELECT q_id, n_id, cos, CAST(row_number() OVER (
+              PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS INTEGER) AS rn
+            FROM scored)
+          SELECT q_id, n_id, cos, rn FROM ranked WHERE rn <= 10"""
+  )
+}

@@ -1,0 +1,156 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.text.{Analysis, TextOps}
+
+/** Text-analysis operator pack over the `documents` table — cleanup
+  * (F1–F5), token stats, language-ID, quality scoring, fingerprinting
+  * (SURVEY.md §2.8 + the training-data-pipeline extensions). Every
+  * query has a DuckDB oracle; stop-lists and marker sets are injected
+  * into the SQL from the same Scala constants so the two sides can
+  * never drift.
+  */
+object TextQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def sqlList(xs: Seq[String]): String =
+    xs.map(x => "'" + x.replace("'", "''") + "'").mkString("[", ", ", "]")
+
+  /** DuckDB token expr for already-clean text (split + drop empties). */
+  private val tokSql = "list_filter(string_split(text, ' '), w -> len(w) > 0)"
+
+  val queries: Map[String, Q] = Map(
+    // F1/F4/F5 — cleanup chain + char/token counts, all codegen'd.
+    "t01_clean_counts" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d).select(
+        $"doc_id",
+        TextOps.clean($"text").as("clean"),
+        length(TextOps.clean($"text")).as("n_chars"),
+        size(TextOps.tokenize(TextOps.clean($"text"))).as("n_tokens"))
+    }),
+
+    // F3/P6 — stop-word removal via higher-order filter (no UDF).
+    "t02_stopword_filter" -> ((s, d) => {
+      import s.implicits._
+      val toks = TextOps.tokenize($"text")
+      Tables.documents(s, d).select(
+        $"doc_id",
+        size(toks).as("n_tokens"),
+        size(TextOps.removeStopwords(toks, TextOps.EnglishStopwords))
+          .as("n_kept"))
+    }),
+
+    // A1/A2/T1 — explode → word count → deterministic top-20.
+    "t03_wordcount_top20" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(explode(TextOps.tokenize($"text")).as("word"))
+        .groupBy($"word").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"word".asc)
+        .limit(20)
+    }),
+
+    // Language-ID: marker-word argmax with fixed-priority tie-break.
+    "t04_langid" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d).select(
+        $"doc_id",
+        Analysis.langId(TextOps.tokenize($"text")).as("lang_pred"))
+    }),
+
+    // Quality scoring: exact integer ratios rounded once.
+    "t05_quality" -> ((s, d) => {
+      import s.implicits._
+      val toks = TextOps.tokenize($"text")
+      Tables.documents(s, d).select(
+        $"doc_id",
+        length($"text").as("n_chars"),
+        Analysis.tokenCount(toks).as("n_tokens"),
+        Analysis.distinctTokenCount(toks).as("n_distinct"),
+        Analysis.typeTokenRatio(toks).as("ttr"),
+        Analysis.meanTokenLen(toks).as("mean_len"),
+        Analysis.stopwordRatio(toks).as("stop_ratio"))
+    }),
+
+    // Document fingerprinting: exact md5 + min-shingle (1-hash MinHash).
+    "t06_fingerprint" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d).select(
+        $"doc_id",
+        Analysis.fingerprint($"text").as("fp"),
+        Analysis.minShingleFingerprint(TextOps.tokenize($"text"))
+          .as("min_shingle_fp"))
+    })
+  )
+
+  private val cleanSql =
+    """ltrim(regexp_replace(regexp_replace(lower(text),
+      '(?:@|https?://)\S+', '', 'g'), '[^a-zA-Z]', ' ', 'g'))"""
+
+  private def langIdSql: String = {
+    val hits = Analysis.LangMarkers.map { case (l, ms) =>
+      s"len(list_filter($tokSql, t -> list_contains(${sqlList(ms)}, t))) "
+    }
+    val names = Analysis.LangMarkers.map(_._1)
+    val hitCols = names.zip(hits)
+      .map { case (l, h) => s"$h AS h_$l" }.mkString(", ")
+    val best = names.map(l => s"h_$l").mkString("greatest(", ", ", ")")
+    val cases = names
+      .map(l => s"WHEN h_$l = best AND h_$l > 0 THEN '$l'")
+      .mkString(" ")
+    s"""SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred
+        FROM (SELECT doc_id, $hitCols, $best AS best
+              FROM (SELECT doc_id, text FROM documents))"""
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "t01_clean_counts" ->
+      s"""SELECT doc_id, $cleanSql AS clean,
+          CAST(length($cleanSql) AS INTEGER) AS n_chars,
+          CAST(len(list_filter(string_split($cleanSql, ' '),
+            w -> len(w) > 0)) AS INTEGER) AS n_tokens
+          FROM documents""",
+    "t02_stopword_filter" ->
+      s"""SELECT doc_id,
+          CAST(len($tokSql) AS INTEGER) AS n_tokens,
+          CAST(len(list_filter($tokSql, w -> NOT list_contains(
+            ${sqlList(TextOps.EnglishStopwords)}, w))) AS INTEGER) AS n_kept
+          FROM documents""",
+    "t03_wordcount_top20" ->
+      s"""SELECT w.word, count(*) AS n
+          FROM (SELECT unnest($tokSql) AS word FROM documents) w
+          GROUP BY w.word ORDER BY n DESC, w.word ASC LIMIT 20""",
+    "t04_langid" -> langIdSql,
+    "t05_quality" ->
+      s"""SELECT doc_id,
+          CAST(length(text) AS INTEGER) AS n_chars,
+          CAST(len(toks) AS INTEGER) AS n_tokens,
+          CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct,
+          CASE WHEN len(toks) > 0 THEN round(CAST(len(list_distinct(toks)) AS DOUBLE)
+            / CAST(len(toks) AS DOUBLE), 6) ELSE 0.0 END AS ttr,
+          CASE WHEN len(toks) > 0 THEN round(CAST(list_sum(list_transform(toks,
+            t -> CAST(len(t) AS BIGINT))) AS DOUBLE)
+            / CAST(len(toks) AS DOUBLE), 6) ELSE 0.0 END AS mean_len,
+          CASE WHEN len(toks) > 0 THEN round(CAST(len(list_filter(toks,
+            t -> list_contains(${sqlList(TextOps.EnglishStopwords)}, t)))
+            AS DOUBLE) / CAST(len(toks) AS DOUBLE), 6) ELSE 0.0 END AS stop_ratio
+          FROM (SELECT doc_id, text, $tokSql AS toks FROM documents)""",
+    "t06_fingerprint" ->
+      s"""WITH tok AS (
+            SELECT doc_id, unnest($tokSql) AS w,
+                   generate_subscripts($tokSql, 1) AS pos
+            FROM documents),
+          sh AS (
+            SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+            FROM tok a
+            JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2)
+          SELECT d.doc_id, md5(d.text) AS fp, m.msf AS min_shingle_fp
+          FROM documents d LEFT JOIN (
+            SELECT doc_id, min(md5(shingle)) AS msf FROM sh GROUP BY 1) m
+          ON d.doc_id = m.doc_id"""
+  )
+}

@@ -1,0 +1,97 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * language ID, quality scoring, token counting, n-gram extraction,
+  * document fingerprinting. All pure Catalyst expressions — per-row,
+  * no shuffle, fully codegen'd; they scale linearly with the scan.
+  */
+object Analysis {
+
+  /** Word n-grams of a token array, computed in-row (no explode →
+    * no shuffle): slide a window via `transform(sequence(...))`.
+    * Empty result for docs shorter than n.
+    */
+  def ngrams(tokens: Column, n: Int): Column = {
+    val grams = transform(
+      sequence(lit(0), size(tokens) - n),
+      i => concat_ws(" ", (1 to n).map(j => element_at(tokens, i + j)): _*))
+    when(size(tokens) >= n, grams)
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Marker stop-word sets per language — the classic cheap n-gram/
+    * function-word language-ID heuristic. Small public lists; ties are
+    * broken by the fixed priority order en, de, es, fr.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it",
+      "was", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "eine",
+      "nicht", "mit", "von"),
+    "es" -> Seq("el", "la", "los", "las", "de", "que", "y", "en",
+      "un", "es"),
+    "fr" -> Seq("le", "les", "des", "et", "est", "une", "du", "dans",
+      "pour", "que"))
+
+  private def markerHits(tokens: Column, markers: Seq[String]): Column =
+    size(filter(tokens, t => array_contains(array(markers.map(lit): _*), t)))
+
+  /** Language-ID over a token array: argmax of marker-word hits with
+    * deterministic priority-order tie-break; "und" (undetermined) when
+    * no marker fires.
+    */
+  def langId(tokens: Column): Column = {
+    val hits = LangMarkers.map { case (l, ms) => l -> markerHits(tokens, ms) }
+    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    hits.foldRight(lit("und")) { case ((l, h), els) =>
+      when(h === best && h > 0, lit(l)).otherwise(els)
+    } // foldRight → first lang in priority order wins ties
+  }
+
+  /** Quality-score feature columns for a document (text + tokens).
+    * Returned as a struct so callers can `select(quality(...).as("q"))`
+    * or splat individual fields.
+    */
+  def tokenCount(tokens: Column): Column = size(tokens)
+
+  def distinctTokenCount(tokens: Column): Column = size(array_distinct(tokens))
+
+  /** Type-token ratio — lexical diversity in [0,1]. */
+  def typeTokenRatio(tokens: Column): Column =
+    when(size(tokens) > 0,
+      round(distinctTokenCount(tokens).cast("double") /
+        size(tokens).cast("double"), 6)).otherwise(lit(0.0))
+
+  /** Mean token length (integer sums, exact; rounded once). */
+  def meanTokenLen(tokens: Column): Column =
+    when(size(tokens) > 0,
+      round(aggregate(tokens, lit(0L), (acc, t) => acc + length(t))
+        .cast("double") / size(tokens).cast("double"), 6))
+      .otherwise(lit(0.0))
+
+  /** Ratio of non-alphabetic, non-space characters. */
+  def punctRatio(text: Column): Column =
+    when(length(text) > 0,
+      round((length(text) -
+        length(regexp_replace(text, "[^a-zA-Z ]", ""))).cast("double") /
+        length(text).cast("double"), 6)).otherwise(lit(0.0))
+
+  /** Ratio of stop-words among tokens (high ⇒ natural prose). */
+  def stopwordRatio(tokens: Column): Column =
+    when(size(tokens) > 0,
+      round(size(filter(tokens, t =>
+        array_contains(array(TextOps.EnglishStopwords.map(lit): _*), t)))
+        .cast("double") / size(tokens).cast("double"), 6))
+      .otherwise(lit(0.0))
+
+  /** Whole-document content fingerprint (exact-dedup key). */
+  def fingerprint(text: Column): Column = md5(text)
+
+  /** Min-shingle fingerprint: min over md5(3-gram) — a 1-hash MinHash;
+    * equal fingerprints ⇒ high shingle overlap candidate. */
+  def minShingleFingerprint(tokens: Column, n: Int = 3): Column =
+    array_min(transform(ngrams(tokens, n), g => md5(g)))
+}

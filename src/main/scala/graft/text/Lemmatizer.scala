@@ -1,0 +1,69 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+
+/** Noun lemmatizer approximating `nltk.WordNetLemmatizer().lemmatize(w)`
+  * with the default pos='n' (the only form the reference uses:
+  * `RDD_logisticregression.py:55`).
+  *
+  * NLTK's noun path is WordNet "morphy": an irregular-exception lookup
+  * followed by suffix detachment rules, accepting a candidate only if
+  * it exists in the WordNet noun lexicon. We ship the public morphy
+  * noun rules plus a compact irregular map; without the full lexicon
+  * membership test, rules are guarded by length heuristics instead.
+  * Divergences from NLTK are possible for rare words — documented
+  * trade-off (SURVEY.md §7 "What's hard" #4).
+  *
+  * Pure JVM `String => String`, exposed both as a Scala function (for
+  * typed Dataset code) and as a UDF `Column` — the single non-Catalyst
+  * scalar op in the engine (SURVEY.md §2.13).
+  */
+object Lemmatizer {
+
+  private val irregular: Map[String, String] = Map(
+    "men" -> "man", "women" -> "woman", "children" -> "child",
+    "feet" -> "foot", "teeth" -> "tooth", "geese" -> "goose",
+    "mice" -> "mouse", "lice" -> "louse", "oxen" -> "ox",
+    "people" -> "people", "data" -> "data", "media" -> "media",
+    "criteria" -> "criterion", "phenomena" -> "phenomenon",
+    "analyses" -> "analysis", "crises" -> "crisis",
+    "theses" -> "thesis", "hypotheses" -> "hypothesis",
+    "lives" -> "life", "wives" -> "wife", "knives" -> "knife",
+    "wolves" -> "wolf", "leaves" -> "leaf", "halves" -> "half",
+    "selves" -> "self", "shelves" -> "shelf", "loaves" -> "loaf",
+    "indices" -> "index", "matrices" -> "matrix",
+    "vertices" -> "vertex", "axes" -> "axis",
+    "news" -> "news", "series" -> "series", "species" -> "species",
+    "bus" -> "bus", "gas" -> "gas", "lens" -> "lens",
+    "this" -> "this", "his" -> "his", "was" -> "was", "is" -> "is",
+    "as" -> "as", "us" -> "us", "ss" -> "ss", "yes" -> "yes")
+
+  /** WordNet morphy noun suffix rules, in NLTK's substitution order. */
+  def lemma(word: String): String = {
+    val w = word
+    irregular.get(w) match {
+      case Some(l) => l
+      case None =>
+        if (w.length < 3 || !w.endsWith("s")) w
+        // morphy noun detachments: ses->s, xes->x, zes->z, ches->ch,
+        // shes->sh, ies->y, ves->f (covered by irregulars), s->''
+        else if (w.endsWith("sses")) w.dropRight(2)
+        else if (w.endsWith("xes") || w.endsWith("zes") ||
+                 w.endsWith("ses")) w.dropRight(2)
+        else if (w.endsWith("ches") || w.endsWith("shes")) w.dropRight(2)
+        else if (w.endsWith("ies") && w.length > 4) w.dropRight(3) + "y"
+        else if (w.endsWith("ss") || w.endsWith("us") ||
+                 w.endsWith("is")) w
+        else w.dropRight(1)
+    }
+  }
+
+  val lemmaUdf = udf(lemma _)
+
+  /** Lemmatize every element of a token-array column. */
+  def lemmatizeAll(tokens: Column): Column = {
+    val f = udf((ts: Seq[String]) => if (ts == null) null else ts.map(lemma))
+    f(tokens)
+  }
+}

@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.text.{Analysis, Lemmatizer, TextOps}
+
+/** Unit tests for the text package against the hand-computable micro
+  * fixtures in FIXTURES.md §2 (reference semantics:
+  * `LogisticRegression.py:25-39`).
+  */
+class TextOpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  def cleanOne(s: String): String = {
+    import spark.implicits._
+    Seq(s).toDF("text").select(TextOps.clean($"text")).as[String].head()
+  }
+
+  def tokensOne(s: String): Seq[String] = {
+    import spark.implicits._
+    Seq(s).toDF("text")
+      .select(TextOps.tokenize(TextOps.clean($"text")))
+      .as[Seq[String]].head()
+  }
+
+  test("clean: plain text lowercases and strips punctuation") {
+    assert(cleanOne("Forest fire near La Ronge Sask. Canada") ==
+      "forest fire near la ronge sask  canada")
+  }
+
+  test("clean: URLs, mentions, digits, hashtags") {
+    // URL and @mention vanish; digits/commas/# → spaces; lstrip only
+    // (the reference keeps trailing spaces — verified against
+    // word_tokenizer in LogisticRegression.py:25-33).
+    assert(cleanOne(
+      "13,000 people receive #wildfires orders http://t.co/x @user") ==
+      "people receive  wildfires orders  ")
+  }
+
+  test("clean: punctuation flood") {
+    assert(cleanOne("What a goooooooaaaaaal!!!!!!") ==
+      "what a goooooooaaaaaal      ")
+  }
+
+  test("clean: empty text stays empty") {
+    assert(cleanOne("") == "")
+  }
+
+  test("tokenize drops empty tokens from repeated separators") {
+    assert(tokensOne("Ablaze! ablaze ABLAZE") ==
+      Seq("ablaze", "ablaze", "ablaze"))
+  }
+
+  test("removeStopwords keeps duplicates and order (unlike array_except)") {
+    import spark.implicits._
+    val got = Seq(Seq("fire", "the", "fire", "m", "storm"))
+      .toDF("toks")
+      .select(TextOps.removeStopwords($"toks",
+        TextOps.EnglishStopwords ++ TextOps.ExtraStopwordsMl))
+      .as[Seq[String]].head()
+    assert(got == Seq("fire", "fire", "storm"))
+  }
+
+  test("lemmatizer: regular plurals, sibilants, irregulars, guards") {
+    assert(Lemmatizer.lemma("fires") == "fire")
+    assert(Lemmatizer.lemma("churches") == "church")
+    assert(Lemmatizer.lemma("cities") == "city")
+    assert(Lemmatizer.lemma("boxes") == "box")
+    assert(Lemmatizer.lemma("men") == "man")
+    assert(Lemmatizer.lemma("children") == "child")
+    assert(Lemmatizer.lemma("glass") == "glass")   // -ss guard
+    assert(Lemmatizer.lemma("bus") == "bus")       // -us guard
+    assert(Lemmatizer.lemma("is") == "is")
+    assert(Lemmatizer.lemma("fire") == "fire")     // not plural
+  }
+
+  test("ngrams: sliding window, short docs yield empty") {
+    import spark.implicits._
+    val got = Seq(Seq("a", "b", "c", "d"), Seq("a", "b"), Seq[String]())
+      .toDF("toks").select(Analysis.ngrams($"toks", 3)).as[Seq[String]]
+      .collect()
+    assert(got(0) == Seq("a b c", "b c d"))
+    assert(got(1) == Seq.empty)
+    assert(got(2) == Seq.empty)
+  }
+
+  test("langId: marker argmax with priority tie-break") {
+    import spark.implicits._
+    val got = Seq(
+      "the fire is in the forest",     // en
+      "el fuego es en la casa",        // es
+      "le feu est dans les bois",      // fr
+      "xyzzy plugh")                   // und
+      .toDF("text")
+      .select(Analysis.langId(TextOps.tokenize($"text"))).as[String]
+      .collect()
+    assert(got.toSeq == Seq("en", "es", "fr", "und"))
+  }
+
+  test("quality metrics on a known doc") {
+    import spark.implicits._
+    val df = Seq("the fire the fire storm").toDF("text")
+    val toks = TextOps.tokenize($"text")
+    val row = df.select(
+      Analysis.tokenCount(toks),
+      Analysis.distinctTokenCount(toks),
+      Analysis.typeTokenRatio(toks),
+      Analysis.meanTokenLen(toks),
+      Analysis.stopwordRatio(toks)).head()
+    assert(row.getInt(0) == 5)
+    assert(row.getInt(1) == 3)
+    assert(row.getDouble(2) == 0.6)
+    assert(row.getDouble(3) == 3.8)     // (3+4+3+4+5)/5
+    assert(row.getDouble(4) == 0.4)     // 2×"the" of 5
+  }
+}
