@@ -1,0 +1,35 @@
+package graft.features
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Top-K vocabulary with rank index (SURVEY.md §2.4 A1–A3).
+  *
+  * The reference collects word counts to the driver (`top(10000)`)
+  * then re-parallelizes with indices. Here: distributed top-K
+  * (`orderBy.limit` plans as TakeOrderedAndProject — per-partition
+  * heaps + merge, no global sort, no full collect), then a
+  * row_number window over the tiny K-row result (single partition of
+  * K rows, fine for any K that fits a dictionary).
+  *
+  * Ordering is (count desc, word asc): the reference's `top()` breaks
+  * count ties by tuple order (word desc) nondeterministically across
+  * partitionings; we pin a total order for reproducibility.
+  */
+object Vocabulary {
+
+  /** @param tokenized DataFrame with an array-of-strings column
+    * @return (word, count, id) with id = dense rank 0..k-1
+    */
+  def topK(tokenized: DataFrame, tokensCol: String, k: Int): DataFrame = {
+    val counts = tokenized
+      .select(explode(col(tokensCol)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word").asc)
+      .limit(k)
+    counts.withColumn("id",
+      (row_number().over(Window.orderBy(col("cnt").desc,
+        col("word").asc)) - 1).cast("int"))
+  }
+}

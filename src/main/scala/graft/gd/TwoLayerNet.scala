@@ -1,0 +1,232 @@
+package graft.gd
+
+import org.apache.spark.sql.Dataset
+
+/** The reference's 2-layer network (`RDD_NN.py:119-301`, SURVEY.md
+  * §2.11 L3): in → hidden leaky-ReLU → 2 sigmoid outputs, SSE cost,
+  * full-batch GD with SGD or the reference's Adam variant.
+  *
+  * The reference splits forward+backward into 11 chained `.map`
+  * stages (pedagogy); here one fused function runs per row inside a
+  * depth-2 `treeAggregate` — a single pass, no intermediate tuples.
+  * Gradients are accumulated into flat per-partition buffers
+  * (nIn·nHidden + nHidden + nHidden·nOut + nOut doubles).
+  *
+  * Reference quirks kept for parity (SURVEY.md §7 #1):
+  * `optimizer_adam` updates the bias second-moment with the *raw*
+  * gradient `DB`, not `DB²` (`RDD_NN.py:198`), and compensates with
+  * `sqrt(abs(v_b_))`; epsilon = 10e-8 = 1e-7.
+  */
+object TwoLayerNet {
+
+  case class Params(w1: Array[Double], b1: Array[Double],
+                    w2: Array[Double], b2: Array[Double])
+
+  case class Config(
+      nIn: Int = 1000, nHidden: Int = 128, nOut: Int = 2,
+      iterations: Int = 300, learningRate: Double = 0.001,
+      optimizer: String = "SGD", seed: Long = 123L)
+
+  def init(cfg: Config): Params = {
+    val rng = new scala.util.Random(cfg.seed)
+    def unif(n: Int) = Array.fill(n)(rng.nextDouble() - 0.5)
+    Params(unif(cfg.nIn * cfg.nHidden), unif(cfg.nHidden),
+      unif(cfg.nHidden * cfg.nOut), unif(cfg.nOut))
+  }
+
+  @inline private def sigmoid(x: Double): Double = 1.0 / (1.0 + math.exp(-x))
+
+  /** Fused forward+backward for one row; returns the row's SSE cost
+    * and adds its gradients into the buffers.
+    */
+  private[gd] def rowCostGrad(doc: SparseDoc, p: Params,
+      nIn: Int, nH: Int, nOut: Int,
+      dW1: Array[Double], dB1: Array[Double],
+      dW2: Array[Double], dB2: Array[Double]): Double = {
+    // one-hot: label 1 → [0,1], else [1,0] (RDD_NN.py:111-116)
+    val yt = if (doc.label == 1.0) Array(0.0, 1.0) else Array(1.0, 0.0)
+
+    val hh = p.b1.clone()
+    var k = 0
+    while (k < doc.indices.length) {
+      val xi = doc.values(k)
+      val row = doc.indices(k) * nH
+      var j = 0
+      while (j < nH) { hh(j) += xi * p.w1(row + j); j += 1 }
+      k += 1
+    }
+    val h = new Array[Double](nH)
+    var j = 0
+    while (j < nH) { h(j) = if (hh(j) >= 0) hh(j) else 0.01 * hh(j); j += 1 }
+
+    val yh = p.b2.clone()
+    j = 0
+    while (j < nH) {
+      val hj = h(j)
+      var o = 0
+      while (o < nOut) { yh(o) += hj * p.w2(j * nOut + o); o += 1 }
+      j += 1
+    }
+
+    var cost = 0.0
+    val db2 = new Array[Double](nOut)
+    var o = 0
+    while (o < nOut) {
+      val yp = sigmoid(yh(o))
+      val diff = yp - yt(o)
+      cost += 0.5 * diff * diff
+      val s = sigmoid(yh(o))
+      db2(o) = diff * s * (1 - s) // dEB2 with der_sigmoid(y_h)
+      dB2(o) += db2(o)
+      o += 1
+    }
+
+    val db1 = new Array[Double](nH)
+    j = 0
+    while (j < nH) {
+      var acc = 0.0
+      o = 0
+      while (o < nOut) {
+        acc += db2(o) * p.w2(j * nOut + o)
+        dW2(j * nOut + o) += h(j) * db2(o)
+        o += 1
+      }
+      db1(j) = acc * (if (hh(j) >= 0) 1.0 else 0.01) // der_Lrelu
+      dB1(j) += db1(j)
+      j += 1
+    }
+
+    k = 0
+    while (k < doc.indices.length) {
+      val xi = doc.values(k)
+      val row = doc.indices(k) * nH
+      j = 0
+      while (j < nH) { dW1(row + j) += xi * db1(j); j += 1 }
+      k += 1
+    }
+    cost
+  }
+
+  /** Reference Adam variant for a (weights, bias) pair
+    * (`RDD_NN.py:179-211`).
+    */
+  private final class AdamState(n: Int) {
+    val m = new Array[Double](n)
+    val v = new Array[Double](n)
+  }
+
+  private def adamUpdate(p: Array[Double], g: Array[Double],
+      st: AdamState, i: Int, lr: Double, squareGrad: Boolean): Unit = {
+    val eps = 10e-8
+    val b1 = 0.9
+    val b2 = 0.999
+    val c1 = 1.0 - math.pow(b1, i + 1)
+    val c2 = 1.0 - math.pow(b2, i + 1)
+    var k = 0
+    while (k < p.length) {
+      st.m(k) = b1 * st.m(k) + (1 - b1) * g(k)
+      // weights use DW², biases use raw DB (reference bug, kept)
+      val vTerm = if (squareGrad) g(k) * g(k) else g(k)
+      st.v(k) = b2 * st.v(k) + (1 - b2) * vTerm
+      val mHat = st.m(k) / c1
+      val vHat = st.v(k) / c2
+      p(k) -= lr * mHat / (math.sqrt(math.abs(vHat)) + eps)
+      k += 1
+    }
+  }
+
+  case class Result(params: Params, costs: Array[Double])
+
+  def train(data: Dataset[SparseDoc], cfg: Config,
+            initial: Option[Params] = None): Result = {
+    val sc = data.sparkSession.sparkContext
+    val p = initial.getOrElse(init(cfg))
+    val nIn = cfg.nIn; val nH = cfg.nHidden; val nOut = cfg.nOut
+    val n = data.count().toDouble
+    var lr = cfg.learningRate
+    var oldCost = 0.0
+    val costs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val rdd = data.rdd
+    val sW1 = new AdamState(nIn * nH); val sB1 = new AdamState(nH)
+    val sW2 = new AdamState(nH * nOut); val sB2 = new AdamState(nOut)
+
+    var i = 0
+    while (i < cfg.iterations) {
+      val bc = sc.broadcast(p)
+      type Buf = (Double, Array[Double], Array[Double], Array[Double], Array[Double])
+      val zero: Buf = (0.0, new Array[Double](nIn * nH),
+        new Array[Double](nH), new Array[Double](nH * nOut),
+        new Array[Double](nOut))
+      val (cost, dW1, dB1, dW2, dB2) = rdd.treeAggregate(zero)(
+        seqOp = { case ((c, w1, b1, w2, b2), doc) =>
+          (c + rowCostGrad(doc, bc.value, nIn, nH, nOut, w1, b1, w2, b2),
+            w1, b1, w2, b2)
+        },
+        combOp = { case ((c1, a1, a2, a3, a4), (c2, b1, b2, b3, b4)) =>
+          def add(x: Array[Double], y: Array[Double]): Array[Double] = {
+            var k = 0
+            while (k < x.length) { x(k) += y(k); k += 1 }
+            x
+          }
+          (c1 + c2, add(a1, b1), add(a2, b2), add(a3, b3), add(a4, b4))
+        },
+        depth = 2)
+      bc.destroy()
+
+      val avgCost = cost / n
+      def scale(a: Array[Double]): Array[Double] = {
+        var k = 0
+        while (k < a.length) { a(k) /= n; k += 1 }
+        a
+      }
+      scale(dW1); scale(dB1); scale(dW2); scale(dB2)
+
+      cfg.optimizer match {
+        case "SGD" =>
+          def sgd(x: Array[Double], g: Array[Double]): Unit = {
+            var k = 0
+            while (k < x.length) { x(k) -= lr * g(k); k += 1 }
+          }
+          sgd(p.w1, dW1); sgd(p.b1, dB1); sgd(p.w2, dW2); sgd(p.b2, dB2)
+        case "Adam" =>
+          adamUpdate(p.w1, dW1, sW1, i, lr, squareGrad = true)
+          adamUpdate(p.b1, dB1, sB1, i, lr, squareGrad = false)
+          adamUpdate(p.w2, dW2, sW2, i, lr, squareGrad = true)
+          adamUpdate(p.b2, dB2, sB2, i, lr, squareGrad = false)
+        case other =>
+          throw new IllegalArgumentException(s"unknown optimizer: $other")
+      }
+
+      lr = if (avgCost < oldCost) lr * 1.05 else lr * 0.5
+      costs += avgCost
+      oldCost = avgCost
+      i += 1
+    }
+    Result(p, costs.toArray)
+  }
+
+  /** argmax(sigmoid(forward(Lrelu(forward(x))))) — `RDD_NN.py:175-177`. */
+  def predict(doc: SparseDoc, p: Params, nH: Int, nOut: Int): Int = {
+    val hh = p.b1.clone()
+    var k = 0
+    while (k < doc.indices.length) {
+      val xi = doc.values(k)
+      val row = doc.indices(k) * nH
+      var j = 0
+      while (j < nH) { hh(j) += xi * p.w1(row + j); j += 1 }
+      k += 1
+    }
+    val yh = p.b2.clone()
+    var j = 0
+    while (j < nH) {
+      val hj = if (hh(j) >= 0) hh(j) else 0.01 * hh(j)
+      var o = 0
+      while (o < nOut) { yh(o) += hj * p.w2(j * nOut + o); o += 1 }
+      j += 1
+    }
+    var best = 0
+    var o = 1
+    while (o < nOut) { if (yh(o) > yh(best)) best = o; o += 1 }
+    best
+  }
+}
