@@ -11,16 +11,21 @@ import org.apache.spark.sql.SparkSession
   * as the DuckDB oracle.
   */
 object Sessions {
-  def local(appName: String = "graft", cores: String = "*"): SparkSession = {
+  def local(appName: String = "graft",
+            cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "*"))
+      : SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+        if (cores == "*") "32" else cores)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet stores TIMESTAMP(NANOS); read as raw long once
+      // session-wide instead of mutating conf inside a table loader.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -31,7 +31,11 @@ object Tables {
     * precision is lost to a double round-trip.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Sessions.local sets this at build time; the guarded set here is a
+    // fallback for externally-built sessions only (no-op otherwise).
+    if (!s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+        .contains("true"))
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.expr(
         "timestamp_micros(ts div 1000)"))

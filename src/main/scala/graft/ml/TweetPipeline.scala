@@ -1,0 +1,120 @@
+package graft.ml
+
+import org.apache.spark.ml.Pipeline
+import org.apache.spark.ml.classification._
+import org.apache.spark.ml.evaluation.MulticlassClassificationEvaluator
+import org.apache.spark.ml.feature._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.text.TextOps
+
+/** Stack A — the reference's spark.ml pipeline (SURVEY.md §2.9
+  * M1–M14), re-expressed natively.
+  *
+  * Stage-for-stage mirror of `LogisticRegression.py:60-116` (the same
+  * skeleton drives `NaiveBayes.py`, `SVM.py`, `Trees.py`), with the
+  * reference's three Python UDFs replaced by codegen'd Catalyst
+  * expressions: `cleanup` → regexp chain, `countTokens` → `size`/
+  * `length`, `cleanstopwords` → higher-order `filter`. In the
+  * reference every UDF stage is a `BatchEvalPython` pipeline break;
+  * here the whole pre-ML prep is one codegen'd stage (SURVEY.md §3.1).
+  *
+  * Parity notes:
+  *  - `ml.feature.Tokenizer` splits on the single-whitespace regex
+  *    `\s`, so runs of spaces yield empty-string tokens that survive
+  *    StopWordsRemover and enter CountVectorizer's vocabulary —
+  *    faithful to the reference, which has the same artifact.
+  *  - StringIndexer orders by frequency desc: majority class "0" →
+  *    label 0.0 (`LogisticRegression.py:88`).
+  *  - The reference's split is unseeded (`LogisticRegression.py:97`);
+  *    we seed (default 123) for reproducibility — SURVEY.md §5.
+  */
+object TweetPipeline {
+
+  /** Pre-ML prep: clean → length → Tokenizer → token count →
+    * StopWordsRemover → extra stop-list → filtered token count
+    * (`LogisticRegression.py:65-83`). Column names match the
+    * reference's.
+    */
+  def prepare(df: DataFrame): DataFrame = {
+    val cleaned = df
+      .withColumn("clean", TextOps.clean(col("text")))
+      .withColumn("length", length(col("clean")))
+    val tokenized = new Tokenizer()
+      .setInputCol("clean").setOutputCol("token_text")
+      .transform(cleaned)
+      .withColumn("tokens", size(col("token_text")))
+    new StopWordsRemover()
+      .setInputCol("token_text").setOutputCol("filtered")
+      .transform(tokenized)
+      .withColumn("filteredmore",
+        TextOps.removeStopwords(col("filtered"), TextOps.ExtraStopwordsMl))
+      .withColumn("filtered_tokens", size(col("filteredmore")))
+  }
+
+  /** M5/M3/M4/M6/M7 — the fitted feature Pipeline, stage order as in
+    * `LogisticRegression.py:86-91`.
+    */
+  def featurePipeline(): Pipeline = new Pipeline().setStages(Array(
+    new StringIndexer().setInputCol("class").setOutputCol("label"),
+    new CountVectorizer().setInputCol("filteredmore").setOutputCol("c_vec"),
+    new IDF().setInputCol("c_vec").setOutputCol("tf_idf"),
+    new VectorAssembler()
+      .setInputCols(Array("tf_idf", "filtered_tokens"))
+      .setOutputCol("features")))
+
+  /** prep + fit + transform → (label, features), the frame every
+    * classifier trains on (`LogisticRegression.py:91-96`).
+    */
+  def featurize(raw: DataFrame): DataFrame = {
+    val prepared = prepare(raw)
+    featurePipeline().fit(prepared).transform(prepared)
+      .select(col("label"), col("features"))
+  }
+
+  /** M8–M13 — classifier zoo with the reference's hyper-parameters. */
+  def classifier(algo: String): org.apache.spark.ml.Estimator[_] =
+    algo match {
+      case "lr"  => new LogisticRegression().setLabelCol("label")
+        .setRegParam(1.25)                       // LogisticRegression.py:101
+      case "nb"  => new NaiveBayes().setModelType("multinomial") // NaiveBayes.py:100
+      case "svc" => new LinearSVC().setMaxIter(100).setRegParam(1.2) // SVM.py:102
+      case "dt"  => new DecisionTreeClassifier() // Trees.py:101
+      case "rf"  => new RandomForestClassifier() // Trees.py:102
+      case "gbt" => new GBTClassifier()          // Trees.py:103
+      case other => throw new IllegalArgumentException(
+        s"unknown algorithm: $other")
+    }
+
+  final case class EvalResult(
+      algo: String, accuracy: Double, f1: Double,
+      trainN: Long, testN: Long,
+      trainSec: Double, testSec: Double)
+
+  /** Split → fit → transform → M14 evaluate, mirroring
+    * `LogisticRegression.py:96-116`. The featurized frame is persisted
+    * before the split (R2 — the reference recomputes the lineage; we
+    * don't), and the split is seeded (R1).
+    */
+  def trainEval(algo: String, featurized: DataFrame,
+                seed: Long = 123L): EvalResult = {
+    val data = featurized.persist()
+    val Array(training, testing) = data.randomSplit(Array(0.8, 0.2), seed)
+    val t0 = System.nanoTime()
+    val model = classifier(algo).fit(training)
+      .asInstanceOf[org.apache.spark.ml.Transformer]
+    val t1 = System.nanoTime()
+    val predictions = model.transform(testing).persist()
+    val evaluator = new MulticlassClassificationEvaluator()
+      .setPredictionCol("prediction").setLabelCol("label")
+    val acc = evaluator.setMetricName("accuracy").evaluate(predictions)
+    val f1 = evaluator.setMetricName("f1").evaluate(predictions)
+    val t2 = System.nanoTime()
+    val res = EvalResult(algo, acc, f1,
+      training.count(), testing.count(),
+      (t1 - t0) / 1e9, (t2 - t1) / 1e9)
+    predictions.unpersist()
+    data.unpersist()
+    res
+  }
+}

@@ -1,0 +1,114 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Csv
+import graft.ml.TweetPipeline
+
+/** Stack A operator pack: native CSV scan (S1), Catalyst text prep
+  * (F1/F4/F5), and the six spark.ml classifiers (M1–M14) trained and
+  * evaluated end-to-end on the reference's own dataset.
+  *
+  * The s-queries are DuckDB-oracle-checked (DuckDB reads the same CSV
+  * — verified to parse the multiline quoted tweets identically to the
+  * reference's pandas reader). The m-queries train models — not
+  * SQL-expressible, so rows-only; their quality/runtime parity vs
+  * BASELINE.md is asserted in `MlPipelineSpec`.
+  *
+  * These queries run on the reference's fixed Kaggle dataset (7,613
+  * rows), not on `sfDir` — the BASELINE.md numbers they are graded
+  * against are defined on exactly this input.
+  */
+object MlQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def raw(s: SparkSession): DataFrame = Csv.tweets(s, Csv.TrainCsv)
+
+  private def evalDf(s: SparkSession, algo: String): DataFrame = {
+    import s.implicits._
+    val res = TweetPipeline.trainEval(algo,
+      TweetPipeline.featurize(raw(s)))
+    Seq(res).toDF()
+  }
+
+  val queries: Map[String, Q] = Map(
+    // S1: native multiLine CSV scan + F1 clean + F5 length.
+    "s01_csv_clean" -> ((s, _) =>
+      TweetPipeline.prepare(raw(s)).select(col("id"), col("clean"),
+        col("length"))),
+
+    // A11: class balance (Part1.ipynb cell 15 — expects 4342/3271).
+    "s02_class_balance" -> ((s, _) =>
+      raw(s).groupBy(col("class")).agg(count(lit(1)).as("n"))),
+
+    // A12/A13: per-class profiling aggregates (Part1 cells 17/20/21):
+    // avg clean length, avg raw token count, avg filtered token count.
+    "s03_class_token_stats" -> ((s, _) =>
+      TweetPipeline.prepare(raw(s))
+        .groupBy(col("class"))
+        .agg(round(avg(col("length")), 6).as("avg_length"),
+          round(avg(col("tokens")), 6).as("avg_tokens"),
+          round(avg(col("filtered_tokens")), 6).as("avg_filtered"))),
+
+    // M1-M14 end-to-end per classifier (rows-only; quality asserted
+    // against BASELINE.md in MlPipelineSpec).
+    "m01_ml_logreg" -> ((s, _) => evalDf(s, "lr")),
+    "m02_ml_naivebayes" -> ((s, _) => evalDf(s, "nb")),
+    "m03_ml_linearsvc" -> ((s, _) => evalDf(s, "svc")),
+    "m04_ml_dectree" -> ((s, _) => evalDf(s, "dt")),
+    "m05_ml_randforest" -> ((s, _) => evalDf(s, "rf")),
+    "m06_ml_gbt" -> ((s, _) => evalDf(s, "gbt"))
+  )
+
+  private val csvSrc =
+    s"read_csv('${Csv.TrainCsv}', header=true, all_varchar=true)"
+
+  /** The exact Catalyst clean chain re-expressed for DuckDB (RE2).
+    * Verified char-for-char equivalent on this corpus (no astral
+    * chars, so Java UTF-16 vs RE2 rune semantics agree).
+    */
+  private val cleanSql =
+    """ltrim(regexp_replace(regexp_replace(lower(text),
+       '(?:@|https?://)\S+', '', 'g'), '[^a-zA-Z]', ' ', 'g'))"""
+
+  // ml.Tokenizer = Java `clean.split("\s")`: interior empty tokens
+  // kept, trailing-empty run dropped, "" -> [""]. DuckDB's
+  // str_split_regex(rtrim(clean), '\s') has exactly those semantics
+  // (verified: '' -> [''], 'a  b  ' -> ['a','','b']).
+  private val tokSql = """str_split_regex(rtrim(clean), '\s')"""
+
+  val oracleSql: Map[String, String] = Map(
+    "s01_csv_clean" ->
+      s"""SELECT id, $cleanSql AS clean,
+          length($cleanSql) AS length
+          FROM $csvSrc""",
+    "s02_class_balance" ->
+      s"""SELECT target AS class, count(*) AS n FROM $csvSrc GROUP BY 1""",
+    "s03_class_token_stats" ->
+      s"""WITH c AS (SELECT target AS class, $cleanSql AS clean FROM $csvSrc),
+          f AS (SELECT class, length(clean) AS length,
+                  len($tokSql) AS tokens,
+                  len(list_filter($tokSql, w -> NOT list_contains(
+                    ${MlSqlLists.allStopsMl}, w))) AS filtered
+                FROM c)
+          SELECT class, round(avg(length), 6) AS avg_length,
+                 round(avg(tokens), 6) AS avg_tokens,
+                 round(avg(filtered), 6) AS avg_filtered
+          FROM f GROUP BY class"""
+  )
+}
+
+/** SQL literal lists shared by the ML-stack oracles. */
+private object MlSqlLists {
+  import graft.text.TextOps
+
+  /** StopWordsRemover's default English list + the ML extra list —
+    * what `filteredmore` removes relative to `token_text`.
+    */
+  val allStopsMl: String =
+    (org.apache.spark.ml.feature.StopWordsRemover
+      .loadDefaultStopWords("english").toSeq ++ TextOps.ExtraStopwordsMl)
+      .distinct
+      .map(w => "'" + w.replace("'", "''") + "'")
+      .mkString("[", ", ", "]")
+}

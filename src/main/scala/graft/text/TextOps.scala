@@ -47,6 +47,33 @@ object TextOps {
       removeStopwords(tokenize(clean(text)), EnglishStopwords),
       ExtraStopwordsMl)
 
+  /** Unidecode-style ASCII folding (`RDD_logisticregression.py:52`):
+    * NFD-decompose, strip combining marks, drop remaining non-ASCII.
+    * In the reference's own chain this is provably an identity — it
+    * runs *after* `[^a-zA-Z]` → space, so its input is already pure
+    * ASCII — hence [[rddTokens]] omits it from the hot path rather
+    * than paying a UDF/codegen break for a no-op. Exposed standalone
+    * for corpora where folding runs before the letter filter.
+    */
+  val asciiFoldUdf = udf { (s: String) =>
+    if (s == null) null
+    else java.text.Normalizer
+      .normalize(s, java.text.Normalizer.Form.NFD)
+      .replaceAll("\\p{M}+", "")
+      .filter(_ < 128)
+  }
+
+  /** Full cleanup chain of the RDD stack (`RDD_logisticregression.py:
+    * 44-57`): clean → (ascii fold: identity here) → whitespace
+    * tokenize → combined NLTK + custom stop-list → noun lemmatize.
+    * Stop-word removal happens on the *raw* token, lemmatization after
+    * — same order as the reference's list comprehension (line 55).
+    */
+  def rddTokens(text: Column): Column =
+    Lemmatizer.lemmatizeAll(
+      removeStopwords(tokenize(clean(text)),
+        (EnglishStopwords ++ ExtraStopwordsRdd).distinct))
+
   /** Extra stop-list of the ML stack (`LogisticRegression.py:37`). */
   val ExtraStopwordsMl: Seq[String] =
     Seq("m", "lol", "haha", "s", "ll", "ve", "tweet", "tweeter", "blog")

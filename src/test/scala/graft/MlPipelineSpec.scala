@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.Csv
+import graft.ml.TweetPipeline
+
+/** Stack A end-to-end: native CSV scan parity with the reference's
+  * pandas reader, prep-column invariants, and classifier quality
+  * within tolerance of BASELINE.md (splits are seeded here while the
+  * reference's Stack A split is unseeded — SURVEY.md §5 #5 — so
+  * quality is a tolerance band, not an exact match).
+  */
+class MlPipelineSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  lazy val raw = Csv.tweets(spark, Csv.TrainCsv).cache()
+  lazy val featurized = TweetPipeline.featurize(raw).cache()
+
+  test("S1: multiLine CSV scan matches the pandas reader's shape") {
+    // pandas: 7,613 rows (SURVEY.md §6); a naive non-multiLine read
+    // splits quoted embedded newlines into extra rows.
+    assert(raw.count() === 7613L)
+    assert(raw.columns.toSeq === Seq("id", "text", "class"))
+  }
+
+  test("A11: class balance 4342/3271 (Part1.ipynb cell 15)") {
+    val counts = raw.groupBy("class").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts === Map("0" -> 4342L, "1" -> 3271L))
+  }
+
+  test("prep: tokenizer artifacts match the reference semantics") {
+    val prepared = TweetPipeline.prepare(raw)
+    val row = prepared.filter(col("id") === "1")
+      .select("clean", "tokens", "filtered_tokens").head()
+    // "Our Deeds are the Reason of this #earthquake May ALLAH Forgive
+    //  us all" → '#' becomes a space → "this  earthquake" double space
+    // → one empty token survives in token_text.
+    assert(row.getString(0) ==
+      "our deeds are the reason of this  earthquake may allah forgive us all")
+    assert(row.getInt(1) === 14) // 13 words + 1 empty-string token
+    // default-list stops removed (our,are,the,of,this,all — "may"/"us"
+    // are NOT in the default English list): deeds, reason, earthquake,
+    // may, allah, forgive, us + the surviving empty token = 8.
+    assert(row.getInt(2) === 8)
+  }
+
+  test("features: assembled dim = vocab + 1 (token count column)") {
+    val dim = featurized.select("features").head()
+      .getAs[org.apache.spark.ml.linalg.Vector](0).size
+    assert(dim > 10000) // CountVectorizer default 2^18 cap, real vocab ~20k
+  }
+
+  test("M9/M14: NaiveBayes quality ≈ baseline 78.41% acc / 78.4 f1") {
+    val r = TweetPipeline.trainEval("nb", featurized)
+    assert(r.accuracy > 0.74 && r.accuracy < 0.83,
+      s"nb accuracy ${r.accuracy}")
+    assert(r.f1 > 0.74 && r.f1 < 0.83, s"nb f1 ${r.f1}")
+  }
+
+  test("M8/M14: LogisticRegression quality ≈ baseline 79.16% acc / 78.2 f1") {
+    val r = TweetPipeline.trainEval("lr", featurized)
+    assert(r.accuracy > 0.74 && r.accuracy < 0.84,
+      s"lr accuracy ${r.accuracy}")
+    assert(r.f1 > 0.73 && r.f1 < 0.84, s"lr f1 ${r.f1}")
+  }
+
+  test("M11: DecisionTree quality ≈ baseline 60.63% acc (weak learner)") {
+    val r = TweetPipeline.trainEval("dt", featurized)
+    assert(r.accuracy > 0.55 && r.accuracy < 0.70,
+      s"dt accuracy ${r.accuracy}")
+  }
+}
