@@ -18,11 +18,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ TextQueries.queries ++
-      DedupQueries.queries ++ MlQueries.queries
+      DedupQueries.queries ++ MlQueries.queries ++
+      FeatureQueries.queries ++ MultimodalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracleSql ++ TextQueries.oracleSql ++
-      DedupQueries.oracleSql ++ MlQueries.oracleSql
+      DedupQueries.oracleSql ++ MlQueries.oracleSql ++
+      FeatureQueries.oracleSql ++ MultimodalQueries.oracleSql
 }

@@ -42,16 +42,35 @@ object Dedup {
         explode(array_distinct(Analysis.ngrams(tokens, n))).as("shingle"))
 
   /** Exact n-gram Jaccard near-dup pairs (a < b, jaccard ≥ threshold).
-    * O(pairs sharing a shingle) — fine when shingles are selective;
-    * the LSH variant below is the 100 TB path.
+    * O(Σ per-shingle df²) self-join — the exact baseline for toy/
+    * verification scale. At 100 TB a hot shingle (df ~ 10⁶) is a
+    * cartesian bomb: either pass `maxShingleDf` to drop stop-shingles
+    * from the *intersection* join (denominators stay exact; the
+    * resulting jaccard is a lower bound, so this trades a bounded
+    * false-negative rate for survival), or use [[minhashLshPairs]],
+    * which only ever verifies LSH candidates.
     */
-  def jaccardPairs(sh: DataFrame, threshold: Double): DataFrame = {
+  def jaccardPairs(sh: DataFrame, threshold: Double,
+                   maxShingleDf: Option[Int] = None): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = sh.as("x").join(sh.as("y"),
+    val shJ = maxShingleDf match {
+      case Some(cap) =>
+        val hot = sh.groupBy(col("shingle"))
+          .agg(count(lit(1)).as("df")).filter(col("df") > cap)
+          .select(col("shingle"))
+        sh.join(hot, Seq("shingle"), "left_anti")
+      case None => sh
+    }
+    val inter = shJ.as("x").join(shJ.as("y"),
         col("x.shingle") === col("y.shingle") &&
           col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .agg(count(lit(1)).as("i"))
+    scoreJaccard(inter, sizes, threshold)
+  }
+
+  private def scoreJaccard(inter: DataFrame, sizes: DataFrame,
+                           threshold: Double): DataFrame =
     inter
       .join(sizes.as("sa"), col("a") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("b") === col("sb.doc_id"))
@@ -59,32 +78,32 @@ object Dedup {
         (col("i").cast("double") /
           (col("sa.n") + col("sb.n") - col("i"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-  }
 
-  /** MinHash signatures: `numHashes` independent permutations
-    * simulated by md5("<h>|<shingle>") — lexicographic min of a
-    * uniform hash is a valid MinHash. Deterministic and
-    * engine-portable (same values in DuckDB).
+  /** Per-doc LSH band signatures in ONE aggregation pass: the
+    * `numHashes` MinHash permutations (md5("<h>|<shingle>") — the
+    * lexicographic min of a uniform hash is a valid MinHash, and
+    * deterministic/engine-portable) are `numHashes` parallel `min`
+    * aggregates over a single doc_id group-by, and each band signature
+    * is the md5 of its `rowsPerBand` consecutive minhashes computed in
+    * the same projection. One shuffle of |sh| rows total — no
+    * hash-id cross-join row blowup, no second shuffle for banding.
     */
-  def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
-    val spark = sh.sparkSession
-    val hashIds = spark.range(numHashes).select(col("id").cast("int").as("h"))
-    sh.crossJoin(broadcast(hashIds))
-      .groupBy(col("doc_id"), col("h"))
-      .agg(min(md5(concat(col("h").cast("string"), lit("|"),
-        col("shingle")))).as("m"))
+  def lshBandSignatures(sh: DataFrame, numHashes: Int,
+                        rowsPerBand: Int): DataFrame = {
+    require(numHashes % rowsPerBand == 0,
+      "numHashes must be a multiple of rowsPerBand")
+    val minCols = (0 until numHashes).map(h =>
+      min(md5(concat(lit(s"$h|"), col("shingle")))).as(s"m$h"))
+    val grouped = sh.groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+    val bands = (0 until numHashes / rowsPerBand).map { b =>
+      struct(lit(b).as("b"),
+        md5(concat((b * rowsPerBand until (b + 1) * rowsPerBand)
+          .map(h => col(s"m$h")): _*)).as("sig"))
+    }
+    grouped.select(col("doc_id"), explode(array(bands: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.b").as("b"), col("bs.sig").as("sig"))
   }
-
-  /** LSH banding: group `rowsPerBand` consecutive minhashes, hash each
-    * band to one signature; docs sharing any (band, signature) bucket
-    * become candidate pairs.
-    */
-  def lshBands(minh: DataFrame, rowsPerBand: Int): DataFrame =
-    minh.withColumn("b", expr(s"h DIV $rowsPerBand"))
-      .groupBy(col("doc_id"), col("b"))
-      .agg(md5(array_join(transform(
-        array_sort(collect_list(struct(col("h"), col("m")))),
-        x => x.getField("m")), "")).as("sig"))
 
   /** Candidate pairs from shared LSH buckets (a < b, distinct). */
   def lshCandidates(bands: DataFrame): DataFrame =
@@ -94,16 +113,37 @@ object Dedup {
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
 
-  /** Full MinHash-LSH near-dup pipeline: shingle → minhash → band →
-    * bucket-join → exact-Jaccard verify on candidates only.
+  /** Exact Jaccard computed ONLY for the given candidate pairs: each
+    * candidate pulls its two shingle sets through equi-joins, so the
+    * intersection work is O(Σ_cand |shingles|), never the all-pairs
+    * self-join. This is what makes LSH pay off — the verification
+    * cost scales with the candidates the bands produced, not with the
+    * corpus.
+    */
+  def verifyJaccard(sh: DataFrame, cands: DataFrame,
+                    threshold: Double): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cands
+      .join(sh.as("x"), col("a") === col("x.doc_id"))
+      .join(sh.as("y"),
+        col("b") === col("y.doc_id") &&
+          col("x.shingle") === col("y.shingle"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("i"))
+    scoreJaccard(inter, sizes, threshold)
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: shingle → band signatures →
+    * bucket-join candidates → exact-Jaccard verification *of the
+    * candidates only*. Identical output to filtering the exact
+    * all-pairs result by candidates (same intersection counts, same
+    * denominators), but the all-pairs join never runs.
     */
   def minhashLshPairs(sh: DataFrame, numHashes: Int = 16,
                       rowsPerBand: Int = 4,
                       threshold: Double = 0.5): DataFrame = {
-    val cands = lshCandidates(lshBands(minhashSignatures(sh, numHashes),
+    val cands = lshCandidates(lshBandSignatures(sh, numHashes,
       rowsPerBand))
-    jaccardPairs(sh, threshold)
-      .join(cands, Seq("a", "b"), "left_semi")
+    verifyJaccard(sh, cands, threshold)
   }
 
   /** Per-token 60-bit hashes (15 hex chars of md5 → fits a signed
@@ -133,22 +173,36 @@ object Dedup {
   def hammingDist(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs within a Hamming radius. Buckets by the
-    * top 16 bits first so the self-join is band-local, then verifies
-    * distance — the standard scale trick (rotate/re-bucket for full
-    * recall at 100 TB; one band is the demo configuration).
+  /** SimHash near-dup pairs within a Hamming radius, multi-band exact:
+    * the 60-bit fingerprint splits into `numBands` disjoint bands and
+    * docs are bucketed once per (band index, band bits). By
+    * pigeonhole, any pair within Hamming distance ≤ numBands−1 agrees
+    * exactly on at least one band — with the default 4×15-bit bands,
+    * recall is 1.0 for maxDist ≤ 3 (asserted by a planted-pair spec).
+    * Each band join is bucket-local; a pair sharing several bands is
+    * deduped by the group-by. At 100 TB, widen numBands to keep the
+    * per-bucket population flat (recall guarantee then covers
+    * numBands−1 flips).
     */
   def simhashPairs(docs: DataFrame, idCol: String, tokens: Column,
-                   maxDist: Int = 3): DataFrame = {
+                   maxDist: Int = 3, numBands: Int = 4): DataFrame = {
+    require(maxDist <= numBands - 1,
+      s"recall guarantee needs numBands > maxDist (got $numBands bands, dist $maxDist)")
+    val bandBits = 60 / numBands
+    val mask = (1L << bandBits) - 1
     val fp = docs
       .select(col(idCol).as("doc_id"), tokenHashes(tokens).as("hvs"))
       .select(col("doc_id"), simhashFromHashes(col("hvs")).as("fp"))
-      .withColumn("bucket", shiftright(col("fp"), 44))
-    fp.as("x").join(fp.as("y"),
-        col("x.bucket") === col("y.bucket") &&
+    val bands = (0 until numBands).map(b =>
+      struct(lit(b).as("band"),
+        shiftright(col("fp"), b * bandBits).bitwiseAND(mask).as("bits")))
+    val bucketed = fp.select(col("doc_id"), col("fp"),
+      explode(array(bands: _*)).as("bb"))
+    bucketed.as("x").join(bucketed.as("y"),
+        col("x.bb") === col("y.bb") &&
           col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-        hammingDist(col("x.fp"), col("y.fp")).as("dist"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(first(hammingDist(col("x.fp"), col("y.fp"))).as("dist"))
       .filter(col("dist") <= maxDist)
   }
 }

@@ -49,12 +49,25 @@ object DedupQueries {
       Similarity.bruteForceKnn(emb, emb.filter(col("vec_id") < 10), k = 10)
     }),
 
-    // LSH-bucketed ANN (rows-only; recall vs brute force asserted in
-    // unit specs).
+    // Multi-table LSH ANN (rows-only; recall ≥ 0.9 vs e01 asserted in
+    // DedupSimilaritySpec).
     "e02_knn_lsh" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      Similarity.lshKnn(emb, emb.filter(col("vec_id") < 10), k = 10,
-        numPlanes = 4)
+      Similarity.lshKnn(emb, emb.filter(col("vec_id") < 10), k = 10)
+    }),
+
+    // Exact embedding-cosine near-dup pairs on a fixed 500-vector
+    // slice (constant work across sf; DuckDB-verified).
+    "e03_cosine_dup_pairs" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).filter(col("vec_id") < 500)
+      Similarity.cosineDupPairsExact(emb, threshold = 0.4)
+    }),
+
+    // Multi-table LSH-bucketed cosine dup pairs — the 100 TB path for
+    // e03's semantics (rows-only; candidate-recall covered by spec).
+    "e04_cosine_dup_lsh" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).filter(col("vec_id") < 500)
+      Similarity.cosineDupPairs(emb, threshold = 0.4)
     })
   )
 
@@ -132,6 +145,15 @@ object DedupQueries {
             SELECT q_id, n_id, cos, CAST(row_number() OVER (
               PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS INTEGER) AS rn
             FROM scored)
-          SELECT q_id, n_id, cos, rn FROM ranked WHERE rn <= 10"""
+          SELECT q_id, n_id, cos, rn FROM ranked WHERE rn <= 10""",
+    "e03_cosine_dup_pairs" ->
+      s"""WITH e AS (
+            SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500)
+          SELECT * FROM (
+            SELECT x.vec_id AS a, y.vec_id AS b,
+                   ${dotSql("x.embedding", "y.embedding")} /
+                   (${normSql("x.embedding")} * ${normSql("y.embedding")}) AS cos
+            FROM e x JOIN e y ON x.vec_id < y.vec_id)
+          WHERE cos >= 0.4"""
   )
 }

@@ -92,20 +92,67 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(rows.head == 1L)
   }
 
-  test("lsh knn recall vs brute force on sf0.001 embeddings") {
+  test("lsh knn recall ≥ 0.9 vs brute force on sf0.001 embeddings") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val q = emb.filter(col("vec_id") < 10)
     val brute = Similarity.bruteForceKnn(emb, q, 10)
       .select("q_id", "n_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val approx = Similarity.lshKnn(emb, q, 10, numPlanes = 4)
+    val approx = Similarity.lshKnn(emb, q, 10)
       .select("q_id", "n_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (brute & approx).size.toDouble / brute.size
-    // These embeddings are unstructured (max pairwise cos ≈ 0.5), so
-    // bucket-restricted recall is bounded by P(top-10 neighbor lands in
-    // the same bucket) ≈ (1 - θ/π)^4 ≈ 0.13–0.19 — assert we clearly
-    // beat the random-pair baseline (0.5^4 ≈ 0.06).
-    assert(recall > 0.10, s"recall=$recall")
+    // These embeddings are unstructured (top-10 neighbors out at
+    // θ ≈ 69°) — the hardest case for angular LSH. The 16-table ×
+    // 4-plane OR-construction still must clear 0.9.
+    assert(recall >= 0.9, s"recall=$recall")
+  }
+
+  test("simhash multi-band is exhaustive for Hamming distance ≤ 3") {
+    import spark.implicits._
+    // 26 docs: perturbations of a 60-token base + unrelated noise.
+    // Ground truth = exact all-pairs Hamming over collected
+    // fingerprints; the banded operator must return exactly the
+    // dist ≤ 3 subset (pigeonhole: 4 bands, ≤3 flips).
+    val base = (1 to 60).map(i => s"w$i")
+    val docs = (0 until 20).map { v =>
+      (v.toLong, base.updated(v % 60, s"x$v").mkString(" "))
+    } ++ Seq((100L, base.mkString(" ")), (101L, base.mkString(" "))) ++
+      (0 until 4).map(v =>
+        (200L + v, (1 to 60).map(i => s"z${v}_$i").mkString(" ")))
+    val df = docs.toDF("doc_id", "text")
+
+    val fps = df.select(col("doc_id"),
+        Dedup.simhash(TextOps.tokenize(col("text"))).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    val expected = (for {
+      a <- fps.keys; b <- fps.keys if a < b
+      if java.lang.Long.bitCount(fps(a) ^ fps(b)) <= 3
+    } yield (a, b)).toSet
+
+    val got = Dedup.simhashPairs(df, "doc_id",
+        TextOps.tokenize(col("text")), maxDist = 3)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(got == expected,
+      s"missing=${expected -- got} extra=${got -- expected}")
+    assert(expected.contains((100L, 101L))) // identical pair present
+  }
+
+  test("cosine dup pairs: LSH recall vs exact on the sf0.001 slice") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") < 500)
+    val exact = Similarity.cosineDupPairsExact(emb, 0.4)
+      .select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.cosineDupPairs(emb, 0.4)
+      .select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    // no false positives possible (candidates are exactly verified)
+    assert((lsh -- exact).isEmpty)
+    // pairs at cos 0.4 sit at θ≈66° — recall formula gives ~0.87 for
+    // 12 tables × 4 planes; near-dup corpora (cos ≥ 0.9) would be ~1.
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.75, s"recall=$recall")
   }
 }

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.{Csv, Sinks}
+import graft.features.RddPipeline
+import graft.gd._
+
+/** Stack B end-to-end on the reference's own dataset
+  * (`RDD_logisticregression.py`): featurization invariants, the
+  * analytically-known first cost, training-quality tolerance vs
+  * BASELINE.md (79.81% acc / 75.50 f1), and the golden top-5
+  * coefficient words (Part1.ipynb cell 67). Exact per-iteration curve
+  * parity with `out/output/part-00000` is impossible (numpy-MT19937
+  * randomSplit — SURVEY.md §7 #2/#3); what IS exactly checkable is
+  * checked: iteration-0 cost = ln(2)·n_train + 0 for a zeros init.
+  */
+class RddStackSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  lazy val f = RddPipeline.featurize(spark, Csv.TrainCsv, dim = 10000)
+  lazy val split = f.data.randomSplit(Array(0.8, 0.2), seed = 123L)
+
+  test("F2 tokenizer chain: clean → stop → lemmatize on a known row") {
+    import spark.implicits._
+    val toks = f.tokenized.filter(col("id") === "4")
+      .select("tokens").as[Seq[String]].head()
+    // "Forest fire near La Ronge Sask. Canada" — no stop words, no
+    // plural nouns → tokens pass through lemmatization unchanged.
+    assert(toks == Seq("forest", "fire", "near", "la", "ronge", "sask",
+      "canada"))
+  }
+
+  test("featurization invariants: N docs, dims in range, binary TF") {
+    assert(f.numberOfTweets === 7613L)
+    assert(f.vocab.count() === 10000L)
+    val d = f.data.head()
+    // binary-presence TF quirk: every value = idf(word)/len, so no
+    // value may exceed ln(N) (df≥1 ⇒ idf ≤ ln N) and len ≥ indices.
+    assert(d.indices.length === d.values.length)
+    assert(d.indices.sameElements(d.indices.sorted))
+    // docs with no vocab word are absent, as in the reference
+    assert(f.data.count() <= 7613L)
+    assert(f.data.count() > 7000L)
+  }
+
+  test("L1 end-to-end: first cost = ln(2)·n_train; quality ≈ baseline") {
+    val Array(training, testing) = split
+    training.persist(); testing.persist()
+    val nTrain = training.count()
+
+    val res = GradientDescent.run(training, 10000, LogisticLoss,
+      GradientDescent.Config(iterations = 300, learningRate = 0.01,
+        optimizer = "SGD", reg = GradientDescent.L2(1.15)))
+
+    // zeros init ⇒ θ=0 for every row ⇒ cost₀ = n·ln 2 exactly (the
+    // same identity holds in the reference: out/output/part-00000
+    // line 1 = 4226.118… = 6097·ln 2).
+    assert(math.abs(res.costs(0) - nTrain * math.log(2.0)) < 1e-6,
+      s"first cost ${res.costs(0)} vs ${nTrain * math.log(2.0)}")
+
+    // bold-driver keeps the curve globally descending
+    assert(res.costs.last < res.costs.head * 0.75,
+      s"curve did not descend: ${res.costs.head} → ${res.costs.last}")
+
+    // top-5 coefficient words vs golden list (Part1.ipynb cell 67);
+    // different seeded split ⇒ tolerate partial overlap.
+    val top5 = RddPipeline.wordsFor(f.vocab,
+      GradientDescent.top5Coeff(res.coef)).toSet
+    val goldenTop5 = Set("fire", "california", "train", "hiroshima",
+      "wildfire")
+    assert((top5 & goldenTop5).size >= 3,
+      s"top5 $top5 vs golden $goldenTop5")
+
+    // quality vs BASELINE.md RDD-LR row: 79.81% acc / 75.50 f1
+    val c = Predict.evaluate(testing, res.coef)
+    assert(c.total === testing.count())
+    assert(c.accuracy > 0.75 && c.accuracy < 0.85,
+      s"accuracy ${c.accuracy}")
+    assert(c.f1 > 0.68 && c.f1 < 0.82, s"f1 ${c.f1}")
+
+    // S5/S7 round-trip: curve persists to a single part file and
+    // reads back bit-identical.
+    val dir = java.nio.file.Files
+      .createTempDirectory("costcurve").toString + "/out"
+    Sinks.costCurve(spark, res.costs.toSeq, dir)
+    val back = Sinks.readCostCurve(dir)
+    assert(back == res.costs.toSeq)
+  }
+}
