@@ -19,12 +19,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ TextQueries.queries ++
       DedupQueries.queries ++ MlQueries.queries ++
-      FeatureQueries.queries ++ MultimodalQueries.queries
+      FeatureQueries.queries ++ MultimodalQueries.queries ++
+      StreamQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracleSql ++ TextQueries.oracleSql ++
       DedupQueries.oracleSql ++ MlQueries.oracleSql ++
-      FeatureQueries.oracleSql ++ MultimodalQueries.oracleSql
+      FeatureQueries.oracleSql ++ MultimodalQueries.oracleSql ++
+      StreamQueries.oracleSql
 }

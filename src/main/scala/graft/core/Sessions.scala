@@ -17,6 +17,7 @@ object Sessions {
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(appName)
+      .withExtensions(new graft.expressions.GraftExtensions)
       .config("spark.sql.shuffle.partitions",
         if (cores == "*") "32" else cores)
       .config("spark.sql.adaptive.enabled", "true")

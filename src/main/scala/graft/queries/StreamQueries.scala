@@ -1,0 +1,75 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.streaming.EventStreams
+
+/** Streaming-surface operators checked in batch mode: every transform
+  * in [[EventStreams]] runs identically under `read` and `readStream`
+  * (that is the point of Structured Streaming); the DuckDB oracle
+  * checks the batch semantics here, and `EventStreamsSpec` drives the
+  * same code through MemoryStream incrementally.
+  */
+object StreamQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Tumbling event-time windows + watermark (no-op in batch).
+    "st01_tumbling_counts" -> ((s, d) =>
+      EventStreams.tumblingTypeCounts(Tables.events(s, d))
+        .select(unix_millis(col("w_start")).as("w_start_ms"),
+          col("event_type"), col("n"), col("sum_value"))),
+
+    // Sliding 1h windows every 30min: overlapping-window aggregation.
+    "st02_sliding_rate" -> ((s, d) =>
+      EventStreams.slidingRate(Tables.events(s, d))
+        .select(unix_millis(col("w_start")).as("w_start_ms"), col("n"))),
+
+    // Gap-based sessionization (30 min), batch oracle semantics.
+    "st03_sessionize" -> ((s, d) =>
+      EventStreams.sessionizeBatch(Tables.events(s, d), gapMs = 1800000L)
+        .select(col("user_id"),
+          unix_millis(col("session_start")).as("start_ms"),
+          unix_millis(col("session_end")).as("end_ms"),
+          col("n_events"), col("sum_value")))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "st01_tumbling_counts" ->
+      """SELECT CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT) AS w_start_ms,
+         event_type, count(*) AS n,
+         round(sum(value), 6) AS sum_value
+         FROM events GROUP BY 1, 2""",
+    "st02_sliding_rate" ->
+      """WITH w AS (
+           SELECT unnest([
+             epoch_ms(to_timestamp(floor(epoch(ts) / 1800) * 1800)),
+             epoch_ms(to_timestamp(floor(epoch(ts) / 1800) * 1800)) - 1800000
+           ]) AS w_start_ms
+           FROM events)
+         SELECT w_start_ms, count(*) AS n FROM w GROUP BY 1""",
+    "st03_sessionize" ->
+      """WITH o AS (
+           SELECT user_id, ts, value,
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+           FROM events),
+         marked AS (
+           SELECT user_id, ts, value,
+                  CASE WHEN prev_ts IS NULL
+                       OR epoch_ms(ts) - epoch_ms(prev_ts) > 1800000
+                       THEN 1 ELSE 0 END AS new_session
+           FROM o),
+         numbered AS (
+           SELECT user_id, ts, value,
+                  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS UNBOUNDED PRECEDING) AS session_id
+           FROM marked)
+         SELECT user_id,
+                epoch_ms(min(ts)) AS start_ms,
+                epoch_ms(max(ts)) AS end_ms,
+                CAST(count(*) AS INTEGER) AS n_events,
+                round(sum(value), 6) AS sum_value
+         FROM numbered GROUP BY user_id, session_id"""
+  )
+}

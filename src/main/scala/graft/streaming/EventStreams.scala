@@ -1,0 +1,127 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming surface over the `events` table shape
+  * (event_id, ts, user_id, event_type, value, props) — the north-star
+  * streaming extension (SURVEY.md §2.12/§7: the reference is
+  * batch-only; this is additive).
+  *
+  * Every transform here is expressed once and runs under BOTH
+  * `spark.read` (batch — how the DuckDB oracle checks it) and
+  * `spark.readStream` (incremental with watermarked state eviction) —
+  * the core Structured Streaming design point. Specs drive the
+  * streaming path with MemoryStream and assert it converges to the
+  * batch answer.
+  */
+object EventStreams {
+
+  /** Tumbling event-time windows with a watermark: per (window,
+    * event_type) count + value sum. Watermarking bounds state at
+    * scale: windows older than the watermark are finalized and
+    * evicted instead of accumulating forever.
+    */
+  def tumblingTypeCounts(events: DataFrame, windowLen: String = "1 hour",
+                         watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("w_start"), col("event_type"),
+        col("n"), round(col("sum_value"), 6).as("sum_value"))
+
+  /** Sliding-window rate: 30-min slide over 1-hour windows, global
+    * event rate. Overlapping windows are the one aggregation shape a
+    * plain GROUP BY can't express.
+    */
+  def slidingRate(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("w_start"), col("n"))
+
+  final case class SessionInput(user_id: Long, ts: Timestamp,
+                                value: Double)
+  final case class SessionState(start: Long, end: Long, n: Int,
+                                sum: Double)
+  final case class UserSession(user_id: Long, session_start: Timestamp,
+                               session_end: Timestamp, n_events: Int,
+                               sum_value: Double)
+
+  /** Custom sessionization with `flatMapGroupsWithState`: per-user
+    * sessions closed after `gapMs` of event-time silence, state
+    * evicted via event-time timeout (watermark-driven — bounded state
+    * at any scale). The batch oracle for the same semantics is
+    * [[sessionizeBatch]].
+    */
+  def sessionizeStream(events: Dataset[SessionInput],
+                       gapMs: Long): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, UserSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[SessionInput],
+         state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(UserSession(user, new Timestamp(s.start),
+              new Timestamp(s.end), s.n, s.sum))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var out = List.empty[UserSession]
+            var cur = state.getOption
+            sorted.foreach { r =>
+              val t = r.ts.getTime
+              cur match {
+                case Some(s) if t - s.end <= gapMs =>
+                  cur = Some(s.copy(end = t, n = s.n + 1,
+                    sum = s.sum + r.value))
+                case Some(s) =>
+                  out ::= UserSession(user, new Timestamp(s.start),
+                    new Timestamp(s.end), s.n, s.sum)
+                  cur = Some(SessionState(t, t, 1, r.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, r.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            out.reverseIterator
+          }
+      }
+  }
+
+  /** Batch sessionization with identical semantics (gaps-and-islands
+    * via lag + running sum) — the oracle for [[sessionizeStream]] and
+    * a DuckDB-expressible query in its own right.
+    */
+  def sessionizeBatch(events: DataFrame, gapMs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    events
+      .select(col("user_id"), col("ts"), col("value"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          (unix_millis(col("ts")) - unix_millis(col("prev_ts"))) > gapMs,
+          1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).cast("int").as("n_events"),
+        round(sum(col("value")), 6).as("sum_value"))
+      .drop(col("session_id"))
+  }
+}

@@ -1,7 +1,6 @@
 package graft.text
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.udf
 
 /** Noun lemmatizer approximating `nltk.WordNetLemmatizer().lemmatize(w)`
   * with the default pos='n' (the only form the reference uses:
@@ -59,11 +58,19 @@ object Lemmatizer {
     }
   }
 
-  val lemmaUdf = udf(lemma _)
+  /** Scalar lemmatization as a native Catalyst expression
+    * ([[graft.expressions.LemmatizeWord]]) — codegen'd, no UDF
+    * closure dispatch.
+    */
+  def lemmatize(word: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expressions.LemmatizeWord(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(word)))
 
-  /** Lemmatize every element of a token-array column. */
-  def lemmatizeAll(tokens: Column): Column = {
-    val f = udf((ts: Seq[String]) => if (ts == null) null else ts.map(lemma))
-    f(tokens)
-  }
+  /** Lemmatize every element of a token-array column: the native
+    * expression composed under the `transform` higher-order function —
+    * the whole chain stays inside one whole-stage-codegen span.
+    */
+  def lemmatizeAll(tokens: Column): Column =
+    org.apache.spark.sql.functions.transform(tokens, lemmatize _)
 }

@@ -1,0 +1,17 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ⇄ Expression bridge. In Spark 4 the Column constructor and
+  * `Column#expr` are `private[sql]` (Column is backend-agnostic; the
+  * Catalyst expression lives behind `classic.ExpressionUtils`), so
+  * libraries that define custom Catalyst expressions need this
+  * one-file shim inside the `org.apache.spark.sql` package tree —
+  * the standard extension-library pattern.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.{SessionInput, UserSession}
+import java.sql.Timestamp
+
+/** Drives the streaming transforms through MemoryStream and asserts
+  * they converge to the batch answer on the same rows — the
+  * batch/stream unification contract. Watermark-driven session
+  * closure is exercised by feeding a late "far future" event that
+  * advances the watermark past open sessions.
+  */
+class EventStreamsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.streaming.checkpointLocation",
+      java.nio.file.Files.createTempDirectory("ckpt").toString)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  // offset from epoch 0: the initial watermark is 0, and stateful ops
+  // drop rows at/behind the watermark — epoch-0 fixtures vanish.
+  val Base = 1704067200000L // 2024-01-01T00:00:00Z
+  def ts(minutes: Long): Timestamp = new Timestamp(Base + minutes * 60000L)
+  def mins(t: Long): Long = (t - Base) / 60000L
+
+  val rows = Seq(
+    // user 1: two sessions separated by > 30 min
+    SessionInput(1L, ts(0), 1.0), SessionInput(1L, ts(10), 2.0),
+    SessionInput(1L, ts(20), 3.0),
+    SessionInput(1L, ts(70), 4.0), SessionInput(1L, ts(75), 5.0),
+    // user 2: one session
+    SessionInput(2L, ts(5), 10.0), SessionInput(2L, ts(25), 20.0))
+
+  test("flatMapGroupsWithState sessionization converges to the batch answer") {
+    import spark.implicits._
+    val mem = MemoryStream[SessionInput](spark)
+    val sessions = EventStreams.sessionizeStream(mem.toDS(),
+      gapMs = 30L * 60000L)
+    val q = sessions.writeStream.format("memory")
+      .queryName("sessions_out").outputMode("append").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      // advance watermark far beyond every open session (+2h wm delay)
+      mem.addData(SessionInput(99L, ts(10000), 0.0))
+      q.processAllAvailable()
+
+      val got = spark.table("sessions_out").as[UserSession]
+        .collect().filter(_.user_id != 99L)
+        .map(s => (s.user_id, mins(s.session_start.getTime),
+          mins(s.session_end.getTime), s.n_events, s.sum_value))
+        .toSet
+
+      val batch = EventStreams.sessionizeBatch(
+          rows.toDF(), gapMs = 30L * 60000L)
+        .collect()
+        .map(r => (r.getLong(0), mins(r.getTimestamp(1).getTime),
+          mins(r.getTimestamp(2).getTime), r.getInt(3), r.getDouble(4)))
+        .toSet
+
+      assert(got == batch)
+      assert(got == Set(
+        (1L, 0L, 20L, 3, 6.0), (1L, 70L, 75L, 2, 9.0),
+        (2L, 5L, 25L, 2, 30.0)))
+    } finally q.stop()
+  }
+
+  test("tumbling windowed agg: streaming result equals batch result") {
+    import spark.implicits._
+    val events = rows.map(r => (r.user_id, r.ts, "click", r.value))
+      .toDF("user_id", "ts", "event_type", "value")
+    val batch = EventStreams.tumblingTypeCounts(events, "1 hour")
+      .collect().map(r => (mins(r.getTimestamp(0).getTime),
+        r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+
+    val mem = MemoryStream[(Long, Timestamp, String, Double)](spark)
+    val stream = EventStreams.tumblingTypeCounts(
+      mem.toDS().toDF("user_id", "ts", "event_type", "value"), "1 hour")
+    val q = stream.writeStream.format("memory")
+      .queryName("tumbling_out").outputMode("complete").start()
+    try {
+      mem.addData(rows.map(r => (r.user_id, r.ts, "click", r.value)): _*)
+      q.processAllAvailable()
+      val got = spark.table("tumbling_out")
+        .collect().map(r => (mins(r.getTimestamp(0).getTime),
+          r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(got == batch)
+      assert(batch.map(_._1) == Set(0L, 60L))
+    } finally q.stop()
+  }
+}
