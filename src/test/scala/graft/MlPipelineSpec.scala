@@ -76,4 +76,17 @@ class MlPipelineSpec extends AnyFunSuite {
     assert(r.accuracy > 0.55 && r.accuracy < 0.70,
       s"dt accuracy ${r.accuracy}")
   }
+
+  test("M10: LinearSVC quality ≈ baseline 78.02% acc / 77.6 f1") {
+    val r = TweetPipeline.trainEval("svc", featurized)
+    assert(r.accuracy > 0.73 && r.accuracy < 0.83,
+      s"svc accuracy ${r.accuracy}")
+    assert(r.f1 > 0.72 && r.f1 < 0.83, s"svc f1 ${r.f1}")
+  }
+
+  test("M12: RandomForest quality ≈ baseline 62.09% acc (weak learner)") {
+    val r = TweetPipeline.trainEval("rf", featurized)
+    assert(r.accuracy > 0.55 && r.accuracy < 0.72,
+      s"rf accuracy ${r.accuracy}")
+  }
 }

@@ -92,4 +92,24 @@ class RddStackSpec extends AnyFunSuite {
     val back = Sinks.readCostCurve(dir)
     assert(back == res.costs.toSeq)
   }
+
+  test("L2 end-to-end: hinge-loss SVM with early stop, quality in band") {
+    val Array(training, testing) = split
+    training.persist(); testing.persist()
+    // RDD_SVM.py:127-201 config: λ = 1/(c·n) over ALL docs, 200
+    // iters, |Δcost| ≤ 1e-4 early stop, seeded normal(0,0.1) init.
+    val rng = new scala.util.Random(123L)
+    val init = Array.fill(10000)(rng.nextGaussian() * 0.1)
+    val res = GradientDescent.run(training, 10000, HingeLoss,
+      GradientDescent.Config(iterations = 200, learningRate = 0.01,
+        optimizer = "SGD",
+        reg = GradientDescent.SvmNorm(1.0 / (0.5 * f.numberOfTweets)),
+        earlyStopDelta = Some(1e-4), initialCoef = Some(init)))
+    assert(res.costs.length <= 200)
+    assert(res.costs.last < res.costs.head)
+    val c = Predict.evaluate(testing, res.coef)
+    // README "mlresults": hand-rolled SVM lands close to the LR rows
+    assert(c.accuracy > 0.70 && c.accuracy < 0.85,
+      s"svm accuracy ${c.accuracy}")
+  }
 }
