@@ -180,6 +180,21 @@ object RelationalQueries {
         .groupBy($"l_returnflag")
         .agg(count(lit(1)).as("n"),
           round(sum($"l_quantity"), 2).as("sum_qty"))
+    }),
+
+    // Skew-salted join: 8-way salt on the fact side, replicated dim —
+    // identical semantics to the plain join (what the oracle runs),
+    // hot keys spread over 8 reducers.
+    "sk01_salted_join" -> ((s, d) => {
+      import s.implicits._
+      val big = Tables.lineitem(s, d).select($"l_orderkey", $"l_quantity")
+      val dim = Tables.orders(s, d)
+        .select($"o_orderkey".as("l_orderkey"), $"o_orderpriority")
+      graft.operators.SkewJoin.saltedInnerJoin(big, dim, "l_orderkey",
+          salt = 8)
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          round(sum($"l_quantity"), 2).as("sum_qty"))
     })
   )
 
@@ -258,6 +273,11 @@ object RelationalQueries {
          JOIN (SELECT l_partkey AS pk, avg(l_quantity) AS avg_qty
                FROM lineitem GROUP BY 1) ON l_partkey = pk
          WHERE l_quantity > avg_qty * 1.5
-         GROUP BY l_returnflag"""
+         GROUP BY l_returnflag""",
+    "sk01_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS n,
+         round(sum(l_quantity), 2) AS sum_qty
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority"""
   )
 }

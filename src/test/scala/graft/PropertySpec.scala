@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import graft.text.{Lemmatizer, TextOps}
+
+/** Property-based invariants (SURVEY.md §5 test plan): tokenizer
+  * algebra on arbitrary generated input and lemmatizer idempotence.
+  * Uses ScalaCheck generators with explicit sampling (the
+  * scalatest-scalacheck bridge isn't on the test classpath); Column
+  * -function properties evaluate in one batched DataFrame pass per
+  * property, not one Spark job per sample.
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private def forAll[A](gen: Gen[A], n: Int = 500)(f: A => Unit): Unit =
+    Iterator.continually(gen.sample).flatten.take(n).foreach(f)
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val wordGen: Gen[String] =
+    Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+
+  test("lemma is idempotent: lemma(lemma(w)) == lemma(w)") {
+    forAll(wordGen) { w =>
+      val once = Lemmatizer.lemma(w)
+      assert(Lemmatizer.lemma(once) == once, s"w=$w once=$once")
+    }
+  }
+
+  test("lemma never lengthens a word and keeps short words intact") {
+    forAll(wordGen) { w =>
+      val l = Lemmatizer.lemma(w)
+      assert(l.length <= w.length + 2, s"w=$w l=$l") // ies→y +...
+      if (w.length < 3) assert(l == w || Lemmatizer.lemma(w) != w &&
+        TextOpsFixtures.irregularish(w), s"short $w → $l")
+    }
+  }
+
+  val textGen: Gen[String] = Gen.listOf(Gen.frequency(
+    5 -> Gen.alphaChar,
+    2 -> Gen.const(' '),
+    1 -> Gen.oneOf('0', '9', '#', '@', '!', '.', ',', ':', '/',
+      'é', 'ß', '\n', '\t'),
+    1 -> Gen.const("http://x.co/y z").map(_.head) // degenerate
+  )).map(_.mkString)
+
+  test("clean is idempotent and emits only [a-z ] (batched)") {
+    import spark.implicits._
+    val samples = Gen.listOfN(300, textGen).sample.get
+    val df = samples.toDF("text")
+      .select(TextOps.clean(col("text")).as("c1"))
+      .withColumn("c2", TextOps.clean(col("c1")))
+    val rows = df.as[(String, String)].collect()
+    rows.foreach { case (c1, c2) =>
+      assert(c1 == c2, s"not idempotent: '$c1' vs '$c2'")
+      assert(c1.forall(ch => ch == ' ' || (ch >= 'a' && ch <= 'z')),
+        s"illegal chars in '$c1'")
+      assert(!c1.startsWith(" "), s"lstrip violated: '$c1'")
+    }
+  }
+
+  test("tokenize emits only nonempty lowercase-letter tokens (batched)") {
+    import spark.implicits._
+    val samples = Gen.listOfN(300, textGen).sample.get
+    val toks = samples.toDF("text")
+      .select(TextOps.tokenize(TextOps.clean(col("text"))).as("t"))
+      .as[Seq[String]].collect()
+    toks.flatten.foreach { t =>
+      assert(t.nonEmpty && t.forall(ch => ch >= 'a' && ch <= 'z'),
+        s"bad token '$t'")
+    }
+  }
+}
+
+private object TextOpsFixtures {
+  /** Short words the irregular map intentionally rewrites. */
+  def irregularish(w: String): Boolean = Set("as", "is", "us").contains(w)
+}
