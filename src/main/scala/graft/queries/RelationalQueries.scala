@@ -182,6 +182,18 @@ object RelationalQueries {
           round(sum($"l_quantity"), 2).as("sum_qty"))
     }),
 
+    // Semi-structured JSON column: per-type aggregates over a field
+    // extracted from the events.props JSON string.
+    "q16_json_props" -> ((s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .select($"event_type",
+          get_json_object($"props", "$.k").cast("long").as("k"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), round(avg($"k"), 6).as("avg_k"),
+          max($"k").as("max_k"))
+    }),
+
     // Skew-salted join: 8-way salt on the fact side, replicated dim —
     // identical semantics to the plain join (what the oracle runs),
     // hot keys spread over 8 reducers.
@@ -274,6 +286,11 @@ object RelationalQueries {
                FROM lineitem GROUP BY 1) ON l_partkey = pk
          WHERE l_quantity > avg_qty * 1.5
          GROUP BY l_returnflag""",
+    "q16_json_props" ->
+      """SELECT event_type, count(*) AS n,
+         round(avg(CAST(props->>'k' AS BIGINT)), 6) AS avg_k,
+         max(CAST(props->>'k' AS BIGINT)) AS max_k
+         FROM events GROUP BY event_type""",
     "sk01_salted_join" ->
       """SELECT o_orderpriority, count(*) AS n,
          round(sum(l_quantity), 2) AS sum_qty

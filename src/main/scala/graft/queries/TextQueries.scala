@@ -83,6 +83,19 @@ object TextQueries {
         Analysis.fingerprint($"text").as("fp"),
         Analysis.minShingleFingerprint(TextOps.tokenize($"text"))
           .as("min_shingle_fp"))
+    }),
+
+    // Token counting two ways: whitespace words and a BPE-ish
+    // pre-tokenizer regex (GPT-2-style contraction/letter-run/
+    // digit-run/punct-run classes) — the cheap proxy for LLM token
+    // budgeting at corpus scale. Pure regexp, codegen'd.
+    "t07_token_counts" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d).select(
+        $"doc_id",
+        size(TextOps.tokenize($"text")).as("ws_tokens"),
+        size(regexp_extract_all($"text", lit(Analysis.BpeIshRe), lit(0)))
+          .as("bpe_tokens"))
     })
   )
 
@@ -151,6 +164,12 @@ object TextQueries {
           SELECT d.doc_id, md5(d.text) AS fp, m.msf AS min_shingle_fp
           FROM documents d LEFT JOIN (
             SELECT doc_id, min(md5(shingle)) AS msf FROM sh GROUP BY 1) m
-          ON d.doc_id = m.doc_id"""
+          ON d.doc_id = m.doc_id""",
+    "t07_token_counts" ->
+      s"""SELECT doc_id, len($tokSql) AS ws_tokens,
+          len(regexp_extract_all(text,
+            '${graft.text.Analysis.BpeIshRe.replace("'", "''")}'))
+            AS bpe_tokens
+          FROM documents"""
   )
 }

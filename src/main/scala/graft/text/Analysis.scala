@@ -22,6 +22,16 @@ object Analysis {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** BPE-ish pre-tokenizer regex (the GPT-2 pattern family, kept to
+    * the syntax Java regex and RE2 share — no lookaheads): English
+    * contractions, optionally space-prefixed letter runs, digit runs,
+    * punctuation runs, then residual whitespace runs. Counting its
+    * matches approximates an LLM tokenizer's budget well enough for
+    * corpus-scale cost estimates without shipping a vocab.
+    */
+  val BpeIshRe: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
   /** Marker stop-word sets per language — the classic cheap n-gram/
     * function-word language-ID heuristic. Small public lists; ties are
     * broken by the fixed priority order en, de, es, fr.

@@ -84,6 +84,21 @@ class RddStackSpec extends AnyFunSuite {
       s"accuracy ${c.accuracy}")
     assert(c.f1 > 0.68 && c.f1 < 0.82, s"f1 ${c.f1}")
 
+    // Golden-curve comparison vs the reference's committed run
+    // (out/output/part-00000, 68 iterations): exact parity is
+    // impossible across RNG-different splits (SURVEY §7 #2), so
+    // compare per-document cost — their curve head is 6097·ln 2
+    // (validating the normalizer), and at their last iteration the
+    // per-doc training cost must agree within 5%.
+    val refCurve = Sinks.readCostCurve("/root/reference/out/output")
+    val refN = math.round(refCurve.head / math.log(2.0)).toDouble
+    assert(math.abs(refCurve.head - refN * math.log(2.0)) < 1e-6)
+    val lastI = refCurve.length - 1
+    val ourPerDoc = res.costs(lastI) / nTrain
+    val refPerDoc = refCurve.last / refN
+    assert(math.abs(ourPerDoc - refPerDoc) / refPerDoc < 0.05,
+      s"per-doc cost at iter $lastI: ours $ourPerDoc vs ref $refPerDoc")
+
     // S5/S7 round-trip: curve persists to a single part file and
     // reads back bit-identical.
     val dir = java.nio.file.Files
