@@ -20,5 +20,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_lemmatize(word) - WordNet-morphy noun lemma of `word`.",
         ""),
       (children: Seq[Expression]) => LemmatizeWord(children.head)))
+
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashAgg].getName,
+        null, "graft_minhash",
+        "graft_minhash(shingle, k) - aggregate: k-permutation MinHash " +
+          "signature (md5 basis) of the group's shingles.", ""),
+      (children: Seq[Expression]) => {
+        val k = children(1) match {
+          case e if e.foldable =>
+            e.eval().asInstanceOf[Number].intValue()
+          case other => throw new IllegalArgumentException(
+            s"graft_minhash: k must be a literal, got $other")
+        }
+        MinHashAgg(children.head, k).toAggregateExpression()
+      }))
   }
 }

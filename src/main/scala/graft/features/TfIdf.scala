@@ -31,17 +31,26 @@ object TfIdf {
   private def docWordPositions(docs: DataFrame, idCol: String,
       labelCol: String, tokensCol: String, vocab: DataFrame,
       exactParity: Boolean): DataFrame = {
-    val base = docs.select(
-      col(idCol).as("doc_id"),
-      col(labelCol).as("label"),
-      size(col(tokensCol)).as("len"),
-      explode(col(tokensCol)).as("word"))
     val withCnt =
       if (exactParity)
-        // distinct occurrence tuples → binary presence (J2 quirk)
-        base.distinct().withColumn("w_cnt", lit(1L))
+        // binary presence (J2 quirk): the reference's distinct() runs
+        // over (word,(doc,label,len)) tuples, where doc/label/len are
+        // constant per row — so an IN-ROW array_distinct before the
+        // explode is semantically identical and replaces a full
+        // shuffle of every token occurrence with per-row dedup.
+        docs.select(
+          col(idCol).as("doc_id"),
+          col(labelCol).as("label"),
+          size(col(tokensCol)).as("len"),
+          explode(array_distinct(col(tokensCol))).as("word"))
+          .withColumn("w_cnt", lit(1L))
       else
-        base.groupBy("doc_id", "label", "len", "word")
+        docs.select(
+          col(idCol).as("doc_id"),
+          col(labelCol).as("label"),
+          size(col(tokensCol)).as("len"),
+          explode(col(tokensCol)).as("word"))
+          .groupBy("doc_id", "label", "len", "word")
           .agg(count(lit(1)).as("w_cnt"))
     // inner join = implicit vocabulary filter (J1); vocab is tiny →
     // broadcast hash join, no shuffle of the big side

@@ -92,14 +92,15 @@ object TweetPipeline {
       trainSec: Double, testSec: Double)
 
   /** Split → fit → transform → M14 evaluate, mirroring
-    * `LogisticRegression.py:96-116`. The featurized frame is persisted
-    * before the split (R2 — the reference recomputes the lineage; we
-    * don't), and the split is seeded (R1).
+    * `LogisticRegression.py:96-116`. The split is seeded (R1).
+    * Callers should persist `featurized` (R2) — this method leaves
+    * the caller's persistence level untouched so one cached
+    * featurization can serve several classifiers.
     */
   def trainEval(algo: String, featurized: DataFrame,
                 seed: Long = 123L): EvalResult = {
-    val data = featurized.persist()
-    val Array(training, testing) = data.randomSplit(Array(0.8, 0.2), seed)
+    val Array(training, testing) =
+      featurized.randomSplit(Array(0.8, 0.2), seed)
     val t0 = System.nanoTime()
     val model = classifier(algo).fit(training)
       .asInstanceOf[org.apache.spark.ml.Transformer]
@@ -114,7 +115,6 @@ object TweetPipeline {
       training.count(), testing.count(),
       (t1 - t0) / 1e9, (t2 - t1) / 1e9)
     predictions.unpersist()
-    data.unpersist()
     res
   }
 }

@@ -105,6 +105,31 @@ object Dedup {
       .select(col("doc_id"), col("bs.b").as("b"), col("bs.sig").as("sig"))
   }
 
+  /** Band signatures computed through the mergeable
+    * [[graft.expressions.MinHashAgg]] sketch (one buffer per group in
+    * partial agg instead of numHashes min columns; usable in
+    * streaming state and shard-union folds). Value-identical output
+    * to [[lshBandSignatures]] — same md5 hash basis — asserted in
+    * MinHashAggSpec.
+    */
+  def lshBandSignaturesSketch(sh: DataFrame, numHashes: Int,
+                              rowsPerBand: Int): DataFrame = {
+    require(numHashes % rowsPerBand == 0)
+    val sketch = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expressions.MinHashAgg(
+        org.apache.spark.sql.graftbridge.ColumnBridge
+          .expression(col("shingle")), numHashes)
+        .toAggregateExpression())
+    val grouped = sh.groupBy(col("doc_id")).agg(sketch.as("mh"))
+    val bands = (0 until numHashes / rowsPerBand).map { b =>
+      struct(lit(b).as("b"),
+        md5(concat((b * rowsPerBand until (b + 1) * rowsPerBand)
+          .map(h => element_at(col("mh"), h + 1)): _*)).as("sig"))
+    }
+    grouped.select(col("doc_id"), explode(array(bands: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.b").as("b"), col("bs.sig").as("sig"))
+  }
+
   /** Candidate pairs from shared LSH buckets (a < b, distinct). */
   def lshCandidates(bands: DataFrame): DataFrame =
     bands.as("x").join(bands.as("y"),
