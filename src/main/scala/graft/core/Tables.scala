@@ -42,4 +42,13 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Register every table as a temp view so the whole corpus is
+    * queryable through `spark.sql(...)` (the `events` view gets the
+    * nanos→micros conversion).
+    */
+  def registerAll(s: SparkSession, d: String): Unit = names.foreach {
+    case "events" => events(s, d).createOrReplaceTempView("events")
+    case n        => load(s, d, n).createOrReplaceTempView(n)
+  }
 }

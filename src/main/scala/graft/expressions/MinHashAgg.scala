@@ -14,10 +14,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * mergeable-sketch form of [[graft.operators.Dedup.lshBandSignatures]]'s
   * per-permutation `min` aggregates.
   *
-  * Same hash basis as the DataFrame path (md5 of "<h>|<shingle>",
-  * lowercase hex, lexicographic min), so signatures are value-identical
-  * to the composed-built-ins pipeline (asserted in MinHashAggSpec) and
-  * to the DuckDB oracle's SQL.
+  * Same hash basis as the DataFrame path (chunked md5 — see
+  * `Dedup.minhashChunk` — lowercase hex, lexicographic min), so
+  * signatures are value-identical to the composed-built-ins pipeline
+  * (asserted in MinHashAggSpec) and to the DuckDB oracle's SQL.
   *
   * Why an imperative aggregate when `min` composes: each input row is
   * hashed once per permutation *inside* `update` and only the
@@ -57,9 +57,15 @@ case class MinHashAgg(
     val v = child.eval(input)
     if (v != null) {
       val shingle = v.asInstanceOf[UTF8String].toString
+      // chunked-md5 basis, identical to Dedup.minhashChunk: permutation
+      // h = 8-hex-char slice h%4 of digest "<h/4>|<shingle>"
+      val nDigests = (numHashes + 3) / 4
+      val digests = new Array[String](nDigests)
+      var d = 0
+      while (d < nDigests) { digests(d) = hexMd5(s"$d|$shingle"); d += 1 }
       var h = 0
       while (h < numHashes) {
-        val hx = hexMd5(s"$h|$shingle")
+        val hx = digests(h / 4).substring((h % 4) * 8, (h % 4) * 8 + 8)
         if (buf(h) == null || hx.compareTo(buf(h)) < 0) buf(h) = hx
         h += 1
       }

@@ -79,21 +79,33 @@ object Dedup {
           (col("sa.n") + col("sb.n") - col("i"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
 
+  /** 32-hex-digit md5 digests carved into 8-hex-char (32-bit) chunks:
+    * permutation h draws chunk h%4 of md5("<h/4>|<shingle>"), so
+    * `numHashes` permutations cost ceil(numHashes/4) digests per row
+    * instead of numHashes — md5's diffusion makes the chunks
+    * independent uniform hashes, and 32 bits is ample MinHash
+    * resolution for any realistic shingle-set size. Mirrored
+    * verbatim in the DuckDB oracle and in [[graft.expressions.MinHashAgg]].
+    */
+  private[operators] def minhashChunk(shingle: Column, h: Int): Column =
+    substring(md5(concat(lit(s"${h / 4}|"), shingle)), (h % 4) * 8 + 1, 8)
+
   /** Per-doc LSH band signatures in ONE aggregation pass: the
-    * `numHashes` MinHash permutations (md5("<h>|<shingle>") — the
-    * lexicographic min of a uniform hash is a valid MinHash, and
-    * deterministic/engine-portable) are `numHashes` parallel `min`
-    * aggregates over a single doc_id group-by, and each band signature
-    * is the md5 of its `rowsPerBand` consecutive minhashes computed in
-    * the same projection. One shuffle of |sh| rows total — no
-    * hash-id cross-join row blowup, no second shuffle for banding.
+    * `numHashes` MinHash permutations (chunked md5, see
+    * [[minhashChunk]] — the lexicographic min of a uniform hash is a
+    * valid MinHash, and deterministic/engine-portable) are
+    * `numHashes` parallel `min` aggregates over a single doc_id
+    * group-by, and each band signature is the md5 of its
+    * `rowsPerBand` consecutive minhashes computed in the same
+    * projection. One shuffle of |sh| rows total — no hash-id
+    * cross-join row blowup, no second shuffle for banding.
     */
   def lshBandSignatures(sh: DataFrame, numHashes: Int,
                         rowsPerBand: Int): DataFrame = {
     require(numHashes % rowsPerBand == 0,
       "numHashes must be a multiple of rowsPerBand")
     val minCols = (0 until numHashes).map(h =>
-      min(md5(concat(lit(s"$h|"), col("shingle")))).as(s"m$h"))
+      min(minhashChunk(col("shingle"), h)).as(s"m$h"))
     val grouped = sh.groupBy(col("doc_id"))
       .agg(minCols.head, minCols.tail: _*)
     val bands = (0 until numHashes / rowsPerBand).map { b =>

@@ -126,7 +126,9 @@ object DedupQueries {
       s"""WITH $shingleCte, $jaccardCte,
           minh AS (
             SELECT doc_id, h.range AS h,
-                   min(md5(CAST(h.range AS VARCHAR) || '|' || shingle)) AS m
+                   min(substring(md5(CAST(h.range // 4 AS VARCHAR)
+                         || '|' || shingle),
+                       CAST(h.range % 4 AS INTEGER) * 8 + 1, 8)) AS m
             FROM sh, range(16) h GROUP BY 1, 2),
           bands AS (
             SELECT doc_id, h // 4 AS b,

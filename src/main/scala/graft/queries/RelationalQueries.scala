@@ -182,6 +182,22 @@ object RelationalQueries {
           round(sum($"l_quantity"), 2).as("sum_qty"))
     }),
 
+    // Sketch aggregates: HyperLogLog++ distinct and approximate
+    // quantiles — the constant-memory substitutes for exact
+    // distinct/percentile at 100 TB (rows-only; error bounds vs exact
+    // asserted in ApproxSpec).
+    "q17_approx_stats" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(
+          approx_count_distinct($"l_orderkey").as("approx_orders"),
+          percentile_approx($"l_quantity", lit(0.5), lit(10000))
+            .as("p50_qty"),
+          percentile_approx($"l_extendedprice", lit(0.95), lit(10000))
+            .as("p95_price"))
+    }),
+
     // Semi-structured JSON column: per-type aggregates over a field
     // extracted from the events.props JSON string.
     "q16_json_props" -> ((s, d) => {

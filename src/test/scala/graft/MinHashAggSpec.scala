@@ -50,7 +50,7 @@ class MinHashAggSpec extends AnyFunSuite {
     rows.foreach { r =>
       val mh = r.getSeq[String](1)
       assert(mh.length == 4)
-      assert(mh.forall(_.matches("[0-9a-f]{32}")))
+      assert(mh.forall(_.matches("[0-9a-f]{8}"))) // 32-bit chunks
     }
   }
 }

@@ -29,6 +29,29 @@ class MlPipelineSpec extends AnyFunSuite {
     assert(raw.columns.toSeq === Seq("id", "text", "class"))
   }
 
+  test("S4: inferSchema CSV scan types the numeric columns") {
+    val df = Csv.inferred(spark, Csv.TrainCsv)
+    assert(df.count() === 7613L)
+    assert(df.schema("id").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+    assert(df.schema("target").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+    assert(df.schema("text").dataType ===
+      org.apache.spark.sql.types.StringType)
+  }
+
+  test("SQL surface: registered views answer spark.sql directly") {
+    graft.core.Tables.registerAll(spark, "/root/testdata/sf0.001")
+    val n = spark.sql(
+      "SELECT count(*) FROM lineitem JOIN orders ON l_orderkey = o_orderkey")
+      .head().getLong(0)
+    assert(n > 0)
+    val ev = spark.sql(
+      "SELECT count(*) FROM events WHERE ts >= timestamp'2024-01-01'")
+      .head().getLong(0)
+    assert(ev > 0)
+  }
+
   test("A11: class balance 4342/3271 (Part1.ipynb cell 15)") {
     val counts = raw.groupBy("class").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

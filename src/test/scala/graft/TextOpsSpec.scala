@@ -79,6 +79,15 @@ class TextOpsSpec extends AnyFunSuite {
     assert(Lemmatizer.lemma("fire") == "fire")     // not plural
   }
 
+  test("asciiFold: strips diacritics, drops non-latin, keeps ascii") {
+    import spark.implicits._
+    val got = Seq("café naïve über", "ascii stays", "日本語x")
+      .toDF("t").select(TextOps.asciiFoldUdf($"t")).as[String].collect()
+    assert(got(0) == "cafe naive uber")
+    assert(got(1) == "ascii stays")
+    assert(got(2) == "x")
+  }
+
   test("ngrams: sliding window, short docs yield empty") {
     import spark.implicits._
     val got = Seq(Seq("a", "b", "c", "d"), Seq("a", "b"), Seq[String]())
