@@ -100,6 +100,20 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact dedup — the incremental face of
+    * [[graft.operators.Dedup.exactDedup]]: documents arriving on a
+    * stream are deduplicated by content hash across micro-batches,
+    * with the dedup state bounded by the watermark (a duplicate
+    * arriving later than `watermark` after the original may pass —
+    * the standard state/recall trade at unbounded scale).
+    */
+  def streamingDedup(docs: DataFrame, tsCol: String, textCol: String,
+                     watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("content_hash", md5(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** Batch sessionization with identical semantics (gaps-and-islands
     * via lag + running sum) — the oracle for [[sessionizeStream]] and
     * a DuckDB-expressible query in its own right.

@@ -71,6 +71,26 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup: duplicates dropped across micro-batches") {
+    import spark.implicits._
+    val mem = MemoryStream[(Timestamp, String)](spark)
+    val deduped = EventStreams.streamingDedup(
+      mem.toDS().toDF("ts", "text"), "ts", "text")
+    val q = deduped.writeStream.format("memory")
+      .queryName("dedup_out").outputMode("append").start()
+    try {
+      mem.addData((ts(0), "doc A"), (ts(1), "doc A"), (ts(2), "doc B"))
+      q.processAllAvailable()
+      // same content arriving in a LATER micro-batch (still inside the
+      // watermark) must also be dropped — state spans batches
+      mem.addData((ts(5), "doc A"), (ts(6), "doc C"))
+      q.processAllAvailable()
+      val texts = spark.table("dedup_out")
+        .collect().map(_.getString(1)).sorted.toSeq
+      assert(texts == Seq("doc A", "doc B", "doc C"))
+    } finally q.stop()
+  }
+
   test("tumbling windowed agg: streaming result equals batch result") {
     import spark.implicits._
     val events = rows.map(r => (r.user_id, r.ts, "click", r.value))
