@@ -61,6 +61,35 @@ object MlQueries {
 
     // M1-M14 end-to-end per classifier (rows-only; quality asserted
     // against BASELINE.md in MlPipelineSpec).
+    // Stack B end-to-end (RDD_logisticregression.py semantics): CSV →
+    // RDD-flavor tokenize → top-10k vocab → binary-TF·IDF → 300 GD
+    // iterations → confusion metrics. BASELINE.md row: 308.57 s train
+    // / 79.81% acc / 75.50 f1 — the bench time here is the direct
+    // comparison (broadcast+treeAggregate+persist vs the reference's
+    // uncached per-iteration lineage recompute).
+    "m07_rdd_lr_train" -> ((s, _) => {
+      import s.implicits._
+      val f = graft.features.RddPipeline.featurize(s, Csv.TrainCsv,
+        dim = 10000)
+      val Array(training, testing) =
+        f.data.randomSplit(Array(0.8, 0.2), seed = 123L)
+      training.persist(); testing.persist()
+      val t0 = System.nanoTime()
+      val res = graft.gd.GradientDescent.run(training, 10000,
+        graft.gd.LogisticLoss,
+        graft.gd.GradientDescent.Config(iterations = 300,
+          learningRate = 0.01, optimizer = "SGD",
+          reg = graft.gd.GradientDescent.L2(1.15)))
+      val trainSec = (System.nanoTime() - t0) / 1e9
+      val c = graft.gd.Predict.evaluate(testing, res.coef)
+      val out = Seq((c.accuracy, c.f1, trainSec, res.costs.head,
+        res.costs.last))
+        .toDF("accuracy", "f1", "train_sec", "first_cost", "last_cost")
+      training.unpersist(); testing.unpersist(); f.data.unpersist()
+      f.tokenized.unpersist()
+      out
+    }),
+
     "m01_ml_logreg" -> ((s, _) => evalDf(s, "lr")),
     "m02_ml_naivebayes" -> ((s, _) => evalDf(s, "nb")),
     "m03_ml_linearsvc" -> ((s, _) => evalDf(s, "svc")),
