@@ -41,6 +41,32 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("jaccardPairs maxShingleDf: hot shingle capped, near-dups kept") {
+    import spark.implicits._
+    // every doc shares one hot shingle ("h1 h2 h3"); docs 1/2 are
+    // near-dups through their OWN shingles; capping df>3 must drop the
+    // hot shingle from intersections (denominators stay exact) while
+    // still finding the planted pair.
+    val hot = "h1 h2 h3 "
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 39).map(i => s"w$i").mkString(" ") + " w40x"
+    val docs = Seq(
+      (1L, hot + base), (2L, hot + nearDup),
+      (3L, hot + (100 to 140).map(i => s"v$i").mkString(" ")),
+      (4L, hot + (200 to 240).map(i => s"u$i").mkString(" ")),
+      (5L, hot + (300 to 340).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val sh = Dedup.shingles(docs, "doc_id", TextOps.tokenize(col("text")))
+    val capped = Dedup.jaccardPairs(sh, 0.5, maxShingleDf = Some(3))
+      .select("a", "b").as[(Long, Long)].collect().toSeq
+    assert(capped == Seq((1L, 2L)))
+    // uncapped finds the same pair here (hot shingles only add noise
+    // rows to the self-join, not extra qualifying pairs)
+    val exact = Dedup.jaccardPairs(sh, 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSeq
+    assert(exact == Seq((1L, 2L)))
+  }
+
   test("minhashLshPairs recovers the same planted pair") {
     import spark.implicits._
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
