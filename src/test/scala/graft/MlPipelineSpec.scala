@@ -58,6 +58,25 @@ class MlPipelineSpec extends AnyFunSuite {
     assert(counts === Map("0" -> 4342L, "1" -> 3271L))
   }
 
+  test("golden: per-class prep averages match Part1.ipynb cells 17/20/21") {
+    // the reference notebook prints these exact values (deterministic
+    // — no split involved); our UDF-free prep chain must reproduce
+    // them to float precision.
+    val stats = TweetPipeline.prepare(raw)
+      .groupBy("class")
+      .agg(avg("length").as("al"), avg("tokens").as("at"),
+        avg("filtered_tokens").as("af"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    def close(a: Double, b: Double) = math.abs(a - b) < 1e-9
+    assert(close(stats("0")._1, 79.06264394288347), stats("0"))
+    assert(close(stats("1")._1, 87.44053806175482), stats("1"))
+    assert(close(stats("0")._2, 16.797328420082913), stats("0"))
+    assert(close(stats("1")._2, 17.73800061143381), stats("1"))
+    assert(close(stats("0")._3, 11.324965453707968), stats("0"))
+    assert(close(stats("1")._3, 13.161112809538368), stats("1"))
+  }
+
   test("prep: tokenizer artifacts match the reference semantics") {
     val prepared = TweetPipeline.prepare(raw)
     val row = prepared.filter(col("id") === "1")

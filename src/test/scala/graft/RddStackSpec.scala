@@ -36,6 +36,32 @@ class RddStackSpec extends AnyFunSuite {
       "canada"))
   }
 
+  test("golden: top-20 dictionaries overlap Part1.ipynb cells 50/53/54") {
+    import org.apache.spark.sql.DataFrame
+    // the notebook's printed dictionaries predate the final scripts'
+    // stop list ("u"/"pm" still present there, stopworded here) and
+    // NLTK's lemmatizer differs on rare words, so assert strong
+    // overlap rather than identity: measured 17/19/17 of 20.
+    def top20(df: DataFrame): Set[String] =
+      graft.features.Vocabulary.topK(df, "tokens", 20)
+        .select("word").collect().map(_.getString(0)).toSet
+    val refAll = Set("fire", "like", "get", "news", "people", "time",
+      "year", "video", "disaster", "emergency", "body", "day", "home",
+      "police", "building", "u", "family", "go", "life", "say")
+    val refDisaster = Set("fire", "news", "disaster", "california",
+      "year", "suicide", "police", "people", "family", "home", "train",
+      "storm", "killed", "building", "like", "hiroshima", "bomb",
+      "crash", "pm", "flood")
+    val refNon = Set("like", "get", "body", "time", "day", "video",
+      "love", "people", "go", "got", "know", "fire", "let", "back",
+      "full", "see", "bag", "emergency", "want", "u")
+    assert((top20(f.tokenized) & refAll).size >= 15)
+    assert((top20(f.tokenized.filter(col("label") === "1"))
+      & refDisaster).size >= 17)
+    assert((top20(f.tokenized.filter(col("label") === "0"))
+      & refNon).size >= 15)
+  }
+
   test("featurization invariants: N docs, dims in range, binary TF") {
     assert(f.numberOfTweets === 7613L)
     assert(f.vocab.count() === 10000L)
