@@ -145,6 +145,36 @@ object LrOptimizersApp {
   }
 }
 
+/** `SVM_Optimizers.py <file> <outputPrefix>` — the optimizer zoo over
+  * hinge loss + SvmNorm reg (`SVM_Optimizers.py:148-185`), curve per
+  * optimizer; no early stop (commented out in the reference).
+  */
+object SvmOptimizersApp {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "Usage: SvmOptimizersApp <file> <outputPrefix> [optimizer ...]")
+    val opts = if (args.length > 2) args.drop(2).toSeq
+      else LrOptimizersApp.All
+    val spark = AppUtil.session("graft-svm-optimizers")
+    val f = RddPipeline.featurize(spark, args(0), dim = 10000)
+    val Array(training, testing) =
+      f.data.randomSplit(Array(0.8, 0.2), seed = 123L)
+    training.persist(); testing.persist()
+    val init = AppUtil.normalInit(10000, seed = 123L)
+    val lambda = 1.0 / (0.5 * f.numberOfTweets)
+    opts.foreach { opt =>
+      val res = GradientDescent.run(training, 10000, HingeLoss,
+        GradientDescent.Config(iterations = 200, learningRate = 0.01,
+          optimizer = opt, reg = GradientDescent.SvmNorm(lambda),
+          initialCoef = Some(init)))
+      val c = Predict.evaluate(testing, res.coef)
+      AppUtil.printResults(s"Results ($opt):", c.accuracy, c.f1, 0, 0)
+      Sinks.costCurve(spark, res.costs.toSeq, args(1) + opt)
+    }
+    spark.stop()
+  }
+}
+
 /** `RDD_SVM.py <file> <output>` — hinge loss, 200 iters, λ=1/(c·n)
   * with c=0.5 and n = ALL docs (`RDD_SVM.py:201` passes the full
   * count, not the train count), early stop at |Δcost| ≤ 1e-4.

@@ -91,6 +91,32 @@ object TweetPipeline {
       trainN: Long, testN: Long,
       trainSec: Double, testSec: Double)
 
+  /** Hyper-parameter sweep (Part1.ipynb cells 32/37): fit/eval per
+    * regParam on the same seeded split — the reference's manual model
+    * -selection loop.
+    */
+  def sweepRegParam(algo: String, params: Seq[Double],
+                    featurized: DataFrame,
+                    seed: Long = 123L): Seq[EvalResult] =
+    params.map { p =>
+      val est = classifier(algo) match {
+        case lr: LogisticRegression => lr.setRegParam(p)
+        case svc: LinearSVC => svc.setRegParam(p)
+        case other => throw new IllegalArgumentException(
+          s"sweep supports lr/svc, got $other")
+      }
+      val Array(training, testing) =
+        featurized.randomSplit(Array(0.8, 0.2), seed)
+      val model = est.fit(training)
+      val predictions = model.transform(testing)
+      val evaluator = new MulticlassClassificationEvaluator()
+        .setPredictionCol("prediction").setLabelCol("label")
+      EvalResult(s"$algo@$p",
+        evaluator.setMetricName("accuracy").evaluate(predictions),
+        evaluator.setMetricName("f1").evaluate(predictions),
+        0L, 0L, 0.0, 0.0)
+    }
+
   /** Split → fit → transform → M14 evaluate, mirroring
     * `LogisticRegression.py:96-116`. The split is seeded (R1).
     * Callers should persist `featurized` (R2) — this method leaves

@@ -126,6 +126,16 @@ class MlPipelineSpec extends AnyFunSuite {
     assert(r.f1 > 0.72 && r.f1 < 0.83, s"svc f1 ${r.f1}")
   }
 
+  test("sweep (Part1 cell 32): regParam grid reproduces the known shape") {
+    // the notebook's sweep shows quality degrading at strong
+    // regularization (regParam 10 → majority-class collapse vs ~0.79
+    // at 1.25); two grid points capture that shape cheaply.
+    val rs = TweetPipeline.sweepRegParam("lr", Seq(1.25, 10.0),
+      featurized)
+    assert(rs.head.accuracy > 0.74)
+    assert(rs.last.accuracy < rs.head.accuracy)
+  }
+
   test("M12: RandomForest quality ≈ baseline 62.09% acc (weak learner)") {
     val r = TweetPipeline.trainEval("rf", featurized)
     assert(r.accuracy > 0.55 && r.accuracy < 0.72,
