@@ -182,6 +182,35 @@ object RelationalQueries {
           round(sum($"l_quantity"), 2).as("sum_qty"))
     }),
 
+    // Set operations: nations represented among customers but not
+    // suppliers (EXCEPT), in both (INTERSECT), and the UNION ALL
+    // balance — one result frame tagging each nation key with its set.
+    "q18_set_ops" -> ((s, d) => {
+      import s.implicits._
+      val c = Tables.customer(s, d).select($"c_nationkey".as("nk"))
+        .distinct()
+      val su = Tables.supplier(s, d).select($"s_nationkey".as("nk"))
+        .distinct()
+      val onlyC = c.except(su).withColumn("set", lit("customers_only"))
+      val both = c.intersect(su).withColumn("set", lit("both"))
+      val onlyS = su.except(c).withColumn("set", lit("suppliers_only"))
+      onlyC.unionAll(both).unionAll(onlyS)
+    }),
+
+    // Rollup: per (returnflag, linestatus) + per-flag subtotals +
+    // grand total in one pass; grouping nulls coalesced to '(all)' so
+    // the frame is null-free for hashing.
+    "q19_rollup" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          round(sum($"l_quantity"), 2).as("sum_qty"))
+        .select(coalesce($"l_returnflag", lit("(all)")).as("flag"),
+          coalesce($"l_linestatus", lit("(all)")).as("status"),
+          $"n", $"sum_qty")
+    }),
+
     // Sketch aggregates: HyperLogLog++ distinct and approximate
     // quantiles — the constant-memory substitutes for exact
     // distinct/percentile at 100 TB (rows-only; error bounds vs exact
@@ -302,6 +331,19 @@ object RelationalQueries {
                FROM lineitem GROUP BY 1) ON l_partkey = pk
          WHERE l_quantity > avg_qty * 1.5
          GROUP BY l_returnflag""",
+    "q18_set_ops" ->
+      """WITH c AS (SELECT DISTINCT c_nationkey AS nk FROM customer),
+          su AS (SELECT DISTINCT s_nationkey AS nk FROM supplier)
+          SELECT nk, 'customers_only' AS "set" FROM (SELECT nk FROM c EXCEPT SELECT nk FROM su)
+          UNION ALL
+          SELECT nk, 'both' AS "set" FROM (SELECT nk FROM c INTERSECT SELECT nk FROM su)
+          UNION ALL
+          SELECT nk, 'suppliers_only' AS "set" FROM (SELECT nk FROM su EXCEPT SELECT nk FROM c)""",
+    "q19_rollup" ->
+      """SELECT coalesce(l_returnflag, '(all)') AS flag,
+         coalesce(l_linestatus, '(all)') AS status,
+         count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
     "q16_json_props" ->
       """SELECT event_type, count(*) AS n,
          round(avg(CAST(props->>'k' AS BIGINT)), 6) AS avg_k,
