@@ -37,6 +37,16 @@ object DedupQueries {
         threshold = 0.5)
     }),
 
+    // Stop-shingle-capped Jaccard (cap mirrored in the oracle):
+    // shingles with df > 100 are dropped from the intersection join
+    // (denominators stay exact) — the survival mode for hot-key
+    // corpora where d02's exact self-join goes quadratic.
+    "d05_jaccard_capped" -> ((s, d) => {
+      val sh = Dedup.shingles(Tables.documents(s, d), "doc_id",
+        docTokens(s))
+      Dedup.jaccardPairs(sh, 0.5, maxShingleDf = Some(100))
+    }),
+
     // SimHash near-dup pairs within Hamming distance 3 (rows-only:
     // variable-shift bit packing isn't portable SQL).
     "d04_simhash_pairs" -> ((s, d) =>
@@ -122,6 +132,23 @@ object DedupQueries {
     "d02_jaccard_pairs" ->
       s"""WITH $shingleCte, $jaccardCte
           SELECT a, b, jaccard FROM jac WHERE jaccard >= 0.5""",
+    "d05_jaccard_capped" ->
+      s"""WITH $shingleCte,
+          shj AS (
+            SELECT * FROM sh WHERE shingle IN (
+              SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 100)),
+          sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+          inter AS (
+            SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+            FROM shj x JOIN shj y
+              ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+            GROUP BY 1, 2),
+          jac2 AS (
+            SELECT a, b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+            FROM inter
+            JOIN sizes sa ON a = sa.doc_id
+            JOIN sizes sb ON b = sb.doc_id)
+          SELECT a, b, jaccard FROM jac2 WHERE jaccard >= 0.5""",
     "d03_minhash_lsh_pairs" ->
       s"""WITH $shingleCte, $jaccardCte,
           minh AS (
