@@ -37,15 +37,13 @@ object DedupQueries {
         threshold = 0.5)
     }),
 
-    // Stop-shingle-capped Jaccard (cap mirrored in the oracle):
-    // shingles with df > 100 are dropped from the intersection join
-    // (denominators stay exact) — the survival mode for hot-key
-    // corpora where d02's exact self-join goes quadratic.
-    "d05_jaccard_capped" -> ((s, d) => {
-      val sh = Dedup.shingles(Tables.documents(s, d), "doc_id",
-        docTokens(s))
-      Dedup.jaccardPairs(sh, 0.5, maxShingleDf = Some(100))
-    }),
+    // NOTE: jaccardPairs(maxShingleDf) — the hot-shingle survival mode
+    // — is deliberately NOT benched here: this synthetic corpus has a
+    // 31-word vocabulary, so EVERY shingle is hot (avg df ≈ 83 at
+    // sf0.1) and the cap's extra df pass cannot pay for itself; the
+    // capped semantics are covered by a planted-pair spec instead.
+    // On real corpora hot shingles are the exception, which is the
+    // regime the cap targets; the scale path HERE is d03.
 
     // SimHash near-dup pairs within Hamming distance 3 (rows-only:
     // variable-shift bit packing isn't portable SQL).
@@ -132,23 +130,6 @@ object DedupQueries {
     "d02_jaccard_pairs" ->
       s"""WITH $shingleCte, $jaccardCte
           SELECT a, b, jaccard FROM jac WHERE jaccard >= 0.5""",
-    "d05_jaccard_capped" ->
-      s"""WITH $shingleCte,
-          shj AS (
-            SELECT * FROM sh WHERE shingle IN (
-              SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 100)),
-          sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-          inter AS (
-            SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
-            FROM shj x JOIN shj y
-              ON x.shingle = y.shingle AND x.doc_id < y.doc_id
-            GROUP BY 1, 2),
-          jac2 AS (
-            SELECT a, b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
-            FROM inter
-            JOIN sizes sa ON a = sa.doc_id
-            JOIN sizes sb ON b = sb.doc_id)
-          SELECT a, b, jaccard FROM jac2 WHERE jaccard >= 0.5""",
     "d03_minhash_lsh_pairs" ->
       s"""WITH $shingleCte, $jaccardCte,
           minh AS (
