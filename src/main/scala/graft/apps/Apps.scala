@@ -47,6 +47,25 @@ private object AppUtil {
   }
 }
 
+/** SURVEY §7's minimum end-to-end slice: scan → UDF-free transform →
+  * aggregates, reproducing Part1.ipynb cells 15/17/20/21 (class
+  * counts 4342/3271 and per-class averages) from `train.csv`.
+  */
+object TweetStatsApp {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 1, "Usage: TweetStatsApp <file>")
+    val spark = AppUtil.session("graft-tweet-stats")
+    import org.apache.spark.sql.functions._
+    val prepared = TweetPipeline.prepare(Csv.tweets(spark, args(0)))
+      .persist()
+    prepared.groupBy("class").count().orderBy("class").show()
+    prepared.groupBy("class")
+      .agg(avg("length"), avg("tokens"), avg("filtered_tokens"))
+      .orderBy("class").show()
+    spark.stop()
+  }
+}
+
 /** `LogisticRegression.py <file>` — Stack A ML LR, regParam 1.25. */
 object LogisticRegressionApp {
   def main(args: Array[String]): Unit =
