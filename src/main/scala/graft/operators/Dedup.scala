@@ -61,10 +61,18 @@ object Dedup {
         sh.join(hot, Seq("shingle"), "left_anti")
       case None => sh
     }
-    val inter = shJ.as("x").join(shJ.as("y"),
-        col("x.shingle") === col("y.shingle") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+    // intersection counts WITHOUT a self-join: group docs per shingle
+    // once (one shuffle of |sh|), then emit each shingle's doc pairs
+    // in-row via indexed higher-order transforms — the pair volume is
+    // identical to the join's output but the second shuffle and the
+    // hash-join build disappear.
+    val pairs = flatten(transform(col("ds"), (x, i) =>
+      transform(slice(col("ds"), i + 2, size(col("ds"))),
+        y => struct(x.as("a"), y.as("b")))))
+    val inter = shJ.groupBy(col("shingle"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .select(explode(pairs).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("i"))
     scoreJaccard(inter, sizes, threshold)
   }
