@@ -85,6 +85,11 @@ object GradientDescent {
                       // driver step always halves lr
     val costs = scala.collection.mutable.ArrayBuffer.empty[Double]
     val rdd = data.rdd
+    // depth-2 tree reduce only pays when there are enough partitions
+    // to fan in (an intermediate stage per iteration otherwise): local
+    // runs with a handful of partitions aggregate directly; a
+    // 1000-executor job gets the tree.
+    val depth = if (rdd.getNumPartitions <= 16) 1 else 2
 
     var i = 0
     var stopped = false
@@ -100,7 +105,7 @@ object GradientDescent {
           while (k < dim) { g1(k) += g2(k); k += 1 }
           (c1 + c2, g1)
         },
-        depth = 2)
+        depth = depth)
       bc.destroy()
 
       val cost = cfg.reg(costSum, gradSum, coef)

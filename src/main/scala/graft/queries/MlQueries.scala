@@ -71,8 +71,13 @@ object MlQueries {
       import s.implicits._
       val f = graft.features.RddPipeline.featurize(s, Csv.TrainCsv,
         dim = 10000)
-      val Array(training, testing) =
+      val Array(training0, testing) =
         f.data.randomSplit(Array(0.8, 0.2), seed = 123L)
+      // ~6k sparse docs: 8 partitions keep 300 iteration-jobs from
+      // paying 32-task scheduling overhead each (partition count
+      // should track data volume — at 100 TB this would stay at the
+      // cluster's parallelism, not shrink)
+      val training = training0.coalesce(8)
       training.persist(); testing.persist()
       val t0 = System.nanoTime()
       val res = graft.gd.GradientDescent.run(training, 10000,
