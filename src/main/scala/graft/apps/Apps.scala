@@ -107,8 +107,11 @@ object RddLogisticRegressionApp {
     println("\nTop 50 words in all Tweets:\n" + "-" * 100)
     f.vocab.orderBy(org.apache.spark.sql.functions.col("id")).show(50)
 
-    val Array(training, testing) =
+    val Array(training0, testing) =
       f.data.randomSplit(Array(0.8, 0.2), seed = 123L)
+    // few partitions for the iterative loops: 300 jobs x 32 near-empty
+    // tasks is pure scheduler overhead at this data size
+    val training = training0.coalesce(8)
     training.persist(); testing.persist()
     println(s"Training data count ${training.count()}")
     println(s"Testing data count ${testing.count()}")
@@ -147,8 +150,11 @@ object LrOptimizersApp {
     val opts = if (args.length > 2) args.drop(2).toSeq else All
     val spark = AppUtil.session("graft-lr-optimizers")
     val f = RddPipeline.featurize(spark, args(0), dim = 10000)
-    val Array(training, testing) =
+    val Array(training0, testing) =
       f.data.randomSplit(Array(0.8, 0.2), seed = 123L)
+    // few partitions for the iterative loops: 300 jobs x 32 near-empty
+    // tasks is pure scheduler overhead at this data size
+    val training = training0.coalesce(8)
     training.persist(); testing.persist()
     val init = AppUtil.normalInit(10000, seed = 123L)
     opts.foreach { opt =>
@@ -176,8 +182,11 @@ object SvmOptimizersApp {
       else LrOptimizersApp.All
     val spark = AppUtil.session("graft-svm-optimizers")
     val f = RddPipeline.featurize(spark, args(0), dim = 10000)
-    val Array(training, testing) =
+    val Array(training0, testing) =
       f.data.randomSplit(Array(0.8, 0.2), seed = 123L)
+    // few partitions for the iterative loops: 300 jobs x 32 near-empty
+    // tasks is pure scheduler overhead at this data size
+    val training = training0.coalesce(8)
     training.persist(); testing.persist()
     val init = AppUtil.normalInit(10000, seed = 123L)
     val lambda = 1.0 / (0.5 * f.numberOfTweets)
@@ -203,8 +212,11 @@ object RddSvmApp {
     require(args.length == 2, "Usage: RddSvmApp <file> <output>")
     val spark = AppUtil.session("graft-rdd-svm")
     val f = RddPipeline.featurize(spark, args(0), dim = 10000)
-    val Array(training, testing) =
+    val Array(training0, testing) =
       f.data.randomSplit(Array(0.8, 0.2), seed = 123L)
+    // few partitions for the iterative loops: 300 jobs x 32 near-empty
+    // tasks is pure scheduler overhead at this data size
+    val training = training0.coalesce(8)
     training.persist(); testing.persist()
     val lambda = 1.0 / (0.5 * f.numberOfTweets)
     val res = GradientDescent.run(training, 10000, HingeLoss,
@@ -232,8 +244,11 @@ object RddNnApp {
     val spark = AppUtil.session("graft-rdd-nn")
     val f = RddPipeline.featurize(spark, args(0), dim = 1000,
       dictFilter = Some("1"))
-    val Array(training, testing) =
+    val Array(training0, testing) =
       f.data.randomSplit(Array(0.8, 0.2), seed = 123L)
+    // few partitions for the iterative loops: 300 jobs x 32 near-empty
+    // tasks is pure scheduler overhead at this data size
+    val training = training0.coalesce(8)
     training.persist(); testing.persist()
     Seq("SGD", "Adam").foreach { opt =>
       val res = TwoLayerNet.train(training,
