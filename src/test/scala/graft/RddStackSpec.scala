@@ -134,6 +134,32 @@ class RddStackSpec extends AnyFunSuite {
     assert(back == res.costs.toSeq)
   }
 
+  test("L3 end-to-end: 2-layer net on the disaster dictionary") {
+    // RDD_NN.py semantics: 1000-dim vocabulary from disaster tweets
+    // only, 1000→128→2 net, SSE, 300 iterations (the SSE ramp is slow
+    // by design — at 150 iterations accuracy is still at the majority
+    // baseline; the reference also runs 300).
+    val nn = graft.features.RddPipeline.featurize(spark, Csv.TrainCsv,
+      dim = 1000, dictFilter = Some("1"))
+    val Array(training0, testing) =
+      nn.data.randomSplit(Array(0.8, 0.2), seed = 123L)
+    val training = training0.coalesce(8)
+    training.persist(); testing.persist()
+    val res = TwoLayerNet.train(training, TwoLayerNet.Config())
+    assert(res.costs.last < res.costs.head)
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(res.params)
+    val preds = testing.map(d => (d.id, d.label.toInt,
+        TwoLayerNet.predict(d, bc.value, 128, 2)))
+      .toDF("id", "y", "pred")
+    val c = Predict.confusion(preds)
+    // baseline 71.10% acc / 66.56 f1; ours measured ~75/69 (seeded)
+    assert(c.accuracy > 0.68 && c.accuracy < 0.82,
+      s"nn accuracy ${c.accuracy}")
+    assert(c.f1 > 0.60, s"nn f1 ${c.f1}")
+    training.unpersist(); testing.unpersist()
+  }
+
   test("L2 end-to-end: hinge-loss SVM with early stop, quality in band") {
     val Array(training, testing) = split
     training.persist(); testing.persist()
