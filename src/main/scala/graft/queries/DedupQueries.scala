@@ -45,8 +45,9 @@ object DedupQueries {
     // On real corpora hot shingles are the exception, which is the
     // regime the cap targets; the scale path HERE is d03.
 
-    // SimHash near-dup pairs within Hamming distance 3 (rows-only:
-    // variable-shift bit packing isn't portable SQL).
+    // SimHash near-dup pairs within Hamming distance 3 (DuckDB-verified:
+    // the whole 60-bit pipeline mirrors with native `>>`/`&`/xor/bit_count,
+    // and hex→long via CAST('0x'||… AS BIGINT) ≡ Spark's conv(…,16,10)).
     "d04_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(Tables.documents(s, d), "doc_id",
         docTokens(s), maxDist = 3)),
@@ -57,8 +58,9 @@ object DedupQueries {
       Similarity.bruteForceKnn(emb, emb.filter(col("vec_id") < 10), k = 10)
     }),
 
-    // Multi-table LSH ANN (rows-only; recall ≥ 0.9 vs e01 asserted in
-    // DedupSimilaritySpec).
+    // Multi-table LSH ANN (DuckDB-verified: the seeded hyperplanes are
+    // driver constants, injected into the SQL as parsed-string literals;
+    // recall ≥ 0.9 vs e01 additionally asserted in DedupSimilaritySpec).
     "e02_knn_lsh" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.lshKnn(emb, emb.filter(col("vec_id") < 10), k = 10)
@@ -72,7 +74,8 @@ object DedupQueries {
     }),
 
     // Multi-table LSH-bucketed cosine dup pairs — the 100 TB path for
-    // e03's semantics (rows-only; candidate-recall covered by spec).
+    // e03's semantics (DuckDB-verified like e02; candidate-recall also
+    // covered by spec).
     "e04_cosine_dup_lsh" -> ((s, d) => {
       val emb = Tables.embeddings(s, d).filter(col("vec_id") < 500)
       Similarity.cosineDupPairs(emb, threshold = 0.4)
@@ -122,6 +125,34 @@ object DedupQueries {
   private def normSql(a: String): String =
     s"sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
 
+  /** A hyperplane as a DuckDB DOUBLE[] literal. Coefficients go through
+    * VARCHAR → `CAST(x AS DOUBLE)` (correctly-rounded decimal parse of
+    * Java's shortest-roundtrip `Double.toString`), NOT a bare numeric
+    * list literal — DuckDB would parse those as DECIMAL first and the
+    * bucket dot-product signs must match Spark's plan literals exactly.
+    */
+  private def planeSqlArr(p: Array[Double]): String =
+    s"list_transform(string_split('${p.mkString(",")}', ','), x -> CAST(x AS DOUBLE))"
+
+  /** Sign-pattern bucket id — mirrors [[Similarity.lshBucket]]: bit i
+    * set iff vec · planes(i) ≥ 0. Bits are disjoint so the bitwiseOR
+    * reduce mirrors as a plain sum.
+    */
+  private def bucketSql(vec: String, planes: Array[Array[Double]]): String =
+    planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN ${dotSql(vec, planeSqlArr(p))} >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** All `numTables` bucket ids of a vector as one SQL list — the seeds
+    * reproduce [[Similarity.lshKnn]]/[[Similarity.cosineDupPairs]]
+    * (seed + 1000·t per table, 64-dim corpus).
+    */
+  private def bucketsSql(vec: String, numPlanes: Int, numTables: Int,
+                         seed: Long = 42L): String =
+    (0 until numTables).map(t =>
+      bucketSql(vec, Similarity.randomPlanes(numPlanes, 64, seed + 1000L * t)))
+      .mkString("[", ", ", "]")
+
   val oracleSql: Map[String, String] = Map(
     "d01_dedup_exact" ->
       """SELECT md5(text) AS content_hash, count(*) AS n_copies,
@@ -163,6 +194,82 @@ object DedupQueries {
               PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS INTEGER) AS rn
             FROM scored)
           SELECT q_id, n_id, cos, rn FROM ranked WHERE rn <= 10""",
+    "d04_simhash_pairs" ->
+      s"""WITH tok AS (
+            SELECT doc_id, unnest($tokSql) AS w FROM documents),
+          hv AS (
+            SELECT doc_id,
+                   CAST(('0x' || substring(md5(w), 1, 15)) AS BIGINT) AS hv
+            FROM tok),
+          votes AS (
+            SELECT doc_id, CAST(b.range AS INTEGER) AS b,
+                   sum(CASE WHEN (hv >> CAST(b.range AS INTEGER)) & 1 = 1
+                       THEN 1 ELSE -1 END) AS vote
+            FROM hv, range(60) b GROUP BY 1, 2),
+          fp AS (
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << b)
+                            ELSE 0 END) AS BIGINT) AS fp
+            FROM votes GROUP BY 1),
+          bands AS (
+            SELECT doc_id, fp, CAST(b.range AS INTEGER) AS band,
+                   (fp >> CAST(b.range * 15 AS INTEGER)) & 32767 AS bits
+            FROM fp, range(4) b),
+          pairs AS (
+            SELECT x.doc_id AS a, y.doc_id AS b,
+                   CAST(bit_count(xor(x.fp, y.fp)) AS INTEGER) AS dist
+            FROM bands x JOIN bands y
+              ON x.band = y.band AND x.bits = y.bits
+                 AND x.doc_id < y.doc_id
+            GROUP BY 1, 2, 3)
+          SELECT a, b, dist FROM pairs WHERE dist <= 3""",
+    "e02_knn_lsh" ->
+      s"""WITH c AS (
+            SELECT vec_id AS n_id, embedding AS n_vec FROM embeddings),
+          q AS (
+            SELECT vec_id AS q_id, embedding AS q_vec
+            FROM embeddings WHERE vec_id < 10),
+          cb AS (
+            SELECT n_id, generate_subscripts(bk, 1) AS t, unnest(bk) AS bkt
+            FROM (SELECT n_id, ${bucketsSql("n_vec", 4, 16)} AS bk FROM c)),
+          qb AS (
+            SELECT q_id, generate_subscripts(bk, 1) AS t, unnest(bk) AS bkt
+            FROM (SELECT q_id, ${bucketsSql("q_vec", 4, 16)} AS bk FROM q)),
+          cand AS (
+            SELECT DISTINCT q_id, n_id
+            FROM cb JOIN qb ON cb.t = qb.t AND cb.bkt = qb.bkt
+            WHERE n_id <> q_id),
+          scored AS (
+            SELECT cand.q_id, cand.n_id,
+                   ${dotSql("q_vec", "n_vec")} /
+                   (${normSql("q_vec")} * ${normSql("n_vec")}) AS cos
+            FROM cand
+            JOIN c ON cand.n_id = c.n_id
+            JOIN q ON cand.q_id = q.q_id),
+          ranked AS (
+            SELECT q_id, n_id, cos, CAST(row_number() OVER (
+              PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS INTEGER) AS rn
+            FROM scored)
+          SELECT q_id, n_id, cos, rn FROM ranked WHERE rn <= 10""",
+    "e04_cosine_dup_lsh" ->
+      s"""WITH e AS (
+            SELECT vec_id AS id, embedding AS vec
+            FROM embeddings WHERE vec_id < 500),
+          bb AS (
+            SELECT id, generate_subscripts(bk, 1) AS t, unnest(bk) AS bkt
+            FROM (SELECT id, ${bucketsSql("vec", 4, 12)} AS bk FROM e)),
+          cand AS (
+            SELECT DISTINCT x.id AS a, y.id AS b
+            FROM bb x JOIN bb y
+              ON x.t = y.t AND x.bkt = y.bkt AND x.id < y.id)
+          SELECT * FROM (
+            SELECT cand.a, cand.b,
+                   ${dotSql("ea.vec", "eb.vec")} /
+                   (${normSql("ea.vec")} * ${normSql("eb.vec")}) AS cos
+            FROM cand
+            JOIN e ea ON cand.a = ea.id
+            JOIN e eb ON cand.b = eb.id)
+          WHERE cos >= 0.4""",
     "e03_cosine_dup_pairs" ->
       s"""WITH e AS (
             SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500)
