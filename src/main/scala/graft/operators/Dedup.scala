@@ -42,13 +42,14 @@ object Dedup {
         explode(array_distinct(Analysis.ngrams(tokens, n))).as("shingle"))
 
   /** Exact n-gram Jaccard near-dup pairs (a < b, jaccard ≥ threshold).
-    * O(Σ per-shingle df²) self-join — the exact baseline for toy/
+    * O(Σ per-shingle df²) pair volume — the exact baseline for toy/
     * verification scale. At 100 TB a hot shingle (df ~ 10⁶) is a
     * cartesian bomb: either pass `maxShingleDf` to drop stop-shingles
-    * from the *intersection* join (denominators stay exact; the
+    * from the *intersection* counts (denominators stay exact; the
     * resulting jaccard is a lower bound, so this trades a bounded
-    * false-negative rate for survival), or use [[minhashLshPairs]],
-    * which only ever verifies LSH candidates.
+    * false-negative rate for survival — the win is proven on a
+    * hot-shingle skew fixture in DedupSimilaritySpec), or use
+    * [[minhashLshPairs]], which only ever verifies LSH candidates.
     */
   def jaccardPairs(sh: DataFrame, threshold: Double,
                    maxShingleDf: Option[Int] = None): DataFrame = {
@@ -63,16 +64,19 @@ object Dedup {
     }
     // intersection counts WITHOUT a self-join: group docs per shingle
     // once (one shuffle of |sh|), then emit each shingle's doc pairs
-    // in-row via indexed higher-order transforms — the pair volume is
-    // identical to the join's output but the second shuffle and the
-    // hash-join build disappear.
-    val pairs = flatten(transform(col("ds"), (x, i) =>
-      transform(slice(col("ds"), i + 2, size(col("ds"))),
-        y => struct(x.as("a"), y.as("b")))))
+    // through TWO chained generators — posexplode picks `a`, a second
+    // explode of the tail slice streams each `b`. Pair volume matches
+    // the join's output, but peak per-row memory is O(df) (the doc
+    // list itself; 8 MB at df = 10⁶), never the O(df²) a single
+    // flattened in-row pair array would materialize before exploding.
+    // Beyond that df, `maxShingleDf` is the survival mode.
     val inter = shJ.groupBy(col("shingle"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .select(explode(pairs).as("p"))
-      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .select(col("ds"), posexplode(col("ds")).as(Seq("pos", "a")))
+      .select(col("a"),
+        explode(slice(col("ds"), col("pos") + lit(2), size(col("ds"))))
+          .as("b"))
+      .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("i"))
     scoreJaccard(inter, sizes, threshold)
   }

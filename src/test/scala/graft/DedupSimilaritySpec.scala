@@ -67,6 +67,63 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(exact == Seq((1L, 2L)))
   }
 
+  test("maxShingleDf wins on a hot-shingle skew corpus (volume + wall time)") {
+    import spark.implicits._
+    // The corpus shape the cap exists for: ONE hot shingle planted in
+    // 40% of 5000 SHORT docs (hot df = 2000 → ~2M intersection pairs
+    // from that shingle alone, vs only ~55k shingle rows total — the
+    // regime where per-pair work dwarfs the cap's two extra passes
+    // over |sh|), every other shingle df ≤ 2. Docs 1/2 are true
+    // near-dups through their own shingles.
+    val n = 5000
+    val hot = "hot1 hot2 hot3 "
+    def uniq(d: Int) = (1 to 10).map(i => s"d${d}_$i").mkString(" ")
+    val rows = Seq(
+      (1L, hot + (1 to 10).map(i => s"p$i").mkString(" ")),
+      (2L, hot + (1 to 9).map(i => s"p$i").mkString(" ") + " p10x")) ++
+      (3 to n).map(d =>
+        (d.toLong, (if (d % 10 < 4) hot else "") + uniq(d)))
+    val docs = rows.toDF("doc_id", "text").repartition(4)
+    val sh = Dedup.shingles(docs, "doc_id", TextOps.tokenize(col("text")))
+      .persist()
+    try {
+      sh.count()
+      // warm both plan shapes (codegen + stage setup) on a tiny slice
+      // so the timed runs compare steady-state work, not compilation
+      val tiny = sh.filter(col("doc_id") < 100).persist()
+      tiny.count()
+      Dedup.jaccardPairs(tiny, 0.5, Some(100)).count()
+      Dedup.jaccardPairs(tiny, 0.5).count()
+      tiny.unpersist()
+      // deterministic invariant: the cap removes ~all pair volume
+      val dfs = sh.groupBy("shingle").count()
+      def vol(capped: Boolean) = dfs
+        .filter(if (capped) col("count") <= 100 else lit(true))
+        .agg(sum(col("count") * (col("count") - 1) / 2)).head.getDouble(0).toLong
+      val (volAll, volCap) = (vol(false), vol(true))
+      assert(volAll > 1000L * volCap,
+        s"fixture not skewed enough: uncapped=$volAll capped=$volCap")
+
+      // capped runs FIRST (absorbs any residual warmup — conservative)
+      def time(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      var capRes: Seq[(Long, Long)] = null
+      var allRes: Seq[(Long, Long)] = null
+      val tCap = time { capRes = Dedup.jaccardPairs(sh, 0.5, Some(100))
+        .select("a", "b").as[(Long, Long)].collect().toSeq.sorted }
+      val tAll = time { allRes = Dedup.jaccardPairs(sh, 0.5)
+        .select("a", "b").as[(Long, Long)].collect().toSeq.sorted }
+      // both find exactly the planted pair; the hot shingle's 1.1M
+      // pairs all score 1/81 < 0.5
+      assert(capRes == Seq((1L, 2L)) && allRes == Seq((1L, 2L)))
+      info(f"skew fixture: capped $tCap%.2fs vs uncapped $tAll%.2fs " +
+        f"(pair volume $volCap vs $volAll)")
+      assert(tCap < tAll,
+        f"cap did not win on the skew fixture: $tCap%.2fs vs $tAll%.2fs")
+    } finally sh.unpersist()
+  }
+
   test("minhashLshPairs recovers the same planted pair") {
     import spark.implicits._
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
