@@ -31,8 +31,21 @@ object MlQueries {
     new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
 
   private def featurized(s: SparkSession): DataFrame =
-    featurizedCache.computeIfAbsent(s,
-      sess => TweetPipeline.featurize(raw(sess)).persist())
+    featurizedCache.computeIfAbsent(s, { sess =>
+      // evict every entry of this context when it stops: the cached
+      // DataFrame strongly references its session (so weak-keyed maps
+      // can never collect the entry), and without eviction a
+      // shared-JVM multi-session service pins sessions forever
+      sess.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd)
+              : Unit =
+            featurizedCache.entrySet().removeIf(
+              en => en.getKey.sparkContext eq sess.sparkContext)
+        })
+      TweetPipeline.featurize(raw(sess)).persist()
+    })
 
   private def evalDf(s: SparkSession, algo: String): DataFrame = {
     import s.implicits._
@@ -69,27 +82,41 @@ object MlQueries {
     // uncached per-iteration lineage recompute).
     "m07_rdd_lr_train" -> ((s, _) => {
       import s.implicits._
-      val f = graft.features.RddPipeline.featurize(s, Csv.TrainCsv,
-        dim = 10000)
-      val Array(training0, testing) =
-        f.data.randomSplit(Array(0.8, 0.2), seed = 123L)
-      // ~6k sparse docs: 8 partitions keep 300 iteration-jobs from
-      // paying 32-task scheduling overhead each (partition count
-      // should track data volume — at 100 TB this would stay at the
-      // cluster's parallelism, not shrink)
-      val training = training0.coalesce(8)
-      training.persist(); testing.persist()
-      val t0 = System.nanoTime()
-      val res = graft.gd.GradientDescent.run(training, 10000,
-        graft.gd.LogisticLoss,
-        graft.gd.GradientDescent.Config(iterations = 300,
-          learningRate = 0.01, optimizer = "SGD",
-          reg = graft.gd.GradientDescent.L2(1.15)))
-      val trainSec = (System.nanoTime() - t0) / 1e9
-      val c = graft.gd.Predict.evaluate(testing, res.coef)
-      val out = Seq((c.accuracy, c.f1, trainSec, res.costs.head,
-        res.costs.last))
-        .toDF("accuracy", "f1", "train_sec", "first_cost", "last_cost")
+      def timed[A](f: => A): (A, Double) = {
+        val t0 = System.nanoTime(); val a = f
+        (a, (System.nanoTime() - t0) / 1e9)
+      }
+      // phase 1: featurize — forced here (counts) so the training
+      // phase below times the 300 iterations only, not lazy lineage
+      val ((f, training, testing), featSec) = timed {
+        val fz = graft.features.RddPipeline.featurize(s, Csv.TrainCsv,
+          dim = 10000)
+        val Array(training0, testing) =
+          fz.data.randomSplit(Array(0.8, 0.2), seed = 123L)
+        // ~6k sparse docs: 8 partitions keep 300 iteration-jobs from
+        // paying 32-task scheduling overhead each (partition count
+        // should track data volume — at 100 TB this would stay at the
+        // cluster's parallelism, not shrink)
+        val tr = training0.coalesce(8)
+        tr.persist().count(); testing.persist().count()
+        (fz, tr, testing)
+      }
+      // phase 2: the 300 GD iterations
+      val (res, trainSec) = timed {
+        graft.gd.GradientDescent.run(training, 10000,
+          graft.gd.LogisticLoss,
+          graft.gd.GradientDescent.Config(iterations = 300,
+            learningRate = 0.01, optimizer = "SGD",
+            reg = graft.gd.GradientDescent.L2(1.15)))
+      }
+      // phase 3: confusion-matrix eval on the held-out split
+      val (c, evalSec) = timed(graft.gd.Predict.evaluate(testing, res.coef))
+      System.err.println(
+        f"[m07] featurize=$featSec%.1fs train=$trainSec%.1fs eval=$evalSec%.1fs")
+      val out = Seq((c.accuracy, c.f1, featSec, trainSec, evalSec,
+        res.costs.head, res.costs.last))
+        .toDF("accuracy", "f1", "featurize_sec", "train_sec", "eval_sec",
+          "first_cost", "last_cost")
       training.unpersist(); testing.unpersist(); f.data.unpersist()
       f.tokenized.unpersist()
       out
