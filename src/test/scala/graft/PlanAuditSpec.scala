@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.tools.PlanSummary
+
+/** Guards the plan-audit tooling itself: PLANS.md exists to prove the
+  * hot paths stay inside WholeStageCodegen, so the counter must read
+  * the FINAL AQE plan (pre-AQE strings report 0 spans for every
+  * shuffle/join/agg query) and every relational query must actually
+  * keep at least one codegen span.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("every q-query keeps ≥1 WholeStageCodegen span in its final AQE plan") {
+    val qs = SparkEntry.queries.keys.filter(_.startsWith("q")).toSeq.sorted
+    assert(qs.size >= 19)
+    for (name <- qs) {
+      val plan = PlanSummary.finalPlanString(
+        SparkEntry.queries(name)(spark, sf))
+      assert(PlanSummary.wscSpans(plan) >= 1, s"$name lost codegen:\n$plan")
+    }
+  }
+
+  test("finalPlanString reads the post-AQE plan, not the initial one") {
+    val df = SparkEntry.queries("q01_agg_pricing")(spark, sf)
+    // before execution the AQE string has no codegen markers — the
+    // round-2 PLANS.md bug this tooling fix exists for
+    val pre = df.queryExecution.executedPlan.toString
+    assert(pre.contains("isFinalPlan=false") || PlanSummary.wscSpans(pre) == 0)
+    val post = PlanSummary.finalPlanString(df)
+    assert(post.contains("isFinalPlan=true"))
+    assert(!post.contains("== Initial Plan =="))
+    assert(PlanSummary.wscSpans(post) >= 1)
+  }
+}
