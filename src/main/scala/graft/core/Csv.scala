@@ -51,6 +51,10 @@ object Csv {
       .option("inferSchema", "true")
       .csv(path)
 
-  /** Default location of the reference's training data (read-only). */
-  val TrainCsv = "/root/reference/nlp-getting-started/train.csv"
+  /** Location of the reference's training data — overridable via
+    * SPARK_GRAFT_TRAIN_CSV so bench/verify run on hosts without the
+    * reference mount.
+    */
+  val TrainCsv: String = sys.env.getOrElse("SPARK_GRAFT_TRAIN_CSV",
+    "/root/reference/nlp-getting-started/train.csv")
 }

@@ -27,7 +27,12 @@ object Sinks {
     */
   def readCostCurve(dir: String): Seq[Double] = {
     val d = new java.io.File(dir)
-    val parts = d.listFiles().filter(_.getName.startsWith("part-")).sorted
+    // listFiles() is null for a missing/non-directory path; an absent
+    // curve must fail loudly, not read back as an empty Seq
+    val parts = Option(d.listFiles())
+      .getOrElse(sys.error(s"readCostCurve: no such directory: $dir"))
+      .filter(_.getName.startsWith("part-")).sorted
+    if (parts.isEmpty) sys.error(s"readCostCurve: no part- files in $dir")
     parts.flatMap { f =>
       scala.io.Source.fromFile(f).getLines().filter(_.nonEmpty)
         .map(_.toDouble).toSeq

@@ -17,7 +17,8 @@ import graft.text.Lemmatizer
   * functions (`transform`) for array columns, so the whole RDD-stack
   * tokenize chain is now UDF-free.
   */
-case class LemmatizeWord(child: Expression) extends UnaryExpression {
+case class LemmatizeWord(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.graftbridge.StringInputTypes {
 
   override def dataType: DataType = StringType
   override def nullIntolerant: Boolean = true

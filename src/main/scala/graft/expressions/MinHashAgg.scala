@@ -32,7 +32,8 @@ case class MinHashAgg(
     numHashes: Int,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Array[String]] {
+  extends TypedImperativeAggregate[Array[String]]
+  with org.apache.spark.sql.graftbridge.StringInputTypes {
 
   require(numHashes > 0 && numHashes <= 512)
 

@@ -28,8 +28,17 @@ object Vocabulary {
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("word").asc)
       .limit(k)
+    // The ranking deliberately runs in ONE partition (the frame is ≤K
+    // rows post-limit), but an empty partitionSpec makes Spark log the
+    // scary "No Partition Defined for Window" warning on every run —
+    // and a literal key (partitionBy(lit(0))) gets folded back to an
+    // empty spec by EliminateWindowPartitions. substring(word, 0, 0)
+    // is a NON-foldable constant ("" for every non-null word — vocab
+    // words are exploded tokens, never null): same single-partition
+    // clustering, warning structurally silenced.
     counts.withColumn("id",
-      (row_number().over(Window.orderBy(col("cnt").desc,
-        col("word").asc)) - 1).cast("int"))
+      (row_number().over(Window
+        .partitionBy(substring(col("word"), 0, 0))
+        .orderBy(col("cnt").desc, col("word").asc)) - 1).cast("int"))
   }
 }

@@ -15,3 +15,18 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
+
+/** All-string declared input types for custom expressions.
+  * `ExpectsInputTypes.inputTypes` returns `AbstractDataType`, which is
+  * `private[sql]` in Spark 4 — so the override has to live inside the
+  * `org.apache.spark.sql` package tree, like [[ColumnBridge]]. Mixing
+  * this in turns a mis-typed SQL call (`graft_lemmatize(123)`) into an
+  * analysis-time implicit cast / error instead of a runtime
+  * ClassCastException.
+  */
+trait StringInputTypes
+    extends org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  this: Expression =>
+  override def inputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] =
+    children.map(_ => org.apache.spark.sql.types.StringType)
+}

@@ -63,4 +63,14 @@ class ExpressionSpec extends AnyFunSuite {
       "SELECT graft_lemmatize('hypotheses') AS l").head().getString(0)
     assert(r == "hypothesis")
   }
+
+  test("declared input types: non-string args cast at analysis, no CCE") {
+    // ImplicitCastInputTypes: an int literal arrives as a cast-to-string,
+    // not a runtime ClassCastException deep inside eval
+    val r = spark.sql("SELECT graft_lemmatize(123) AS l").head().getString(0)
+    assert(r == "123")
+    val sig = spark.sql(
+      "SELECT graft_minhash(42, 4) AS s").head().getSeq[String](0)
+    assert(sig.size == 4 && sig.forall(_.length == 8))
+  }
 }

@@ -132,6 +132,11 @@ class RddStackSpec extends AnyFunSuite {
     Sinks.costCurve(spark, res.costs.toSeq, dir)
     val back = Sinks.readCostCurve(dir)
     assert(back == res.costs.toSeq)
+
+    // a missing directory fails loudly, never an empty curve
+    val ex = intercept[RuntimeException](
+      Sinks.readCostCurve(dir + "-does-not-exist"))
+    assert(ex.getMessage.contains("no such directory"))
   }
 
   test("L3 end-to-end: 2-layer net on the disaster dictionary") {
