@@ -38,10 +38,54 @@ object Lemmatizer {
     "this" -> "this", "his" -> "his", "was" -> "was", "is" -> "is",
     "as" -> "as", "us" -> "us", "ss" -> "ss", "yes" -> "yes")
 
+  /** Lexicon-derived corrections for the rule cascade's wrong picks —
+    * WordNet morphy only accepts a detachment if the candidate is in
+    * the noun lexicon, which this container cannot ship. Three classes
+    * measured on the train.csv vocabulary (tools/LemmaAudit):
+    * -se/-ie singulars where a later rule fires before the lexicon
+    * would accept plain s-drop (houses→house, not "hous"; movies→
+    * movie, not "movy"); -oes/-es irregulars; and words morphy finds
+    * NO noun form for, which NLTK then returns unchanged (adverbs,
+    * verb 3sg forms, proper nouns the lexicon protects).
+    */
+  private val lexiconGuard: Map[String, String] = Map(
+    // -ses plurals of -se singulars (rule ses→s would strand "hous")
+    "houses" -> "house", "causes" -> "cause", "cases" -> "case",
+    "releases" -> "release", "uses" -> "use", "noses" -> "nose",
+    "roses" -> "rose", "phrases" -> "phrase", "purposes" -> "purpose",
+    "diseases" -> "disease", "databases" -> "database",
+    "phases" -> "phase", "courses" -> "course", "nurses" -> "nurse",
+    "horses" -> "horse", "pauses" -> "pause", "doses" -> "dose",
+    "senses" -> "sense", "defenses" -> "defense", "bases" -> "base",
+    // -ies plurals of -ie singulars (rule ies→y would strand "movy")
+    "movies" -> "movie", "zombies" -> "zombie", "calories" -> "calorie",
+    "cookies" -> "cookie", "selfies" -> "selfie", "pixies" -> "pixie",
+    "genies" -> "genie", "newbies" -> "newbie",
+    // -oes / exception-file plurals
+    "heroes" -> "hero", "potatoes" -> "potato", "tomatoes" -> "tomato",
+    "echoes" -> "echo", "torpedoes" -> "torpedo",
+    "volcanoes" -> "volcano", "mosquitoes" -> "mosquito",
+    "tornadoes" -> "tornado",
+    // -s singulars that ARE the lexicon entry (morphy keeps them)
+    "chaos" -> "chaos", "clothes" -> "clothes", "oops" -> "oops",
+    "capsizes" -> "capsizes",
+    // no noun form in WordNet → NLTK returns the word unchanged
+    "always" -> "always", "sometimes" -> "sometimes",
+    "goes" -> "goes", "appears" -> "appears", "declares" -> "declares",
+    "others" -> "others", "whereas" -> "whereas",
+    "perhaps" -> "perhaps", "besides" -> "besides",
+    "towards" -> "towards", "anyways" -> "anyways",
+    "outdoors" -> "outdoors", "upstairs" -> "upstairs",
+    // proper nouns the lexicon protects from detachment
+    "texas" -> "texas", "reuters" -> "reuters",
+    "christmas" -> "christmas", "thomas" -> "thomas",
+    "kansas" -> "kansas", "arkansas" -> "arkansas",
+    "wales" -> "wales", "vegas" -> "vegas", "adidas" -> "adidas")
+
   /** WordNet morphy noun suffix rules, in NLTK's substitution order. */
   def lemma(word: String): String = {
     val w = word
-    irregular.get(w) match {
+    irregular.get(w).orElse(lexiconGuard.get(w)) match {
       case Some(l) => l
       case None =>
         if (w.length < 3 || !w.endsWith("s")) w
