@@ -61,4 +61,22 @@ class SourceFormatsSpec extends AnyFunSuite {
     assert(back.count() === 7613L)
     assert(fingerprint(back) === fingerprint(tweets))
   }
+
+  test("S4: inferSchema scan types numeric columns and agrees with the explicit-schema read") {
+    val inf = Csv.inferred(spark, Csv.TrainCsv)
+    assert(inf.columns.toSeq ===
+      Seq("id", "keyword", "location", "text", "target"))
+    // inference types id/target numerically — exactly why the engine's
+    // S1 reader pins an all-string schema (the reference keeps both as
+    // strings); the demo variant must still parse every row
+    assert(inf.schema("id").dataType.typeName === "integer")
+    assert(inf.schema("target").dataType.typeName === "integer")
+    assert(inf.count() === 7613L)
+    // same rows, modulo the type coercion: cast back to string and
+    // fingerprint against the pinned-schema reader's projection
+    val tweets = Csv.tweets(spark, Csv.TrainCsv)
+    val castBack = inf.select(col("id").cast("string"),
+      col("text"), col("target").cast("string").as("class"))
+    assert(fingerprint(castBack) === fingerprint(tweets))
+  }
 }
