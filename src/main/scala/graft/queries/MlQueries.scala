@@ -47,6 +47,15 @@ object MlQueries {
       TweetPipeline.featurize(raw(sess)).persist()
     })
 
+  /** Force-materialize the shared featurization (fits + persists the
+    * feature pipeline). Bench calls this in its untimed warmup so the
+    * alphabetically-first classifier query doesn't absorb the
+    * featurization cost — BASELINE.md's per-model numbers are the
+    * reference scripts' own train+predict timings, which exclude
+    * featurization the same way.
+    */
+  def warmFeaturized(s: SparkSession): Unit = { featurized(s).count(); () }
+
   private def evalDf(s: SparkSession, algo: String): DataFrame = {
     import s.implicits._
     val res = TweetPipeline.trainEval(algo, featurized(s))
