@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.text.{Analysis, TextOps}
+
+/** End-to-end corpus curation — the composition a 100 TB training-data
+  * pipeline actually runs over raw documents: language-ID → quality
+  * gates → exact dedup (keep-first) → token budgeting. One operator so
+  * the whole pre-training funnel is a single declarative plan.
+  *
+  * Scale shape: every stage up to dedup is per-row Catalyst (codegen'd
+  * with the scan, filters collapse into one predicate — the corpus
+  * shrinks BEFORE anything shuffles). The only shuffle is the dedup
+  * window, and it moves the slim scored projection (16-byte md5 + a
+  * few ints per row), never the document text. Near-dup removal at
+  * scale chains [[Dedup.minhashLshPairs]] on the survivors.
+  */
+object Curation {
+
+  /** Curate `docs`: keep `keepLang` documents with ≥ `minTokens`
+    * whitespace tokens and type-token ratio ≥ `minTtr`, drop exact
+    * duplicates keeping the lowest id, and report whitespace + BPE-ish
+    * token counts (the cost-estimate columns) plus the content
+    * fingerprint.
+    */
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+             keepLang: String = "en", minTokens: Int = 20,
+             minTtr: Double = 0.35): DataFrame = {
+    val toks = TextOps.tokenize(col(textCol))
+    val scored = docs.select(
+        col(idCol).as("doc_id"),
+        Analysis.langId(toks).as("lang_pred"),
+        Analysis.tokenCount(toks).as("n_tokens"),
+        Analysis.typeTokenRatio(toks).as("ttr"),
+        size(regexp_extract_all(col(textCol), lit(Analysis.BpeIshRe),
+          lit(0))).as("bpe_tokens"),
+        Analysis.fingerprint(col(textCol)).as("fp"))
+      .filter(col("lang_pred") === keepLang &&
+        col("n_tokens") >= minTokens && col("ttr") >= minTtr)
+    // exact dedup, keep-first: one shuffle of the slim projection
+    val byContent = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    scored
+      .withColumn("rk", row_number().over(byContent))
+      .filter(col("rk") === 1)
+      .drop("rk")
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Curation
+
+/** Planted-fixture test for the curation funnel: every gate (language,
+  * token count, lexical diversity, exact-dup) rejects its planted
+  * offender and nothing else; the dedup keeps the LOWEST doc_id.
+  */
+class CurationSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  // ≥20 tokens, diverse, carries English markers ("the", "is", "it");
+  // "it's" splits into two BPE-ish matches, so bpe_tokens > n_tokens
+  val good =
+    "the quick brown fox jumps over a lazy dog while it's twenty " +
+    "extra words keep this document comfortably above minimum count is"
+
+  test("each curation gate drops exactly its planted offender") {
+    import spark.implicits._
+    val docs = Seq(
+      1L -> good,                                   // keeper
+      2L -> good,                                   // exact dup of 1 → dropped
+      3L -> ("der hund und die katze das ist ein nicht mit von haus " +
+        "baum wasser feuer erde luft stein berg tal fluss"), // German
+      4L -> "the cat is small",                     // too short
+      5L -> ("the " + Seq.fill(30)("spam").mkString(" ")), // low TTR
+      6L -> (good + " unique trailing marker")      // keeper, distinct
+    ).toDF("doc_id", "text")
+
+    val out = Curation.curate(docs, "doc_id", "text",
+        keepLang = "en", minTokens = 20, minTtr = 0.35)
+      .orderBy("doc_id")
+      .collect()
+
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 6L),
+      s"kept ${out.map(_.getLong(0)).mkString(",")}")
+    val r1 = out.head
+    assert(r1.getString(1) == "en")                  // lang_pred
+    assert(r1.getInt(2) >= 20)                       // n_tokens
+    assert(r1.getDouble(3) >= 0.35)                  // ttr
+    assert(r1.getInt(4) > r1.getInt(2))              // bpe ≥ ws tokens here
+    assert(r1.getString(5).length == 32)             // md5 fp
+  }
+
+  test("dedup keeps the lowest doc_id of an exact-duplicate group") {
+    import spark.implicits._
+    val docs = Seq(9L -> good, 3L -> good, 7L -> good)
+      .toDF("doc_id", "text")
+    val kept = Curation.curate(docs, "doc_id", "text").collect()
+    assert(kept.map(_.getLong(0)).toSeq == Seq(3L))
+  }
+}
