@@ -15,12 +15,21 @@ object Bench {
     // untimed warmup so the alphabetically-first query doesn't absorb
     // JVM/codegen/FS-cache startup cost
     try graft.core.Tables.lineitem(spark, sfDir).count()
-    catch { case _: Throwable => () }
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] lineitem warmup FAILED: $e") }
     // …and so m01 doesn't absorb the m-pack's shared featurization
-    // (BASELINE.md's per-model numbers are train+predict only)
+    // (BASELINE.md's per-model numbers are train+predict only). A
+    // silent failure here would skew the first ML query's time, so it
+    // must be visible in the bench tail.
     try graft.queries.MlQueries.warmFeaturized(spark)
-    catch { case _: Throwable => () }
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] featurization warmup FAILED: $e") }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // untimed GC between queries: without it a query's time includes
+      // collection debt left by its predecessor (m07 after the GBT
+      // ensemble measured 2-4x its isolated time) — standard bench
+      // hygiene, same reason JMH GCs between iterations
+      System.gc()
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }

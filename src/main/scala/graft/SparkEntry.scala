@@ -20,7 +20,8 @@ object SparkEntry {
     RelationalQueries.queries ++ TextQueries.queries ++
       DedupQueries.queries ++ MlQueries.queries ++
       FeatureQueries.queries ++ MultimodalQueries.queries ++
-      StreamQueries.queries ++ CurationQueries.queries
+      StreamQueries.queries ++ CurationQueries.queries ++
+      TemporalQueries.queries ++ SplitQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -28,5 +29,6 @@ object SparkEntry {
     RelationalQueries.oracleSql ++ TextQueries.oracleSql ++
       DedupQueries.oracleSql ++ MlQueries.oracleSql ++
       FeatureQueries.oracleSql ++ MultimodalQueries.oracleSql ++
-      StreamQueries.oracleSql ++ CurationQueries.oracleSql
+      StreamQueries.oracleSql ++ CurationQueries.oracleSql ++
+      TemporalQueries.oracleSql ++ SplitQueries.oracleSql
 }

@@ -35,7 +35,10 @@ object Vocabulary {
     // empty spec by EliminateWindowPartitions. substring(word, 0, 0)
     // is a NON-foldable constant ("" for every non-null word — vocab
     // words are exploded tokens, never null): same single-partition
-    // clustering, warning structurally silenced.
+    // clustering, warning structurally silenced. If a future optimizer
+    // rule learns to fold this expression, the semantics are unchanged
+    // (the key is still constant) — only the warning returns; the f01
+    // oracle row re-verifies the ranking itself every round.
     counts.withColumn("id",
       (row_number().over(Window
         .partitionBy(substring(col("word"), 0, 0))

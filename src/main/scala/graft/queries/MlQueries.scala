@@ -32,6 +32,10 @@ object MlQueries {
 
   private def featurized(s: SparkSession): DataFrame =
     featurizedCache.computeIfAbsent(s, { sess =>
+      // featurize FIRST: if it throws, computeIfAbsent leaves no cache
+      // entry and no listener behind (registering before the call
+      // would leak one dead listener per failed attempt)
+      val df = TweetPipeline.featurize(raw(sess)).persist()
       // evict every entry of this context when it stops: the cached
       // DataFrame strongly references its session (so weak-keyed maps
       // can never collect the entry), and without eviction a
@@ -44,7 +48,7 @@ object MlQueries {
             featurizedCache.entrySet().removeIf(
               en => en.getKey.sparkContext eq sess.sparkContext)
         })
-      TweetPipeline.featurize(raw(sess)).persist()
+      df
     })
 
   /** Force-materialize the shared featurization (fits + persists the

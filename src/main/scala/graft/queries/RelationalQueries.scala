@@ -239,6 +239,39 @@ object RelationalQueries {
           max($"k").as("max_k"))
     }),
 
+    // Cube: all four grouping combinations of (priority, status) in
+    // one pass — like q19's rollup, Spark expands grouping sets
+    // before the hash aggregate, so partial aggregation still applies.
+    "q20_cube" -> ((s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .cube($"o_orderpriority", $"o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          round(sum($"o_totalprice"), 2).as("sum_price"))
+        .select(coalesce($"o_orderpriority", lit("(all)")).as("priority"),
+          coalesce($"o_orderstatus", lit("(all)")).as("status"),
+          $"n", $"sum_price")
+    }),
+
+    // Pivot: year x priority revenue matrix via conditional
+    // aggregation (Spark's pivot with an EXPLICIT value list — no
+    // extra distinct-values job, and the output schema is static,
+    // which is what makes pivot safe in production pipelines).
+    "q21_pivot" -> ((s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .groupBy(year($"o_orderdate").cast("int").as("o_year"))
+        .pivot("o_orderpriority", Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+          "4-NOT SPECIFIED", "5-LOW"))
+        .agg(round(sum($"o_totalprice"), 2))
+        .select($"o_year",
+          coalesce(col("1-URGENT"), lit(0.0)).as("urgent"),
+          coalesce(col("2-HIGH"), lit(0.0)).as("high"),
+          coalesce(col("3-MEDIUM"), lit(0.0)).as("medium"),
+          coalesce(col("4-NOT SPECIFIED"), lit(0.0)).as("not_specified"),
+          coalesce(col("5-LOW"), lit(0.0)).as("low"))
+    }),
+
     // Skew-salted join: 8-way salt on the fact side, replicated dim —
     // identical semantics to the plain join (what the oracle runs),
     // hot keys spread over 8 reducers.
@@ -344,6 +377,19 @@ object RelationalQueries {
          coalesce(l_linestatus, '(all)') AS status,
          count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "q20_cube" ->
+      """SELECT coalesce(o_orderpriority, '(all)') AS priority,
+         coalesce(o_orderstatus, '(all)') AS status,
+         count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+         FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)""",
+    "q21_pivot" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         coalesce(round(sum(o_totalprice) FILTER (o_orderpriority = '1-URGENT'), 2), 0.0) AS urgent,
+         coalesce(round(sum(o_totalprice) FILTER (o_orderpriority = '2-HIGH'), 2), 0.0) AS high,
+         coalesce(round(sum(o_totalprice) FILTER (o_orderpriority = '3-MEDIUM'), 2), 0.0) AS medium,
+         coalesce(round(sum(o_totalprice) FILTER (o_orderpriority = '4-NOT SPECIFIED'), 2), 0.0) AS not_specified,
+         coalesce(round(sum(o_totalprice) FILTER (o_orderpriority = '5-LOW'), 2), 0.0) AS low
+         FROM orders GROUP BY 1""",
     "q16_json_props" ->
       """SELECT event_type, count(*) AS n,
          round(avg(CAST(props->>'k' AS BIGINT)), 6) AS avg_k,

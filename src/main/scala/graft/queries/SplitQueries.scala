@@ -1,0 +1,57 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.Splits
+
+/** Deterministic dataset-splitting pack over `documents` — the
+  * reproducible (hash-based, shuffle-free) alternative to seeded
+  * `randomSplit` for corpus-scale train/val/test assignment and
+  * stratified sampling. Pure per-row expressions: both queries stay
+  * inside the scan's codegen stage and mirror 1:1 into DuckDB.
+  */
+object SplitQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val Salt = "graft-split"
+
+  val queries: Map[String, Q] = Map(
+    // 80/10/10 content-hash split assignment per document.
+    "sp01_hash_split" -> ((s, d) => {
+      val b = Splits.hashBucket(col("doc_id"), Salt, 100)
+      Tables.documents(s, d).select(col("doc_id"), b.as("bucket"),
+        Splits.splitName(b, trainPct = 80, valPct = 10).as("split"))
+    }),
+
+    // ~30% per-language stratified sample, reproducible by content.
+    "sp02_stratified_sample" -> ((s, d) =>
+      Tables.documents(s, d)
+        .filter(Splits.stratifiedKeep(col("doc_id"), col("lang"), Salt,
+          ratePct = 30))
+        .select(col("doc_id"), col("lang")))
+  )
+
+  /** DuckDB mirror of [[Splits.hashBucket]]: same md5 string, same
+    * 15-hex-char (60-bit, always-positive) prefix, hex→long via
+    * CAST('0x'||… AS BIGINT) ≡ Spark's conv(…,16,10) (DedupQueries'
+    * established idiom).
+    */
+  private def bucketSql(idExpr: String): String =
+    s"CAST(('0x' || substring(md5($idExpr || '|$Salt'), 1, 15)) AS BIGINT) % 100"
+
+  val oracleSql: Map[String, String] = Map(
+    "sp01_hash_split" ->
+      s"""SELECT doc_id,
+            ${bucketSql("CAST(doc_id AS VARCHAR)")} AS bucket,
+            CASE WHEN ${bucketSql("CAST(doc_id AS VARCHAR)")} < 80
+                   THEN 'train'
+                 WHEN ${bucketSql("CAST(doc_id AS VARCHAR)")} < 90
+                   THEN 'val'
+                 ELSE 'test' END AS split
+          FROM documents""",
+    "sp02_stratified_sample" ->
+      s"""SELECT doc_id, lang FROM documents
+          WHERE ${bucketSql("lang || ':' || CAST(doc_id AS VARCHAR)")} < 30"""
+  )
+}

@@ -1,0 +1,144 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.{AsOfJoin, RangeJoin}
+
+/** Temporal operator pack over the `events` table: as-of join,
+  * interval join, range-frame windows, lag/lead navigation — the
+  * time-series surface a native analytics engine ships and Spark
+  * expresses through windows + the graft operators.
+  *
+  * Time basis: `unix_millis(ts)` on the Spark side, `epoch_ms(ts)` in
+  * DuckDB — both floor the parquet TIMESTAMP(NANOS) column, so the
+  * long values agree exactly (raw timestamps never cross the engine
+  * boundary; see q11's precedent).
+  */
+object TemporalQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val DayMs = 86400000L
+  private val TwoHoursMs = 7200000L
+
+  private def ev(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(col("event_id"), col("user_id"),
+      col("event_type"), col("value"), unix_millis(col("ts")).as("t"))
+
+  val queries: Map[String, Q] = Map(
+    // As-of join: each purchase is joined to the latest at-or-before
+    // view by the same user (union+window scan — one shuffle, no
+    // candidate fan-out; see AsOfJoin).
+    "aj01_asof_join" -> ((s, d) => {
+      val e = ev(s, d)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("t"))
+      val views = e.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"),
+          col("t").as("vt"))
+      AsOfJoin.asofLookup(purchases, views, "user_id", "t", "vt",
+          "view_id")
+        .select(col("event_id"),
+          coalesce(col("asof_id"), lit(-1L)).as("view_id"),
+          coalesce(col("t") - col("asof_time"), lit(-1L))
+            .as("ms_since_view"))
+    }),
+
+    // Interval join: per purchase, activity of the same user in the
+    // 2h window starting at the purchase (bucketed equi-join — a hash
+    // join on (user, bin), never a nested-loop; see RangeJoin).
+    "ij01_interval_join" -> ((s, d) => {
+      val e = ev(s, d)
+      val anchors = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("anchor_id"), col("user_id"),
+          col("t").as("w_start"), (col("t") + TwoHoursMs).as("w_end"))
+      RangeJoin.intervalJoin(
+          e.select(col("user_id"), col("t"), col("value")),
+          anchors, "user_id", "t", "w_start", "w_end",
+          bucketWidth = TwoHoursMs)
+        .groupBy(col("anchor_id"))
+        .agg(count(lit(1)).as("n_2h"),
+          round(sum(col("value")), 2).as("sum_value_2h"))
+    }),
+
+    // RANGE-frame window: events by the same user in the NEXT 24
+    // hours (frame bounds are time offsets, not row counts) — the
+    // per-event form of a range join against a trailing window,
+    // computed with one shuffle + per-key sort.
+    "w02_next24h_activity" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("t"))
+        .rangeBetween(1L, DayMs)
+      ev(s, d).select(col("event_id"),
+        count(lit(1)).over(w).as("n_next24h"),
+        coalesce(round(sum(col("value")).over(w), 2), lit(0.0))
+          .as("sum_next24h"))
+    }),
+
+    // Navigation + moving aggregate: lag/lead ids, per-row value
+    // delta (exact IEEE subtraction — identical in both engines), and
+    // a 5-row trailing sum/count (sum+count instead of avg: both
+    // engines sum the frame in the same order, but avg's division
+    // timing is engine-internal).
+    "w03_lag_lead_mavg" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("t").asc, col("event_id").asc)
+      val w5 = w.rowsBetween(-4, 0)
+      ev(s, d).select(col("event_id"),
+        coalesce(lag(col("event_id"), 1).over(w), lit(-1L)).as("prev_id"),
+        coalesce(lead(col("event_id"), 1).over(w), lit(-1L)).as("next_id"),
+        coalesce(col("value") - lag(col("value"), 1).over(w), lit(0.0))
+          .as("delta_value"),
+        count(lit(1)).over(w5).as("n5"),
+        round(sum(col("value")).over(w5), 2).as("sum5"))
+    })
+  )
+
+  private val evSql =
+    "SELECT event_id, user_id, event_type, value, epoch_ms(ts) AS t FROM events"
+
+  val oracleSql: Map[String, String] = Map(
+    "aj01_asof_join" ->
+      s"""WITH e AS ($evSql),
+          p AS (SELECT event_id, user_id, t FROM e
+                WHERE event_type = 'purchase'),
+          v AS (SELECT event_id AS view_id, user_id, t AS vt FROM e
+                WHERE event_type = 'view'),
+          j AS (SELECT p.event_id, v.view_id, p.t - v.vt AS since,
+                  row_number() OVER (PARTITION BY p.event_id
+                    ORDER BY v.vt DESC, v.view_id DESC) AS rn
+                FROM p JOIN v ON p.user_id = v.user_id AND v.vt <= p.t)
+          SELECT p.event_id,
+                 CAST(coalesce(j.view_id, -1) AS BIGINT) AS view_id,
+                 CAST(coalesce(j.since, -1) AS BIGINT) AS ms_since_view
+          FROM p LEFT JOIN j ON p.event_id = j.event_id AND j.rn = 1""",
+    "ij01_interval_join" ->
+      s"""WITH e AS ($evSql),
+          a AS (SELECT event_id AS anchor_id, user_id, t AS ws,
+                  t + 7200000 AS we FROM e WHERE event_type = 'purchase')
+          SELECT a.anchor_id, count(*) AS n_2h,
+                 round(sum(e.value), 2) AS sum_value_2h
+          FROM a JOIN e ON a.user_id = e.user_id
+            AND e.t BETWEEN a.ws AND a.we
+          GROUP BY a.anchor_id""",
+    "w02_next24h_activity" ->
+      s"""SELECT event_id, count(*) OVER win AS n_next24h,
+            coalesce(round(sum(value) OVER win, 2), 0.0) AS sum_next24h
+          FROM ($evSql)
+          WINDOW win AS (PARTITION BY user_id ORDER BY t
+            RANGE BETWEEN 1 FOLLOWING AND 86400000 FOLLOWING)""",
+    "w03_lag_lead_mavg" ->
+      s"""SELECT event_id,
+            CAST(coalesce(lag(event_id, 1) OVER w, -1) AS BIGINT)
+              AS prev_id,
+            CAST(coalesce(lead(event_id, 1) OVER w, -1) AS BIGINT)
+              AS next_id,
+            coalesce(value - lag(value, 1) OVER w, 0.0) AS delta_value,
+            count(*) OVER w5 AS n5,
+            round(sum(value) OVER w5, 2) AS sum5
+          FROM ($evSql)
+          WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id),
+            w5 AS (PARTITION BY user_id ORDER BY t, event_id
+              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)"""
+  )
+}

@@ -96,6 +96,27 @@ object TextQueries {
         size(TextOps.tokenize($"text")).as("ws_tokens"),
         size(regexp_extract_all($"text", lit(Analysis.BpeIshRe), lit(0)))
           .as("bpe_tokens"))
+    }),
+
+    // PII redaction over the real tweet corpus (URLs/emails/handles/
+    // long digit runs → placeholder tokens) — the scrub step of a
+    // training-data pipeline. Pure regexp_replace chain, codegen'd,
+    // scales with the scan; order matters (URL before EMAIL before
+    // USER so 'http://x.com/@a' and 'a@b.com' aren't half-redacted).
+    // Patterns are Java/RE2-portable: ASCII classes only, no
+    // lookaround (corpus verified free of \x0B-class chars where the
+    // engines' \S definitions differ).
+    "t08_pii_redact" -> ((s, _) => {
+      import s.implicits._
+      graft.core.Csv.tweets(s, graft.core.Csv.TrainCsv).select(
+        $"id",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace($"text", "https?://\\S+", "<URL>"),
+              "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+            "@\\w+", "<USER>"),
+          "\\d{7,}", "<NUM>").as("redacted"))
     })
   )
 
@@ -170,6 +191,16 @@ object TextQueries {
           len(regexp_extract_all(text,
             '${graft.text.Analysis.BpeIshRe.replace("'", "''")}'))
             AS bpe_tokens
-          FROM documents"""
+          FROM documents""",
+    "t08_pii_redact" ->
+      s"""SELECT id,
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+            text,
+            'https?://\\S+', '<URL>', 'g'),
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '@\\w+', '<USER>', 'g'),
+            '\\d{7,}', '<NUM>', 'g') AS redacted
+          FROM read_csv('${graft.core.Csv.TrainCsv}', header=true,
+            all_varchar=true)"""
   )
 }

@@ -68,8 +68,8 @@ object Lemmatizer {
     "tornadoes" -> "tornado",
     // -s singulars that ARE the lexicon entry (morphy keeps them)
     "chaos" -> "chaos", "clothes" -> "clothes", "oops" -> "oops",
-    "capsizes" -> "capsizes",
     // no noun form in WordNet → NLTK returns the word unchanged
+    "capsizes" -> "capsizes",
     "always" -> "always", "sometimes" -> "sometimes",
     "goes" -> "goes", "appears" -> "appears", "declares" -> "declares",
     "others" -> "others", "whereas" -> "whereas",

@@ -117,10 +117,11 @@ class DedupSimilaritySpec extends AnyFunSuite {
       // both find exactly the planted pair; the hot shingle's 1.1M
       // pairs all score 1/81 < 0.5
       assert(capRes == Seq((1L, 2L)) && allRes == Seq((1L, 2L)))
+      // The deterministic gate is the >1000x pair-volume assertion
+      // above; wall-clock comparison is info-only because relative
+      // timings of two tiny jobs can invert on a loaded CI machine.
       info(f"skew fixture: capped $tCap%.2fs vs uncapped $tAll%.2fs " +
         f"(pair volume $volCap vs $volAll)")
-      assert(tCap < tAll,
-        f"cap did not win on the skew fixture: $tCap%.2fs vs $tAll%.2fs")
     } finally sh.unpersist()
   }
 

@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{AsOfJoin, RangeJoin, Splits}
+
+/** Hand-computed fixtures for the temporal operators (as-of join,
+  * interval join) and the deterministic split/sample expressions.
+  */
+class TemporalOpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("asofLookup: latest at-or-before quote, inclusive, per key") {
+    import spark.implicits._
+    // key 1: quotes at t=10 (id 100), t=20 (id 101)
+    // key 2: quote at t=50 (id 200)
+    val quotes = Seq((1L, 10L, 100L), (1L, 20L, 101L), (2L, 50L, 200L))
+      .toDF("k", "qt", "qid")
+    // probes: before any quote / between / exactly-at / after / other key
+    val probes = Seq((1L, 5L, 1L), (1L, 15L, 2L), (1L, 20L, 3L),
+      (1L, 99L, 4L), (2L, 49L, 5L))
+      .toDF("k", "pt", "pid")
+    val out = AsOfJoin.asofLookup(probes, quotes, "k", "pt", "qt", "qid")
+      .select($"pid", $"asof_id", $"asof_time")
+      .as[(Long, Option[Long], Option[Long])].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, None, None),             // t=5: no quote yet
+      (2L, Some(100L), Some(10L)),  // t=15: quote@10
+      (3L, Some(101L), Some(20L)),  // t=20: simultaneous quote counts
+      (4L, Some(101L), Some(20L)),  // t=99: latest quote
+      (5L, None, None)))            // key 2 @49: quote@50 is later
+  }
+
+  test("asofLookup: equal-time quotes resolve to the max id") {
+    import spark.implicits._
+    val quotes = Seq((1L, 10L, 100L), (1L, 10L, 107L), (1L, 10L, 103L))
+      .toDF("k", "qt", "qid")
+    val probes = Seq((1L, 10L, 1L)).toDF("k", "pt", "pid")
+    val out = AsOfJoin.asofLookup(probes, quotes, "k", "pt", "qt", "qid")
+      .select($"asof_id").as[Long].head()
+    assert(out == 107L)
+  }
+
+  test("intervalJoin: inclusive bounds, bucket-boundary straddling") {
+    import spark.implicits._
+    // bucketWidth 10; interval [8, 22] spans bins 0,1,2 — points at
+    // the exact bounds are in; 7 and 23 are out; other key never joins
+    val points = Seq((1L, 7L), (1L, 8L), (1L, 10L), (1L, 19L),
+      (1L, 22L), (1L, 23L), (2L, 15L))
+      .toDF("k", "t")
+    val intervals = Seq((1L, 8L, 22L, 900L)).toDF("k", "s", "e", "iv_id")
+    val out = RangeJoin.intervalJoin(points, intervals, "k", "t", "s",
+        "e", bucketWidth = 10L)
+      .select($"t").as[Long].collect().sorted
+    assert(out.toSeq == Seq(8L, 10L, 19L, 22L))
+  }
+
+  test("intervalJoin: each point matches an interval at most once") {
+    import spark.implicits._
+    // interval fully inside one bin AND one spanning many bins
+    val points = Seq((1L, 15L)).toDF("k", "t")
+    val intervals = Seq((1L, 14L, 16L, 1L), (1L, 0L, 95L, 2L))
+      .toDF("k", "s", "e", "iv_id")
+    val out = RangeJoin.intervalJoin(points, intervals, "k", "t", "s",
+        "e", bucketWidth = 10L)
+      .select($"iv_id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(1L, 2L)) // once per interval, no dup from bins
+  }
+
+  test("hashBucket: deterministic, uniform-ish, stable to repartition") {
+    import spark.implicits._
+    val ids = (0L until 1000L).toDF("id")
+    val b1 = ids.select(Splits.hashBucket($"id", "s", 100).as("b"))
+      .as[Long].collect()
+    val b2 = ids.repartition(7)
+      .select(Splits.hashBucket($"id", "s", 100).as("b"))
+      .as[Long].collect()
+    assert(b1.sorted.toSeq == b2.sorted.toSeq) // partition-independent
+    assert(b1.forall(b => b >= 0 && b < 100))
+    // uniformity: each decile within generous bounds
+    val byDecile = b1.groupBy(_ / 10).view.mapValues(_.length)
+    assert(byDecile.values.forall(n => n > 50 && n < 150))
+  }
+
+  test("splitName boundaries and stratifiedKeep per-stratum rates") {
+    import spark.implicits._
+    val df = Seq((0L, "a"), (79L, "a"), (80L, "a"), (89L, "a"), (90L, "a"))
+      .toDF("b", "s")
+    val names = df.select(Splits.splitName($"b", 80, 10).as("n"))
+      .as[String].collect().toSeq
+    assert(names == Seq("train", "train", "val", "val", "test"))
+
+    // per-stratum keep rate ~30% for each of two strata
+    val rows = (0L until 2000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("id", "lang")
+    val kept = rows
+      .filter(Splits.stratifiedKeep($"id", $"lang", "salt", 30))
+      .groupBy($"lang").count().as[(String, Long)].collect().toMap
+    assert(kept.keySet == Set("en", "de"))
+    kept.values.foreach(n => assert(n > 200 && n < 400, s"rate off: $n/1000"))
+  }
+
+  test("pii redaction chain handles mixed content in one pass") {
+    import spark.implicits._
+    val redacted = Seq(
+      "see http://t.co/abc and mail me a.b@ex-ample.co.uk or @handle 12345678")
+      .toDF("text")
+      .select(regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace($"text", "https?://\\S+", "<URL>"),
+            "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+          "@\\w+", "<USER>"),
+        "\\d{7,}", "<NUM>").as("r"))
+      .as[String].head()
+    assert(redacted == "see <URL> and mail me <EMAIL> or <USER> <NUM>")
+  }
+}
