@@ -32,7 +32,15 @@ object StreamQueries {
         .select(col("user_id"),
           unix_millis(col("session_start")).as("start_ms"),
           unix_millis(col("session_end")).as("end_ms"),
-          col("n_events"), col("sum_value")))
+          col("n_events"), col("sum_value"))),
+
+    // Stream-static enrichment join (events x customer dim) +
+    // windowed per-segment aggregation.
+    "st04_stream_enrich" -> ((s, d) =>
+      EventStreams.enrichedSegmentCounts(Tables.events(s, d),
+          Tables.customer(s, d))
+        .select(unix_millis(col("w_start")).as("w_start_ms"),
+          col("c_mktsegment"), col("n"), col("sum_value")))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -70,6 +78,13 @@ object StreamQueries {
                 epoch_ms(max(ts)) AS end_ms,
                 CAST(count(*) AS INTEGER) AS n_events,
                 round(sum(value), 6) AS sum_value
-         FROM numbered GROUP BY user_id, session_id"""
+         FROM numbered GROUP BY user_id, session_id""",
+    "st04_stream_enrich" ->
+      """SELECT CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT)
+           AS w_start_ms,
+         c_mktsegment, count(*) AS n,
+         round(sum(value), 6) AS sum_value
+         FROM events JOIN customer ON user_id = c_custkey
+         GROUP BY 1, 2"""
   )
 }

@@ -100,6 +100,28 @@ object EventStreams {
       }
   }
 
+  /** Stream-static enrichment join + windowed aggregation: the event
+    * stream joined to a static dimension table (user → market
+    * segment). Under `readStream` Spark plans the static side as a
+    * fresh batch scan per micro-batch with NO join state kept — the
+    * canonical "enrich the stream with reference data" pattern, and
+    * the reason to prefer stream-static over stream-stream whenever
+    * the right side is slowly-changing. The dim is broadcast, so the
+    * stream never shuffles for the join at any scale.
+    */
+  def enrichedSegmentCounts(events: DataFrame, customers: DataFrame,
+                            windowLen: String = "1 hour",
+                            watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .join(broadcast(customers.select(col("c_custkey"),
+        col("c_mktsegment"))), col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), windowLen).as("w"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 6).as("sum_value"))
+      .select(col("w.start").as("w_start"), col("c_mktsegment"),
+        col("n"), col("sum_value"))
+
   /** Streaming exact dedup — the incremental face of
     * [[graft.operators.Dedup.exactDedup]]: documents arriving on a
     * stream are deduplicated by content hash across micro-batches,

@@ -91,6 +91,38 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join converges to the batch answer") {
+    import spark.implicits._
+    val customers = Seq((1L, "AUTO"), (2L, "RETAIL"), (3L, "RETAIL"))
+      .toDF("c_custkey", "c_mktsegment")
+    val eventRows = rows.map(r => (r.user_id, r.ts, r.value))
+    val batch = EventStreams.enrichedSegmentCounts(
+        eventRows.toDF("user_id", "ts", "value"), customers)
+      .collect().map(r => (mins(r.getTimestamp(0).getTime),
+        r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+
+    val mem = MemoryStream[(Long, Timestamp, Double)](spark)
+    val stream = EventStreams.enrichedSegmentCounts(
+      mem.toDS().toDF("user_id", "ts", "value"), customers)
+    val q = stream.writeStream.format("memory")
+      .queryName("enrich_out").outputMode("complete").start()
+    try {
+      // two micro-batches: the static side is re-scanned per batch
+      mem.addData(eventRows.take(4): _*)
+      q.processAllAvailable()
+      mem.addData(eventRows.drop(4): _*)
+      q.processAllAvailable()
+      val got = spark.table("enrich_out")
+        .collect().map(r => (mins(r.getTimestamp(0).getTime),
+          r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(got == batch)
+      // user 1 = AUTO (sessions across hours 0 and 1), user 2 = RETAIL
+      assert(batch == Set(
+        (0L, "AUTO", 3L, 6.0), (60L, "AUTO", 2L, 9.0),
+        (0L, "RETAIL", 2L, 30.0)))
+    } finally q.stop()
+  }
+
   test("tumbling windowed agg: streaming result equals batch result") {
     import spark.implicits._
     val events = rows.map(r => (r.user_id, r.ts, "click", r.value))
