@@ -28,15 +28,21 @@ object Curation {
   def curate(docs: DataFrame, idCol: String, textCol: String,
              keepLang: String = "en", minTokens: Int = 20,
              minTtr: Double = 0.35): DataFrame = {
-    val toks = TextOps.tokenize(col(textCol))
-    val scored = docs.select(
-        col(idCol).as("doc_id"),
+    // bind the token array once: langId alone reads it per marker
+    // list, and a raw Column expression is re-inlined (re-split) at
+    // every reference — same fix as Dedup.shingles
+    val toks = col("__toks")
+    val scored = docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("__text"),
+        TextOps.tokenize(col(textCol)).as("__toks"))
+      .select(
+        col("doc_id"),
         Analysis.langId(toks).as("lang_pred"),
         Analysis.tokenCount(toks).as("n_tokens"),
         Analysis.typeTokenRatio(toks).as("ttr"),
-        size(regexp_extract_all(col(textCol), lit(Analysis.BpeIshRe),
+        size(regexp_extract_all(col("__text"), lit(Analysis.BpeIshRe),
           lit(0))).as("bpe_tokens"),
-        Analysis.fingerprint(col(textCol)).as("fp"))
+        Analysis.fingerprint(col("__text")).as("fp"))
       .filter(col("lang_pred") === keepLang &&
         col("n_tokens") >= minTokens && col("ttr") >= minTtr)
     // exact dedup, keep-first: one shuffle of the slim projection

@@ -35,11 +35,23 @@ object Dedup {
   /** (doc, shingle) pairs: distinct word n-grams per document,
     * computed in-row (no explode-then-distinct shuffle of raw grams —
     * `array_distinct` collapses in-row first).
+    *
+    * The token expression is bound to its own projected column BEFORE
+    * n-gram assembly: `ngrams` reads its input array 3x per gram via
+    * `element_at`, and Catalyst inlines a raw Column expression at
+    * every reference — with `tokenize`'s split+filter that meant
+    * re-running the regex split ~3·|grams| times per document
+    * (measured 9.3 s of d03's 11.7 s at sf0.1). Against a bound
+    * attribute each read is an O(1) array access; CollapseProject
+    * keeps the boundary because the inner expression is non-cheap and
+    * multiply-referenced.
     */
   def shingles(docs: DataFrame, idCol: String, tokens: Column,
                n: Int = 3): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-        explode(array_distinct(Analysis.ngrams(tokens, n))).as("shingle"))
+    docs.select(col(idCol).as("doc_id"), tokens.as("__toks"))
+      .select(col("doc_id"),
+        explode(array_distinct(Analysis.ngrams(col("__toks"), n)))
+          .as("shingle"))
 
   /** Exact n-gram Jaccard near-dup pairs (a < b, jaccard ≥ threshold).
     * O(Σ per-shingle df²) pair volume — the exact baseline for toy/
@@ -154,6 +166,38 @@ object Dedup {
       .select(col("doc_id"), col("bs.b").as("b"), col("bs.sig").as("sig"))
   }
 
+  /** [[lshBandSignatures]] with the production hash profile: xxhash64
+    * permutations (`xxhash64(h, shingle)`) and xxhash64 band
+    * signatures instead of chunked/concatenated md5. Identical LSH
+    * structure and cost shape — one |sh| shuffle — but one 64-bit
+    * hash per (shingle, permutation) instead of a cryptographic
+    * digest per 4, and long-typed signatures instead of 32-hex
+    * strings (smaller shuffle rows too). NOT DuckDB-mirrorable
+    * (xxhash64 has no DuckDB equivalent), which is the only reason
+    * the md5 profile exists: d03 proves the operator's semantics
+    * against the oracle; this profile is what a production deployment
+    * runs. The two profiles bucket near-threshold pairs differently
+    * (any single hash family's band collisions are probabilistic at
+    * low jaccard); DedupSimilaritySpec asserts the production
+    * contract — no false positives, no missed high-jaccard pair.
+    */
+  def lshBandSignaturesFast(sh: DataFrame, numHashes: Int,
+                            rowsPerBand: Int): DataFrame = {
+    require(numHashes % rowsPerBand == 0,
+      "numHashes must be a multiple of rowsPerBand")
+    val minCols = (0 until numHashes).map(h =>
+      min(xxhash64(lit(h), col("shingle"))).as(s"m$h"))
+    val grouped = sh.groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+    val bands = (0 until numHashes / rowsPerBand).map { b =>
+      struct(lit(b).as("b"),
+        xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand)
+          .map(h => col(s"m$h")): _*).as("sig"))
+    }
+    grouped.select(col("doc_id"), explode(array(bands: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.b").as("b"), col("bs.sig").as("sig"))
+  }
+
   /** Candidate pairs from shared LSH buckets (a < b, distinct). */
   def lshCandidates(bands: DataFrame): DataFrame =
     bands.as("x").join(bands.as("y"),
@@ -197,6 +241,20 @@ object Dedup {
     // subtree a shared child consumed twice, and without caching
     // Spark recomputes it per consumer (measured +30% at sf0.1).
     val cands = lshCandidates(lshBandSignatures(sh, numHashes,
+      rowsPerBand))
+    verifyJaccard(sh, cands, threshold)
+  }
+
+  /** [[minhashLshPairs]] on the xxhash64 production profile — same
+    * candidate→verify pipeline, cheaper hashing. Verification is
+    * exact Jaccard either way, so the two profiles can differ only in
+    * near-threshold recall via bucket collisions (spec: no false
+    * positives, all high-jaccard pairs found).
+    */
+  def minhashLshPairsFast(sh: DataFrame, numHashes: Int = 16,
+                          rowsPerBand: Int = 4,
+                          threshold: Double = 0.5): DataFrame = {
+    val cands = lshCandidates(lshBandSignaturesFast(sh, numHashes,
       rowsPerBand))
     verifyJaccard(sh, cands, threshold)
   }

@@ -44,6 +44,24 @@ object DedupQueries {
         threshold = 0.5)
     }),
 
+    // MinHash-LSH production hash profile: xxhash64 permutations +
+    // long band signatures — same pipeline as d03 with ~1/4 the hash
+    // cost and narrower shuffle rows. Rows-only by necessity (DuckDB
+    // has no xxhash64): d03's md5 profile proves the operator against
+    // the oracle; this is the one a deployment runs, benched here so
+    // the d03-vs-d05 gap is auditable in BENCH_r*.json. Spec contract
+    // (DedupSimilaritySpec): no false positives vs exact Jaccard,
+    // recall ≥ 0.9 on this corpus's high-jaccard pairs, and full
+    // recall on a planted fixture with clean statistics — per-pair
+    // band collisions are probabilistic in ANY single hash family,
+    // and this corpus's 31-word vocabulary correlates the luck.
+    "d05_minhash_lsh_fast" -> ((s, d) => {
+      val sh = Dedup.shingles(Tables.documents(s, d), "doc_id",
+        docTokens(s))
+      Dedup.minhashLshPairsFast(sh, numHashes = 16, rowsPerBand = 4,
+        threshold = 0.5)
+    }),
+
     // NOTE: jaccardPairs(maxShingleDf) — the hot-shingle survival mode
     // — is deliberately NOT benched on this corpus: the synthetic
     // 31-word vocabulary makes EVERY shingle hot (avg df ≈ 83 at
