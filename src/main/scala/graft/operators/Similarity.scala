@@ -30,6 +30,16 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Cosine from PRE-computed norms — identical IEEE ops and order to
+    * [[cosine]] (so oracle hashes are unaffected), but the norms are
+    * bound to per-row columns once instead of being re-derived for
+    * every scored pair: in an all-pairs or candidate join each vector
+    * is scored against many partners, and [[cosine]] would re-run two
+    * full array passes per pair.
+    */
+  def cosineFromNorms(a: Column, b: Column, na: Column,
+                      nb: Column): Column = dot(a, b) / (na * nb)
+
   /** Brute-force exact top-k cosine neighbors for each query vector.
     *
     * @param corpus  (id, vec) big side — scanned once, never shuffled
@@ -39,12 +49,14 @@ object Similarity {
                     idCol: String = "vec_id",
                     vecCol: String = "embedding"): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("q_id"),
-      col(vecCol).as("q_vec")))
+      col(vecCol).as("q_vec"), norm(col(vecCol)).as("q_nrm")))
     val scored = corpus
-      .select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+      .select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+        norm(col(vecCol)).as("n_nrm"))
       .join(q, col("n_id") =!= col("q_id"))
       .select(col("q_id"), col("n_id"),
-        cosine(col("q_vec"), col("n_vec")).as("cos"))
+        cosineFromNorms(col("q_vec"), col("n_vec"),
+          col("q_nrm"), col("n_nrm")).as("cos"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("n_id").asc)
@@ -98,8 +110,10 @@ object Similarity {
         struct(lit(t).as("t"), lshBucket(vec, ps).as("bkt"))
       }: _*)
 
-    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
-    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      norm(col(vecCol)).as("n_nrm"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      norm(col(vecCol)).as("q_nrm"))
     val cBuckets = c.select(col("n_id"),
       explode(buckets(col("n_vec"))).as("tb"))
     val qBuckets = broadcast(q.select(col("q_id"),
@@ -113,7 +127,8 @@ object Similarity {
       .join(c, Seq("n_id"))
       .join(broadcast(q), Seq("q_id"))
       .select(col("q_id"), col("n_id"),
-        cosine(col("q_vec"), col("n_vec")).as("cos"))
+        cosineFromNorms(col("q_vec"), col("n_vec"),
+          col("q_nrm"), col("n_nrm")).as("cos"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("n_id").asc)
@@ -141,8 +156,10 @@ object Similarity {
              idCol: String = "vec_id",
              vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.ml.functions.array_to_vector
-    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
-    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      norm(col(vecCol)).as("n_nrm"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      norm(col(vecCol)).as("q_nrm"))
 
     val km = new org.apache.spark.ml.clustering.KMeans()
       .setK(numCells).setSeed(seed)
@@ -152,7 +169,7 @@ object Similarity {
 
     val cCells = model.transform(
         c.withColumn("fv", array_to_vector(col("n_vec"))))
-      .select(col("n_id"), col("n_vec"), col("cell"))
+      .select(col("n_id"), col("n_vec"), col("n_nrm"), col("cell"))
 
     // distance to each centroid as a literal-folded expression; the
     // nProbe smallest via array_sort on (dist, cellId) structs
@@ -168,12 +185,13 @@ object Similarity {
         s => s.getField("cell")), 1, nProbe)
     }
     val qCells = broadcast(q.select(col("q_id"), col("q_vec"),
-        explode(probeCells(col("q_vec"))).as("cell")))
+        col("q_nrm"), explode(probeCells(col("q_vec"))).as("cell")))
 
     val scored = cCells.join(qCells, Seq("cell"))
       .filter(col("n_id") =!= col("q_id"))
       .select(col("q_id"), col("n_id"),
-        cosine(col("q_vec"), col("n_vec")).as("cos"))
+        cosineFromNorms(col("q_vec"), col("n_vec"),
+          col("q_nrm"), col("n_nrm")).as("cos"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("n_id").asc)
@@ -190,10 +208,12 @@ object Similarity {
   def cosineDupPairsExact(corpus: DataFrame, threshold: Double,
                           idCol: String = "vec_id",
                           vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      norm(col(vecCol)).as("nrm"))
     c.as("x").join(c.as("y"), col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"),
-        cosine(col("x.vec"), col("y.vec")).as("cos"))
+        cosineFromNorms(col("x.vec"), col("y.vec"),
+          col("x.nrm"), col("y.nrm")).as("cos"))
       .filter(col("cos") >= threshold)
   }
 
@@ -210,7 +230,8 @@ object Similarity {
                      vecCol: String = "embedding"): DataFrame = {
     val planeSets = (0 until numTables)
       .map(t => randomPlanes(numPlanes, dim, seed + 1000L * t))
-    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      norm(col(vecCol)).as("nrm"))
     val bucketed = c.select(col("id"),
       explode(array(planeSets.zipWithIndex.map { case (ps, t) =>
         struct(lit(t).as("t"), lshBucket(col("vec"), ps).as("bkt"))
@@ -219,9 +240,13 @@ object Similarity {
         col("x.tb") === col("y.tb") && col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
     cands
-      .join(c.select(col("id").as("a"), col("vec").as("va")), Seq("a"))
-      .join(c.select(col("id").as("b"), col("vec").as("vb")), Seq("b"))
-      .select(col("a"), col("b"), cosine(col("va"), col("vb")).as("cos"))
+      .join(c.select(col("id").as("a"), col("vec").as("va"),
+        col("nrm").as("na")), Seq("a"))
+      .join(c.select(col("id").as("b"), col("vec").as("vb"),
+        col("nrm").as("nb")), Seq("b"))
+      .select(col("a"), col("b"),
+        cosineFromNorms(col("va"), col("vb"), col("na"), col("nb"))
+          .as("cos"))
       .filter(col("cos") >= threshold)
   }
 }
