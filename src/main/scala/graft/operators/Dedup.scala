@@ -318,4 +318,59 @@ object Dedup {
       .agg(first(hammingDist(col("x.fp"), col("y.fp"))).as("dist"))
       .filter(col("dist") <= maxDist)
   }
+
+  /** Connected components over a near-dup pair list: every document
+    * that appears in some pair is labeled with the minimum doc id of
+    * its duplicate cluster — the canonical representative a keep-one
+    * dedup pass retains. Pair lists don't close over transitivity
+    * (A~B, B~C need not include A~C), so grouping needs components,
+    * not just the pairs.
+    *
+    * Algorithm: iterative min-label propagation. Each round every
+    * node takes the min of its own label and its neighbors' labels —
+    * one equi-join of the (persisted) symmetric edge list against the
+    * label table plus one hash-aggregate, i.e. two key shuffles, no
+    * data-dependent fan-out. The label table is `localCheckpoint`ed
+    * per round so the loop's lineage stays O(1) (on a cluster with a
+    * checkpoint dir, `checkpoint` — same contract). Convergence takes
+    * ≤ diameter rounds; LSH dup clusters are near-cliques (diameter
+    * ~2), so this beats the O(log n)-round large-star/small-star
+    * scheme (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond") on its constant factor; swap that in for adversarially
+    * chainy graphs — `maxIters` is the guard that detects one.
+    */
+  def dupClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val p = pairs.select(col("a"), col("b")).persist()
+    val edges = p.select(col("a").as("src"), col("b").as("dst"))
+      .union(p.select(col("b").as("src"), col("a").as("dst")))
+      .persist()
+    edges.count() // materialize once; every round re-reads this
+    p.unpersist()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
+        .groupBy(col("src")).agg(min(col("label")).as("nmin"))
+        .withColumnRenamed("src", "node")
+      val merged = labels
+        .join(nbrMin, Seq("node"), "left")
+        .select(col("node"), col("label").as("old"),
+          least(col("label"), coalesce(col("nmin"), col("label")))
+            .as("label"))
+        .localCheckpoint()
+      changed = merged.filter(col("label") < col("old")).count()
+      labels = merged.select(col("node"), col("label"))
+      iter += 1
+    }
+    require(changed == 0,
+      s"dupClusters did not converge in $maxIters rounds — graph " +
+        "diameter exceeds the near-dup-cluster assumption; use a " +
+        "star-contraction scheme for this input")
+    edges.unpersist()
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+  }
 }

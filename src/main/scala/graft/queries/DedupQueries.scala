@@ -62,6 +62,18 @@ object DedupQueries {
         threshold = 0.5)
     }),
 
+    // Duplicate-cluster assignment: near-dup pairs (the d03 pipeline)
+    // closed into connected components, each doc labeled with its
+    // cluster's minimum id — the keep-one representative. DuckDB
+    // oracle walks the same pair list with a recursive CTE.
+    "d06_dup_clusters" -> ((s, d) => {
+      val sh = Dedup.shingles(Tables.documents(s, d), "doc_id",
+        docTokens(s))
+      Dedup.dupClusters(
+        Dedup.minhashLshPairs(sh, numHashes = 16, rowsPerBand = 4,
+          threshold = 0.5))
+    }),
+
     // NOTE: jaccardPairs(maxShingleDf) — the hot-shingle survival mode
     // — is deliberately NOT benched on this corpus: the synthetic
     // 31-word vocabulary makes EVERY shingle hot (avg df ≈ 83 at
@@ -142,6 +154,25 @@ object DedupQueries {
          JOIN sizes sa ON a = sa.doc_id
          JOIN sizes sb ON b = sb.doc_id)"""
 
+  /** MinHash → band-signature → bucket-join candidates, mirrored from
+    * [[Dedup.lshBandSignatures]]/[[Dedup.lshCandidates]] (16 hashes ×
+    * 4 rows/band). Shared by d03 (pairs) and d06 (clusters). */
+  private val minhashCandsCte: String =
+    """minh AS (
+         SELECT doc_id, h.range AS h,
+                min(substring(md5(CAST(h.range // 4 AS VARCHAR)
+                      || '|' || shingle),
+                    CAST(h.range % 4 AS INTEGER) * 8 + 1, 8)) AS m
+         FROM sh, range(16) h GROUP BY 1, 2),
+       bands AS (
+         SELECT doc_id, h // 4 AS b,
+                md5(string_agg(m, '' ORDER BY h)) AS sig
+         FROM minh GROUP BY doc_id, h // 4),
+       cands AS (
+         SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         FROM bands x JOIN bands y
+           ON x.b = y.b AND x.sig = y.sig AND x.doc_id < y.doc_id)"""
+
   /** float64 sequential dot product — bit-identical to Spark's
     * `aggregate(zip_with(...))`. */
   private def dotSql(a: String, b: String): String =
@@ -188,24 +219,32 @@ object DedupQueries {
       s"""WITH ${shingleCte("WHERE doc_id < 500")}, $jaccardCte
           SELECT a, b, jaccard FROM jac WHERE jaccard >= 0.5""",
     "d03_minhash_lsh_pairs" ->
-      s"""WITH ${shingleCte()}, $jaccardCte,
-          minh AS (
-            SELECT doc_id, h.range AS h,
-                   min(substring(md5(CAST(h.range // 4 AS VARCHAR)
-                         || '|' || shingle),
-                       CAST(h.range % 4 AS INTEGER) * 8 + 1, 8)) AS m
-            FROM sh, range(16) h GROUP BY 1, 2),
-          bands AS (
-            SELECT doc_id, h // 4 AS b,
-                   md5(string_agg(m, '' ORDER BY h)) AS sig
-            FROM minh GROUP BY doc_id, h // 4),
-          cands AS (
-            SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-            FROM bands x JOIN bands y
-              ON x.b = y.b AND x.sig = y.sig AND x.doc_id < y.doc_id)
+      s"""WITH ${shingleCte()}, $jaccardCte, $minhashCandsCte
           SELECT jac.a, jac.b, jac.jaccard
           FROM jac JOIN cands ON jac.a = cands.a AND jac.b = cands.b
           WHERE jac.jaccard >= 0.5""",
+    // Connected components via a recursive reachability CTE: root r
+    // reaches node n ⇒ (n, r) ∈ reach; min(r) per node = the
+    // component's minimum id (reachability is symmetric on the
+    // undirected edge list). Tractable for the oracle because the
+    // LSH pair list is tiny; the Spark side converges by label
+    // propagation instead.
+    "d06_dup_clusters" ->
+      s"""WITH RECURSIVE ${shingleCte()}, $jaccardCte, $minhashCandsCte,
+          pairs AS (
+            SELECT jac.a, jac.b
+            FROM jac JOIN cands ON jac.a = cands.a AND jac.b = cands.b
+            WHERE jac.jaccard >= 0.5),
+          edges AS (
+            SELECT a, b FROM pairs
+            UNION SELECT b AS a, a AS b FROM pairs),
+          reach AS (
+            SELECT a AS node, a AS root FROM edges
+            UNION
+            SELECT e.b AS node, r.root
+            FROM reach r JOIN edges e ON e.a = r.node)
+          SELECT node AS doc_id, min(root) AS cluster_id
+          FROM reach GROUP BY node""",
     "e01_knn_brute" ->
       s"""WITH q AS (
             SELECT vec_id AS q_id, embedding AS q_vec

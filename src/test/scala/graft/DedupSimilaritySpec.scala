@@ -284,6 +284,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(r8 >= 0.8, s"recall@8=$r8")
   }
 
+  test("dup clusters: components, min-id labels, multi-round chains") {
+    import spark.implicits._
+    // triangle {1,2,3}, edge {10,11}, cycle {20,21,22}, and a 9-hop
+    // path 100–109 (pair list only has consecutive links) — the chain
+    // forces ≥5 propagation rounds, not a single-join fixpoint.
+    val pairs = (Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)) ++
+      (100L until 109L).map(i => (i, i + 1))).toDF("a", "b")
+    val got = Dedup.dupClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    val expected =
+      Seq(1L, 2L, 3L).map(_ -> 1L) ++ Seq(10L, 11L).map(_ -> 10L) ++
+        Seq(20L, 21L, 22L).map(_ -> 20L) ++
+        (100L to 109L).map(_ -> 100L)
+    assert(got == expected.toMap)
+  }
+
   test("cosine dup pairs: LSH recall vs exact on the sf0.001 slice") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
       .filter(col("vec_id") < 500)
