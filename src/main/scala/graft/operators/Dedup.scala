@@ -319,6 +319,26 @@ object Dedup {
       .filter(col("dist") <= maxDist)
   }
 
+  /** Benchmark-contamination check (test-set decontamination): for
+    * every corpus document sharing at least one shingle with the eval
+    * set, report the overlap count and the contaminated fraction of
+    * its shingles. Scale shape: the eval side (a benchmark suite) is
+    * small by nature, so its distinct shingles are broadcast — the
+    * 100 TB corpus side joins map-side and never shuffles; the only
+    * shuffles are the two per-doc count aggregations on doc_id.
+    */
+  def contamination(corpusSh: DataFrame, evalSh: DataFrame): DataFrame = {
+    val evalShingles = evalSh.select(col("shingle")).distinct()
+    val sizes = corpusSh.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"))
+    val overlap = corpusSh.join(broadcast(evalShingles), Seq("shingle"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+    overlap.join(sizes, Seq("doc_id"))
+      .select(col("doc_id"), col("n_overlap"),
+        (col("n_overlap").cast("double") / col("n_shingles"))
+          .as("contamination"))
+  }
+
   /** Connected components over a near-dup pair list: every document
     * that appears in some pair is labeled with the minimum doc id of
     * its duplicate cluster — the canonical representative a keep-one

@@ -74,6 +74,19 @@ object DedupQueries {
           threshold = 0.5))
     }),
 
+    // Test-set decontamination: corpus docs (id >= 100) sharing
+    // 3-gram shingles with the eval slice (id < 100) — overlap count
+    // + contaminated fraction. Eval shingles broadcast; the corpus
+    // never shuffles documents.
+    "d07_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpusSh = Dedup.shingles(
+        docs.filter(col("doc_id") >= 100), "doc_id", docTokens(s))
+      val evalSh = Dedup.shingles(
+        docs.filter(col("doc_id") < 100), "doc_id", docTokens(s))
+      Dedup.contamination(corpusSh, evalSh)
+    }),
+
     // NOTE: jaccardPairs(maxShingleDf) — the hot-shingle survival mode
     // — is deliberately NOT benched on this corpus: the synthetic
     // 31-word vocabulary makes EVERY shingle hot (avg df ≈ 83 at
@@ -245,6 +258,17 @@ object DedupQueries {
             FROM reach r JOIN edges e ON e.a = r.node)
           SELECT node AS doc_id, min(root) AS cluster_id
           FROM reach GROUP BY node""",
+    "d07_decontaminate" ->
+      s"""WITH ${shingleCte()},
+          ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 100),
+          corp AS (SELECT * FROM sh WHERE doc_id >= 100),
+          sizes AS (SELECT doc_id, count(*) AS n FROM corp GROUP BY 1),
+          ov AS (
+            SELECT doc_id, count(*) AS n_overlap
+            FROM corp JOIN ev USING (shingle) GROUP BY 1)
+          SELECT ov.doc_id, ov.n_overlap,
+                 CAST(ov.n_overlap AS DOUBLE) / sizes.n AS contamination
+          FROM ov JOIN sizes ON ov.doc_id = sizes.doc_id""",
     "e01_knn_brute" ->
       s"""WITH q AS (
             SELECT vec_id AS q_id, embedding AS q_vec

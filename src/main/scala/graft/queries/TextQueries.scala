@@ -117,7 +117,28 @@ object TextQueries {
               "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
             "@\\w+", "<USER>"),
           "\\d{7,}", "<NUM>").as("redacted"))
-    })
+    }),
+
+    // Repetition quality signals (the Gopher-style filters): fraction
+    // of tokens taken by the most frequent token, and the duplicate-
+    // bigram fraction. Both in-row — token and gram arrays are bound
+    // to their own projections first (each is multiply-referenced).
+    "t09_repetition" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id", TextOps.tokenize($"text").as("__toks"))
+        .select($"doc_id", $"__toks",
+          Analysis.ngrams($"__toks", 2).as("__grams"))
+        .select($"doc_id",
+          Analysis.topTokenFraction($"__toks").as("top_token_frac"),
+          Analysis.dupGramFraction($"__grams").as("dup_bigram_frac"))
+    }),
+
+    // Fixed-size strided token chunking — document → training-sequence
+    // split (chunk 8, stride 6: tail-biased overlap of 2).
+    "t10_chunks" -> ((s, d) =>
+      graft.operators.Chunking.chunks(Tables.documents(s, d), "doc_id",
+        TextOps.tokenize(col("text")), chunkSize = 8, stride = 6))
   )
 
   private val cleanSql =
@@ -201,6 +222,40 @@ object TextQueries {
             '@\\w+', '<USER>', 'g'),
             '\\d{7,}', '<NUM>', 'g') AS redacted
           FROM read_csv('${graft.core.Csv.TrainCsv}', header=true,
-            all_varchar=true)"""
+            all_varchar=true)""",
+    "t09_repetition" ->
+      s"""WITH t AS (
+            SELECT doc_id, $tokSql AS toks FROM documents),
+          g AS (
+            SELECT doc_id, toks,
+                   list_transform(range(1, len(toks)),
+                     i -> toks[i] || ' ' || toks[i + 1]) AS grams
+            FROM t)
+          SELECT doc_id,
+            CASE WHEN len(toks) > 0 THEN
+              CAST(list_max(list_transform(list_distinct(toks),
+                w -> len(list_filter(toks, t -> t = w)))) AS DOUBLE)
+                / len(toks)
+            ELSE 0.0 END AS top_token_frac,
+            CASE WHEN len(grams) > 0 THEN
+              1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
+            ELSE 0.0 END AS dup_bigram_frac
+          FROM g""",
+    "t10_chunks" ->
+      s"""WITH t AS (
+            SELECT doc_id, $tokSql AS toks FROM documents
+            WHERE len($tokSql) > 0),
+          st AS (
+            SELECT doc_id, toks,
+                   unnest(range(0, len(toks), 6)) AS start,
+                   generate_subscripts(range(0, len(toks), 6), 1) - 1
+                     AS chunk_idx
+            FROM t)
+          SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+                 array_to_string(list_slice(toks, start + 1, start + 8),
+                   ' ') AS chunk_text,
+                 CAST(len(list_slice(toks, start + 1, start + 8))
+                   AS INTEGER) AS n_tokens
+          FROM st"""
   )
 }

@@ -97,6 +97,29 @@ object Analysis {
         .cast("double") / size(tokens).cast("double"), 6))
       .otherwise(lit(0.0))
 
+  /** Fraction of tokens taken by the single most frequent token —
+    * the Gopher-style "repetition" quality signal (a doc that is 40%
+    * one word is boilerplate/spam). In-row histogram over the
+    * distinct tokens: O(n·distinct) per row, no shuffle. Pass a
+    * *bound* token column (see [[graft.operators.Dedup.shingles]]'
+    * binding note) — `tokens` is referenced |distinct|+2 times.
+    */
+  def topTokenFraction(tokens: Column): Column =
+    when(size(tokens) > 0,
+      array_max(transform(array_distinct(tokens),
+        w => size(filter(tokens, t => t === w))))
+        .cast("double") / size(tokens))
+      .otherwise(lit(0.0))
+
+  /** Duplicate-n-gram fraction: 1 − distinct/total over word n-grams
+    * — high values flag internally repetitive documents. Per-row, no
+    * shuffle. Takes the *bound* gram array (from [[ngrams]]) so the
+    * gram assembly runs once per row, not once per reference. */
+  def dupGramFraction(grams: Column): Column =
+    when(size(grams) > 0,
+      lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams))
+      .otherwise(lit(0.0))
+
   /** Whole-document content fingerprint (exact-dedup key). */
   def fingerprint(text: Column): Column = md5(text)
 

@@ -28,6 +28,60 @@ class TextOpsSpec extends AnyFunSuite {
       .as[Seq[String]].head()
   }
 
+  test("repetition signals: hand-computed fractions and empty-doc zeros") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a a a b"),      // top: 3/4; bigrams [a a, a a, a b] → dup 1/3
+      (2L, "x y z"),        // all distinct → top 1/3, dup 0
+      (3L, "w"),            // single token → top 1, no bigrams → dup 0
+      (4L, "")              // empty → 0, 0
+    ).toDF("doc_id", "text")
+      .select($"doc_id", TextOps.tokenize($"text").as("toks"))
+      .select($"doc_id", $"toks", Analysis.ngrams($"toks", 2).as("grams"))
+      .select($"doc_id",
+        Analysis.topTokenFraction($"toks").as("top"),
+        Analysis.dupGramFraction($"grams").as("dup"))
+    val got = df.as[(Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((0.75, 1.0 - 2.0 / 3)))
+    assert(got(2L) == ((1.0 / 3, 0.0)))
+    assert(got(3L) == ((1.0, 0.0)))
+    assert(got(4L) == ((0.0, 0.0)))
+  }
+
+  test("chunking: strided windows, tail chunk, empty doc drops") {
+    import spark.implicits._
+    val toks = (1 to 14).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, toks), (2L, "")).toDF("doc_id", "text")
+    val got = graft.operators.Chunking.chunks(df, "doc_id",
+        TextOps.tokenize(col("text")), chunkSize = 8, stride = 6)
+      .as[(Long, Int, String, Int)].collect().sortBy(_._2)
+    // starts 0, 6, 12 → windows [1..8], [7..14], [13..14]
+    assert(got.map(_._1).forall(_ == 1L)) // empty doc contributes none
+    assert(got.map(c => (c._2, c._3, c._4)).toSeq == Seq(
+      (0, (1 to 8).map(i => s"t$i").mkString(" "), 8),
+      (1, (7 to 14).map(i => s"t$i").mkString(" "), 8),
+      (2, "t13 t14", 2)))
+  }
+
+  test("contamination: planted overlap counts and fractions") {
+    import spark.implicits._
+    // eval doc: tokens a b c d → shingles {a b c, b c d}
+    // corpus 10: a b c x y   → shingles {a b c, b c x, c x y}: overlap 1/3
+    // corpus 11: a b c d e   → 3 shingles, overlap 2 → 2/3
+    // corpus 12: p q r s     → no overlap → absent from output
+    val docs = Seq((1L, "a b c d"), (10L, "a b c x y"),
+      (11L, "a b c d e"), (12L, "p q r s")).toDF("doc_id", "text")
+    def sh(f: org.apache.spark.sql.DataFrame) =
+      graft.operators.Dedup.shingles(f, "doc_id",
+        TextOps.tokenize(col("text")))
+    val got = graft.operators.Dedup.contamination(
+        sh(docs.filter($"doc_id" >= 10)), sh(docs.filter($"doc_id" < 10)))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(got == Map(10L -> ((1L, 1.0 / 3)), 11L -> ((2L, 2.0 / 3))))
+  }
+
   test("clean: plain text lowercases and strips punctuation") {
     assert(cleanOne("Forest fire near La Ronge Sask. Canada") ==
       "forest fire near la ronge sask  canada")
