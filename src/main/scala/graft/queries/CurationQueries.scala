@@ -1,9 +1,11 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.core.Tables
 import graft.operators.Curation
-import graft.text.Analysis
+import graft.text.{Analysis, TextOps}
 
 /** The composite corpus-curation funnel (langid → quality gates →
   * exact dedup keep-first → token budgeting) as one oracle-checked
@@ -17,7 +19,27 @@ object CurationQueries {
   val queries: Map[String, Q] = Map(
     "c01_curate_corpus" -> ((s, d) =>
       Curation.curate(Tables.documents(s, d), "doc_id", "text",
-        keepLang = "en", minTokens = 20, minTtr = 0.35))
+        keepLang = "en", minTokens = 20, minTtr = 0.35)),
+
+    // Relative quality gate: keep each language's top 75% of docs by
+    // type-token ratio (percent_rank ≥ 0.25 — a distribution cut, not
+    // the absolute threshold c01 uses). percent_rank is rank-derived,
+    // so ties resolve identically in any engine, and the per-language
+    // window sort parallelizes across languages. At 100 TB with few
+    // distinct languages prefer the two-pass form: per-lang
+    // approx_percentile threshold (q17's sketch), broadcast, filter —
+    // constant memory, no global per-lang sort.
+    "c02_quality_gate" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id", $"lang", TextOps.tokenize($"text").as("__toks"))
+        .select($"doc_id", $"lang",
+          Analysis.typeTokenRatio($"__toks").as("ttr"))
+        .withColumn("pr", percent_rank().over(
+          Window.partitionBy($"lang").orderBy($"ttr")))
+        .filter($"pr" >= 0.25)
+        .select($"doc_id", $"lang", $"ttr")
+    })
   )
 
   private def sqlList(xs: Seq[String]): String =
@@ -44,6 +66,19 @@ object CurationQueries {
     .mkString(", ")
 
   val oracleSql: Map[String, String] = Map(
+    "c02_quality_gate" ->
+      s"""WITH t AS (
+            SELECT doc_id, lang,
+                   CASE WHEN len($tokSql) > 0
+                     THEN round(CAST(len(list_distinct($tokSql)) AS DOUBLE)
+                          / CAST(len($tokSql) AS DOUBLE), 6)
+                     ELSE 0.0 END AS ttr
+            FROM documents),
+          r AS (
+            SELECT doc_id, lang, ttr, percent_rank() OVER (
+              PARTITION BY lang ORDER BY ttr) AS pr
+            FROM t)
+          SELECT doc_id, lang, ttr FROM r WHERE pr >= 0.25""",
     "c01_curate_corpus" ->
       s"""WITH t AS (
             SELECT doc_id, text, $tokSql AS toks FROM documents),

@@ -272,6 +272,38 @@ object RelationalQueries {
           coalesce(col("5-LOW"), lit(0.0)).as("low"))
     }),
 
+    // GROUPING SETS with an explicit set list — the general form that
+    // rollup (q19) and cube (q20) are shorthands for; here the
+    // asymmetric {(p,s), (p), ()} lattice a report actually wants.
+    // One Expand + one hash-agg, same as rollup.
+    "q22_grouping_sets" -> ((s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .groupingSets(
+          Seq(Seq($"o_orderpriority", $"o_orderstatus"),
+            Seq($"o_orderpriority"), Seq.empty),
+          $"o_orderpriority", $"o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          round(sum($"o_totalprice"), 2).as("sum_price"))
+        .select(coalesce($"o_orderpriority", lit("(all)")).as("priority"),
+          coalesce($"o_orderstatus", lit("(all)")).as("status"),
+          $"n", $"sum_price")
+    }),
+
+    // Exact interpolated percentiles per group (type-7 / linear
+    // interpolation — the definition Spark's `percentile` and
+    // DuckDB's `quantile_cont` share). The exact form buffers a
+    // group's values, so it's the verification baseline; the 100 TB
+    // path with bounded memory is q17's approx_percentile sketch.
+    "q23_exact_percentiles" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d).groupBy($"l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 2).as("p99"))
+    }),
+
     // Skew-salted join: 8-way salt on the fact side, replicated dim —
     // identical semantics to the plain join (what the oracle runs),
     // hot keys spread over 8 reducers.
@@ -390,6 +422,18 @@ object RelationalQueries {
          coalesce(round(sum(o_totalprice) FILTER (o_orderpriority = '4-NOT SPECIFIED'), 2), 0.0) AS not_specified,
          coalesce(round(sum(o_totalprice) FILTER (o_orderpriority = '5-LOW'), 2), 0.0) AS low
          FROM orders GROUP BY 1""",
+    "q22_grouping_sets" ->
+      """SELECT coalesce(o_orderpriority, '(all)') AS priority,
+         coalesce(o_orderstatus, '(all)') AS status,
+         count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+         FROM orders GROUP BY GROUPING SETS (
+           (o_orderpriority, o_orderstatus), (o_orderpriority), ())""",
+    "q23_exact_percentiles" ->
+      """SELECT l_returnflag,
+         round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+         round(quantile_cont(l_extendedprice, 0.9), 2) AS p90,
+         round(quantile_cont(l_extendedprice, 0.99), 2) AS p99
+         FROM lineitem GROUP BY l_returnflag""",
     "q16_json_props" ->
       """SELECT event_type, count(*) AS n,
          round(avg(CAST(props->>'k' AS BIGINT)), 6) AS avg_k,
