@@ -40,7 +40,13 @@ object StreamQueries {
       EventStreams.enrichedSegmentCounts(Tables.events(s, d),
           Tables.customer(s, d))
         .select(unix_millis(col("w_start")).as("w_start_ms"),
-          col("c_mktsegment"), col("n"), col("sum_value")))
+          col("c_mktsegment"), col("n"), col("sum_value"))),
+
+    // Stream-stream join (batch semantics for the oracle; streaming
+    // convergence in EventStreamsSpec): purchases attributed to a
+    // same-user view within 30 minutes.
+    "st05_stream_stream_join" -> ((s, d) =>
+      EventStreams.attributedPurchases(Tables.events(s, d)))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -85,6 +91,14 @@ object StreamQueries {
          c_mktsegment, count(*) AS n,
          round(sum(value), 6) AS sum_value
          FROM events JOIN customer ON user_id = c_custkey
-         GROUP BY 1, 2"""
+         GROUP BY 1, 2""",
+    "st05_stream_stream_join" ->
+      """SELECT a.user_id, a.event_id AS view_id,
+         b.event_id AS purchase_id,
+         epoch_ms(b.ts) - epoch_ms(a.ts) AS lag_ms
+         FROM events a JOIN events b
+           ON a.user_id = b.user_id
+          AND a.event_type = 'view' AND b.event_type = 'purchase'
+          AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE"""
   )
 }

@@ -122,6 +122,38 @@ object EventStreams {
       .select(col("w.start").as("w_start"), col("c_mktsegment"),
         col("n"), col("sum_value"))
 
+  /** Watermarked stream-stream inner join: purchases attributed to a
+    * preceding view by the same user within `within` — the canonical
+    * two-stream correlation. The time-range join condition plus
+    * watermarks on BOTH sides is what bounds the join state: Spark
+    * derives how long each side's rows can matter and evicts state
+    * older than that, so state is O(rate × window), not O(stream).
+    * In batch mode (`withWatermark` is a no-op there) the same plan
+    * is the exact interval join the DuckDB oracle runs. Each side
+    * shuffles once on user_id; at 100 TB/day rates the watermark is
+    * the knob that trades late-data recall for state size.
+    */
+  def attributedPurchases(events: DataFrame,
+                          within: String = "30 minutes",
+                          watermark: String = "2 hours"): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("v_ts", watermark)
+    val buys = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", watermark)
+    views.join(buys,
+        col("v_user") === col("p_user") &&
+          col("p_ts") > col("v_ts") &&
+          col("p_ts") <= col("v_ts") + expr(s"INTERVAL $within"))
+      .select(col("v_user").as("user_id"), col("view_id"),
+        col("purchase_id"),
+        (unix_millis(col("p_ts")) - unix_millis(col("v_ts")))
+          .as("lag_ms"))
+  }
+
   /** Streaming exact dedup — the incremental face of
     * [[graft.operators.Dedup.exactDedup]]: documents arriving on a
     * stream are deduplicated by content hash across micro-batches,

@@ -123,6 +123,41 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join converges to the batch answer") {
+    import spark.implicits._
+    // (event_id, user_id, ts, event_type): user 1 view→purchase at
+    // +10 min (match) and a purchase at +40 min (outside the 30-min
+    // window); user 2 purchase BEFORE its view (no match); user 1's
+    // second view also precedes the +40 purchase within 30 (match).
+    val ev = Seq(
+      (100L, 1L, ts(0), "view"), (101L, 1L, ts(10), "purchase"),
+      (102L, 1L, ts(25), "view"), (103L, 1L, ts(40), "purchase"),
+      (200L, 2L, ts(5), "purchase"), (201L, 2L, ts(50), "view"))
+    def df(xs: Seq[(Long, Long, Timestamp, String)]) =
+      xs.toDF("event_id", "user_id", "ts", "event_type")
+    val batch = EventStreams.attributedPurchases(df(ev))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(batch == Set((1L, 100L, 101L, 10L * 60000L),
+      (1L, 102L, 103L, 15L * 60000L)))
+
+    val mem = MemoryStream[(Long, Long, Timestamp, String)](spark)
+    val q = EventStreams.attributedPurchases(
+        mem.toDS().toDF("event_id", "user_id", "ts", "event_type"))
+      .writeStream.format("memory")
+      .queryName("ssj_out").outputMode("append").start()
+    try {
+      // split so a view and its matching purchase arrive in
+      // DIFFERENT micro-batches — forcing the buffered join state
+      mem.addData(ev.take(3): _*)
+      q.processAllAvailable()
+      mem.addData(ev.drop(3): _*)
+      q.processAllAvailable()
+      val got = spark.table("ssj_out")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("tumbling windowed agg: streaming result equals batch result") {
     import spark.implicits._
     val events = rows.map(r => (r.user_id, r.ts, "click", r.value))
