@@ -138,7 +138,17 @@ object TextQueries {
     // split (chunk 8, stride 6: tail-biased overlap of 2).
     "t10_chunks" -> ((s, d) =>
       graft.operators.Chunking.chunks(Tables.documents(s, d), "doc_id",
-        TextOps.tokenize(col("text")), chunkSize = 8, stride = 6))
+        TextOps.tokenize(col("text")), chunkSize = 8, stride = 6)),
+
+    // Sequence packing: non-overlapping chunks concatenated per
+    // source shard and cut into 64-token packs (pack manifest:
+    // chunk + token counts per pack).
+    "t11_pack" -> ((s, d) => {
+      val ch = graft.operators.Chunking.chunks(Tables.documents(s, d),
+        "doc_id", TextOps.tokenize(col("text")), chunkSize = 8,
+        stride = 8, passthrough = Seq("source"))
+      graft.operators.Chunking.pack(ch, "source", budget = 64)
+    })
   )
 
   private val cleanSql =
@@ -256,6 +266,31 @@ object TextQueries {
                    ' ') AS chunk_text,
                  CAST(len(list_slice(toks, start + 1, start + 8))
                    AS INTEGER) AS n_tokens
-          FROM st"""
+          FROM st""",
+    "t11_pack" ->
+      s"""WITH t AS (
+            SELECT doc_id, source, $tokSql AS toks FROM documents
+            WHERE len($tokSql) > 0),
+          st AS (
+            SELECT doc_id, source, toks,
+                   unnest(range(0, len(toks), 8)) AS start,
+                   generate_subscripts(range(0, len(toks), 8), 1) - 1
+                     AS chunk_idx
+            FROM t),
+          ch AS (
+            SELECT doc_id, source, chunk_idx,
+                   len(list_slice(toks, start + 1, start + 8)) AS n_tokens
+            FROM st),
+          cum AS (
+            SELECT source, n_tokens,
+                   CAST(sum(n_tokens) OVER (
+                     PARTITION BY source ORDER BY doc_id, chunk_idx)
+                     AS BIGINT) AS cum
+            FROM ch)
+          SELECT source, CAST(floor((cum - n_tokens) / 64) AS BIGINT)
+                   AS pack_id,
+                 count(*) AS n_chunks,
+                 CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+          FROM cum GROUP BY 1, 2"""
   )
 }

@@ -64,6 +64,28 @@ class TextOpsSpec extends AnyFunSuite {
       (2, "t13 t14", 2)))
   }
 
+  test("sequence packing: budget windows, overrun chunk, group isolation") {
+    import spark.implicits._
+    // group g1: chunks of 4,4,3,4 tokens, budget 8 →
+    //   cum-before 0,4,8,11 → packs 0,0,1,1 (pack 1 = 7 tokens)
+    // group g2: single 9-token doc, chunkSize 4 → chunks 4,4,1 →
+    //   cum-before 0,4,8 → packs 0,0,1
+    val docs = Seq(
+      (1L, "g1", (1 to 4).map("a" + _).mkString(" ")),
+      (2L, "g1", (1 to 7).map("b" + _).mkString(" ")),
+      (3L, "g1", (1 to 4).map("c" + _).mkString(" ")),
+      (10L, "g2", (1 to 9).map("d" + _).mkString(" "))
+    ).toDF("doc_id", "source", "text")
+    val ch = graft.operators.Chunking.chunks(docs, "doc_id",
+      TextOps.tokenize(col("text")), chunkSize = 4, stride = 4,
+      passthrough = Seq("source"))
+    val got = graft.operators.Chunking.pack(ch, "source", budget = 8)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("g1", 0L, 2L, 8L), ("g1", 1L, 2L, 7L),
+      ("g2", 0L, 2L, 8L), ("g2", 1L, 1L, 1L)))
+  }
+
   test("contamination: planted overlap counts and fractions") {
     import spark.implicits._
     // eval doc: tokens a b c d → shingles {a b c, b c d}
