@@ -205,6 +205,23 @@ object Similarity {
     * baseline and the small-slice oracle query; the scale path is
     * [[cosineDupPairs]].
     */
+  /** Per-label centroid of an embedding column, exploded to (label,
+    * dim, centroid) rows. The shape that scales: `posexplode` fans
+    * each vector into dim rows, but partial (map-side) aggregation
+    * collapses every partition to ≤ |labels|×dim running sums before
+    * the shuffle, so shuffle volume is O(partitions × labels × dims)
+    * regardless of corpus size. Float sums reassociate across
+    * partitions, so the mean is rounded at aggregate level (the
+    * established oracle discipline) — round-6 leaves ~8 orders of
+    * magnitude between FP jitter and the comparison grid.
+    */
+  def labelCentroids(emb: DataFrame, labelCol: String = "label",
+      vecCol: String = "embedding"): DataFrame =
+    emb.select(col(labelCol).as("label"),
+        posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(round(avg(col("v").cast("double")), 6).as("centroid"))
+
   def cosineDupPairsExact(corpus: DataFrame, threshold: Double,
                           idCol: String = "vec_id",
                           vecCol: String = "embedding"): DataFrame = {

@@ -49,4 +49,23 @@ object Splits {
     hashBucket(concat(stratum.cast("string"), lit(":"), id.cast("string")),
       salt, 100) < ratePct
   }
+
+  /** Per-group mixture sampling — the source-mixing-weights step of
+    * pre-training data composition: each group keeps its own fraction
+    * (e.g. wiki 80%, crawl 10%). The rate table is a driver-side
+    * literal folded into one CASE expression, so there is no join and
+    * no shuffle — the gate rides inside the scan stage like the other
+    * split filters. Groups absent from `ratesPct` fall back to
+    * `defaultPct`.
+    */
+  def mixtureKeep(id: Column, group: Column, salt: String,
+      ratesPct: Seq[(String, Int)], defaultPct: Int): Column = {
+    require((defaultPct +: ratesPct.map(_._2))
+      .forall(r => r >= 0 && r <= 100))
+    val rate = ratesPct.foldLeft(lit(defaultPct)) { case (acc, (g, r)) =>
+      when(group === g, lit(r)).otherwise(acc)
+    }
+    hashBucket(concat(group.cast("string"), lit(":"), id.cast("string")),
+      salt, 100) < rate
+  }
 }

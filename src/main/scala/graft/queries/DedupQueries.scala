@@ -137,7 +137,11 @@ object DedupQueries {
     "e05_knn_ivf" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.ivfKnn(emb, emb.filter(col("vec_id") < 10), k = 10)
-    })
+    }),
+
+    // Per-label embedding centroids (map-side-combined dim-keyed agg).
+    "e06_label_centroids" -> ((s, d) =>
+      Similarity.labelCentroids(Tables.embeddings(s, d)))
   )
 
   /** Shared SQL fragments, mirrored from the Scala operators. */
@@ -359,6 +363,13 @@ object DedupQueries {
             JOIN e ea ON cand.a = ea.id
             JOIN e eb ON cand.b = eb.id)
           WHERE cos >= 0.4""",
+    "e06_label_centroids" ->
+      """SELECT label, CAST(pos - 1 AS INTEGER) AS dim,
+         round(avg(CAST(v AS DOUBLE)), 6) AS centroid
+         FROM (SELECT label, unnest(embedding) AS v,
+                      generate_subscripts(embedding, 1) AS pos
+               FROM embeddings)
+         GROUP BY 1, 2""",
     "e03_cosine_dup_pairs" ->
       s"""WITH e AS (
             SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500)

@@ -29,8 +29,20 @@ object SplitQueries {
       Tables.documents(s, d)
         .filter(Splits.stratifiedKeep(col("doc_id"), col("lang"), Salt,
           ratePct = 30))
-        .select(col("doc_id"), col("lang")))
+        .select(col("doc_id"), col("lang"))),
+
+    // Source-mixture sampling: per-source keep rates (mixing weights),
+    // deterministic by content hash, zero shuffle.
+    "sp03_source_mix" -> ((s, d) =>
+      Tables.documents(s, d)
+        .filter(Splits.mixtureKeep(col("doc_id"), col("source"), Salt,
+          MixRates, defaultPct = 30))
+        .select(col("doc_id"), col("source")))
   )
+
+  /** Mixing weights for sp03 — shared by the query and its oracle. */
+  private val MixRates: Seq[(String, Int)] =
+    Seq("src0" -> 80, "src1" -> 50, "src2" -> 10)
 
   /** DuckDB mirror of [[Splits.hashBucket]]: same md5 string, same
     * 15-hex-char (60-bit, always-positive) prefix, hex→long via
@@ -52,6 +64,14 @@ object SplitQueries {
           FROM documents""",
     "sp02_stratified_sample" ->
       s"""SELECT doc_id, lang FROM documents
-          WHERE ${bucketSql("lang || ':' || CAST(doc_id AS VARCHAR)")} < 30"""
+          WHERE ${bucketSql("lang || ':' || CAST(doc_id AS VARCHAR)")} < 30""",
+    "sp03_source_mix" -> {
+      val rateCase = MixRates
+        .map { case (g, r) => s"WHEN source = '$g' THEN $r" }
+        .mkString("CASE ", " ", " ELSE 30 END")
+      s"""SELECT doc_id, source FROM documents
+          WHERE ${bucketSql("source || ':' || CAST(doc_id AS VARCHAR)")}
+                < $rateCase"""
+    }
   )
 }

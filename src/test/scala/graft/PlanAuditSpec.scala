@@ -29,6 +29,22 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("pack runs on one shuffle; contamination join stays broadcast") {
+    // t11_pack: the groupBy(source, pack_id) must reuse the window's
+    // hashpartitioning(source) — a second Exchange means the
+    // single-shuffle design regressed.
+    val pack = PlanSummary.finalPlanString(
+      SparkEntry.queries("t11_pack")(spark, sf))
+    assert("Exchange".r.findAllIn(pack).length == 1,
+      s"t11_pack shuffled more than once:\n$pack")
+    // d07: the corpus-side join against eval shingles is hinted
+    // broadcast — the 100 TB side must never shuffle for it.
+    val cont = PlanSummary.finalPlanString(
+      SparkEntry.queries("d07_decontaminate")(spark, sf))
+    assert(cont.contains("BroadcastHashJoin"),
+      s"d07 lost the broadcast join:\n$cont")
+  }
+
   test("finalPlanString reads the post-AQE plan, not the initial one") {
     val df = SparkEntry.queries("q01_agg_pricing")(spark, sf)
     // before execution the AQE string has no codegen markers — the
