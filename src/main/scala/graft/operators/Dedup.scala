@@ -366,8 +366,13 @@ object Dedup {
       .persist()
     edges.count() // materialize once; every round re-reads this
     p.unpersist()
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
+    // init fused with round 1: label(x) = min(x, min neighbor) is one
+    // aggregation over the edge list — the separate distinct-nodes
+    // pass and the first loop round would each cost the same shuffle.
+    var labels = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("nmin"))
+      .select(col("src").as("node"),
+        least(col("src"), col("nmin")).as("label"))
       .localCheckpoint()
     var changed = 1L
     var iter = 0
