@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic content-hash dataset splitting and sampling — how a
@@ -23,9 +24,16 @@ object Splits {
     */
   def hashBucket(id: Column, salt: String, n: Int): Column = {
     require(n > 0)
-    pmod(conv(substring(md5(concat(id.cast("string"), lit("|" + salt))),
-      1, 15), 16, 10).cast("long"), lit(n.toLong))
+    pmod(hash60(id, salt), lit(n.toLong))
   }
+
+  /** The 60-bit always-positive content hash under [[hashBucket]],
+    * exposed directly where a total deterministic priority order is
+    * needed rather than a bucket.
+    */
+  def hash60(id: Column, salt: String): Column =
+    conv(substring(md5(concat(id.cast("string"), lit("|" + salt))),
+      1, 15), 16, 10).cast("long")
 
   /** Bucket → named split. `trainPct + valPct` must be <= 100; the
     * remainder is "test".
@@ -67,5 +75,61 @@ object Splits {
     }
     hashBucket(concat(group.cast("string"), lit(":"), id.cast("string")),
       salt, 100) < rate
+  }
+
+  /** Per-group token-budget cap — the "keep N tokens of this source"
+    * step of mixture composition. Greedy prefix in deterministic
+    * hash-priority order: a row is kept iff the `costCol` sum of all
+    * strictly-higher-priority rows of its group is still under
+    * `budget`. So each group overshoots by at most one document, the
+    * highest-priority document of a group is always kept, and the
+    * selection is reproducible on any partitioning or engine.
+    *
+    * Scale shape: the naive plan is one window sort over every row of
+    * a group — a full sort of a 100 TB source to cut it to a 1 TB
+    * budget, on ONE reducer per group. Instead the 60-bit hash is
+    * range-bucketed by its top bits (`buckets` must be a power of
+    * two, so bucket order IS priority order) and per-(group, bucket)
+    * cost sums roll up to a `groups × buckets` prefix table — tiny,
+    * broadcast — that decides whole buckets: `keep` when its prefix
+    * plus its own sum fits the budget, `drop` when the prefix alone
+    * is already over. Only the single boundary bucket per group
+    * (~1/`buckets` of the group) pays the exact per-row running sum,
+    * and the full-keep rows never shuffle at all.
+    */
+  def tokenBudgetCap(docs: DataFrame, idCol: String, groupCol: String,
+      costCol: String, salt: String, budget: Long,
+      buckets: Int = 1024): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(buckets > 0 && (buckets & (buckets - 1)) == 0,
+      "buckets must be a power of two")
+    val shift = 60 - (31 - Integer.numberOfLeadingZeros(buckets))
+    val withRk = docs
+      .withColumn("__rk", hash60(col(idCol), salt))
+      .withColumn("__bkt", shiftright(col("__rk"), shift))
+    val byBucket = Window.partitionBy(col(groupCol)).orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val states = withRk.groupBy(col(groupCol), col("__bkt"))
+      .agg(sum(col(costCol)).as("__bsum"))
+      .withColumn("__before",
+        coalesce(sum(col("__bsum")).over(byBucket), lit(0L)))
+      .withColumn("__state",
+        when(col("__before") + col("__bsum") <= budget, lit("keep"))
+          .when(col("__before") >= budget, lit("drop"))
+          .otherwise(lit("edge")))
+      .select(col(groupCol), col("__bkt"), col("__state"), col("__before"))
+    val tagged = withRk.join(broadcast(states), Seq(groupCol, "__bkt"))
+    val inBucket = Window
+      .partitionBy(col(groupCol), col("__bkt"))
+      .orderBy(col("__rk"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val edgeKept = tagged.filter(col("__state") === "edge")
+      .withColumn("__cum",
+        col("__before") + coalesce(sum(col(costCol)).over(inBucket), lit(0L)))
+      .filter(col("__cum") < budget)
+      .drop("__cum")
+    tagged.filter(col("__state") === "keep")
+      .unionByName(edgeKept)
+      .select(docs.columns.map(col): _*) // join put the key first; restore
   }
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.operators.Splits
+import graft.text.TextOps
 
 /** Deterministic dataset-splitting pack over `documents` — the
   * reproducible (hash-based, shuffle-free) alternative to seeded
@@ -37,12 +38,29 @@ object SplitQueries {
       Tables.documents(s, d)
         .filter(Splits.mixtureKeep(col("doc_id"), col("source"), Salt,
           MixRates, defaultPct = 30))
-        .select(col("doc_id"), col("source")))
+        .select(col("doc_id"), col("source"))),
+
+    // Per-source token-budget cap: greedy hash-priority prefix until
+    // each source has spent its token budget. buckets=8 (not the
+    // 1024 default) so the bucketed fast path AND the boundary-bucket
+    // exact path are both exercised at sf0.01's ~25 docs/source.
+    "sp04_token_budget" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        size(TextOps.tokenize(col("text"))).cast("long").as("n_tokens"))
+      Splits.tokenBudgetCap(docs, "doc_id", "source", "n_tokens", Salt,
+          budget = TokenBudget, buckets = 8)
+        .select(col("doc_id"), col("source"), col("n_tokens"))
+    })
   )
 
   /** Mixing weights for sp03 — shared by the query and its oracle. */
   private val MixRates: Seq[(String, Int)] =
     Seq("src0" -> 80, "src1" -> 50, "src2" -> 10)
+
+  /** sp04's per-source whitespace-token budget — ~1/3 of a source's
+    * total at sf0.01, so keeps and drops both occur in every source.
+    */
+  private val TokenBudget = 400L
 
   /** DuckDB mirror of [[Splits.hashBucket]]: same md5 string, same
     * 15-hex-char (60-bit, always-positive) prefix, hex→long via
@@ -72,6 +90,26 @@ object SplitQueries {
       s"""SELECT doc_id, source FROM documents
           WHERE ${bucketSql("source || ':' || CAST(doc_id AS VARCHAR)")}
                 < $rateCase"""
-    }
+    },
+    // The oracle states the SEMANTICS (one exact running-sum window
+    // in hash-priority order); the Spark side must produce the same
+    // set through its bucketed two-level plan.
+    "sp04_token_budget" ->
+      s"""WITH r AS (
+            SELECT doc_id, source,
+                   CAST(len(list_filter(string_split(text, ' '),
+                     w -> len(w) > 0)) AS BIGINT) AS n_tokens,
+                   CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+                     || '|$Salt'), 1, 15)) AS BIGINT) AS rk
+            FROM documents),
+          c AS (
+            SELECT doc_id, source, n_tokens,
+                   coalesce(sum(n_tokens) OVER (PARTITION BY source
+                     ORDER BY rk, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS cum_before
+            FROM r)
+          SELECT doc_id, source, n_tokens FROM c
+          WHERE cum_before < $TokenBudget"""
   )
 }

@@ -105,6 +105,41 @@ class TemporalOpsSpec extends AnyFunSuite {
     kept.values.foreach(n => assert(n > 200 && n < 400, s"rate off: $n/1000"))
   }
 
+  test("tokenBudgetCap matches the exact-window semantics at every " +
+      "bucket count") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.{Window => W}
+    // group a: many small docs (budget cuts mid-group); group b: the
+    // highest-priority doc alone exceeds the budget (kept anyway,
+    // rest dropped); group c: total under budget (all kept)
+    val rows =
+      (0L until 60L).map(i => (i, "a", 10L + i % 7)) ++
+      (100L until 105L).map(i => (i, "b", 500L)) ++
+      (200L until 205L).map(i => (i, "c", 20L))
+    val df = rows.toDF("id", "g", "cost")
+    val budget = 300L
+    val w = W.partitionBy($"g").orderBy($"__rk", $"id")
+      .rowsBetween(W.unboundedPreceding, -1)
+    val expected = df
+      .withColumn("__rk", Splits.hash60($"id", "s4"))
+      .withColumn("__cum", coalesce(sum($"cost").over(w), lit(0L)))
+      .filter($"__cum" < budget)
+      .select($"id", $"g", $"cost")
+      .as[(Long, String, Long)].collect().toSet
+    // budget cuts group a (60 docs × ~13 avg vs 300) and group b
+    // keeps exactly its first-priority doc
+    assert(expected.count(_._2 == "a") > 5)
+    assert(expected.count(_._2 == "a") < 40)
+    assert(expected.count(_._2 == "b") == 1)
+    assert(expected.count(_._2 == "c") == 5)
+    for (buckets <- Seq(1, 2, 8, 1024)) {
+      val got = Splits
+        .tokenBudgetCap(df, "id", "g", "cost", "s4", budget, buckets)
+        .as[(Long, String, Long)].collect().toSet
+      assert(got == expected, s"buckets=$buckets diverged")
+    }
+  }
+
   test("pii redaction chain handles mixed content in one pass") {
     import spark.implicits._
     val redacted = Seq(
