@@ -52,4 +52,34 @@ object Curation {
       .filter(col("rk") === 1)
       .drop("rk")
   }
+
+  /** Incremental corpus upsert — the MERGE that folds a change batch
+    * into a base snapshot: the latest delta version of a key replaces
+    * the base row, a tombstone (`deleteCol` = true) at the latest
+    * version drops the key, untouched base rows pass through. `delta`
+    * carries the base schema plus `versionCol` and `deleteCol`;
+    * versions must be unique per key (the tie is otherwise
+    * non-deterministic).
+    *
+    * Scale shape: the obvious plan — window over base ∪ delta —
+    * re-shuffles the whole 100 TB snapshot to apply a GB-scale batch.
+    * Here base is touched only by a LEFT ANTI against the delta's key
+    * set, explicitly broadcast: base rows stream through their scan
+    * unshuffled, and the latest-version window runs on the delta
+    * alone. When a delta outgrows broadcast size, drop the hint and
+    * the same plan degrades gracefully to a shuffled anti join of the
+    * slim key projection.
+    */
+  def upsert(base: DataFrame, delta: DataFrame, keyCol: String,
+      versionCol: String, deleteCol: String): DataFrame = {
+    val latest = delta
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col(keyCol)).orderBy(col(versionCol).desc)))
+      .filter(col("__rk") === 1)
+      .drop("__rk")
+    val untouched = base.join(broadcast(latest.select(col(keyCol))),
+      Seq(keyCol), "left_anti")
+    untouched.unionByName(
+      latest.filter(!col(deleteCol)).drop(versionCol, deleteCol))
+  }
 }

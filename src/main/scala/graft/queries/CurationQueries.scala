@@ -39,6 +39,31 @@ object CurationQueries {
           Window.partitionBy($"lang").orderBy($"ttr")))
         .filter($"pr" >= 0.25)
         .select($"doc_id", $"lang", $"ttr")
+    }),
+
+    // Incremental upsert: a deterministic synthetic change batch
+    // (v1 updates incl. tombstones at doc_id%21, v2 updates at
+    // doc_id%14 that override v1 — incl. resurrecting the %42
+    // tombstones — and inserts at doc_id%13 shifted past the id
+    // space) merged into the documents snapshot. Base rows are only
+    // touched by a broadcast anti join — no snapshot shuffle.
+    "c03_incremental_upsert" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val base = docs.select(col("doc_id"), col("source"), col("n_chars"))
+      val v1 = docs.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), lit("delta").as("source"),
+          (col("n_chars") + 1000).as("n_chars"), lit(1L).as("version"),
+          (col("doc_id") % 21 === 0).as("is_delete"))
+      val v2 = docs.filter(col("doc_id") % 14 === 0)
+        .select(col("doc_id"), lit("delta2").as("source"),
+          (col("n_chars") + 2000).as("n_chars"), lit(2L).as("version"),
+          lit(false).as("is_delete"))
+      val ins = docs.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          lit("new").as("source"), col("n_chars"), lit(1L).as("version"),
+          lit(false).as("is_delete"))
+      Curation.upsert(base, v1.unionByName(v2).unionByName(ins),
+        "doc_id", "version", "is_delete")
     })
   )
 
@@ -103,6 +128,29 @@ object CurationQueries {
           SELECT doc_id, lang_pred, n_tokens, ttr, bpe_tokens, fp
           FROM (SELECT *, row_number() OVER (
                   PARTITION BY fp ORDER BY doc_id) AS rk FROM kept)
-          WHERE rk = 1"""
+          WHERE rk = 1""",
+    "c03_incremental_upsert" ->
+      s"""WITH delta AS (
+            SELECT doc_id, 'delta' AS source, n_chars + 1000 AS n_chars,
+                   1 AS version, (doc_id % 21 = 0) AS is_delete
+            FROM documents WHERE doc_id % 7 = 0
+            UNION ALL
+            SELECT doc_id, 'delta2', n_chars + 2000, 2, false
+            FROM documents WHERE doc_id % 14 = 0
+            UNION ALL
+            SELECT doc_id + 1000000, 'new', n_chars, 1, false
+            FROM documents WHERE doc_id % 13 = 0),
+          latest AS (
+            SELECT doc_id, source, n_chars, is_delete
+            FROM (SELECT *, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY version DESC) AS rk
+                  FROM delta)
+            WHERE rk = 1)
+          SELECT b.doc_id, b.source, b.n_chars
+          FROM documents b LEFT JOIN latest l ON b.doc_id = l.doc_id
+          WHERE l.doc_id IS NULL
+          UNION ALL
+          SELECT doc_id, source, n_chars FROM latest
+          WHERE NOT is_delete"""
   )
 }

@@ -55,4 +55,23 @@ class CurationSpec extends AnyFunSuite {
     val kept = Curation.curate(docs, "doc_id", "text").collect()
     assert(kept.map(_.getLong(0)).toSeq == Seq(3L))
   }
+
+  test("upsert: latest version wins, tombstones drop, a later version " +
+      "resurrects, base stays unshuffled behind a broadcast anti join") {
+    import spark.implicits._
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c"), (5L, "e"))
+      .toDF("id", "v")
+    val delta = Seq(
+      (2L, "b1", 1L, false), (2L, "b2", 2L, false), // v2 beats v1
+      (3L, "x", 1L, true),                          // tombstone → dropped
+      (5L, "x", 1L, true), (5L, "e2", 2L, false),   // later v resurrects
+      (4L, "d", 1L, false)                          // insert
+    ).toDF("id", "v", "version", "is_delete")
+    val out = Curation.upsert(base, delta, "id", "version", "is_delete")
+    assert(out.as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b2"), (4L, "d"), (5L, "e2")))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"base side should anti-join against a broadcast key set:\n$plan")
+  }
 }
