@@ -339,6 +339,50 @@ object Dedup {
           .as("contamination"))
   }
 
+  /** [[contamination]] for when the eval suite is itself too large to
+    * broadcast as an exact shingle set (many benchmarks × many
+    * shingles): the two-phase runtime-filter pattern, with identical
+    * output.
+    *
+    * Phase 1 reduces the eval shingles to Spark's own runtime-filter
+    * sketch — `BloomFilterAggregate` over `xxhash64`, a distributed
+    * agg whose result is a fixed `numBits` of bloom bits however big
+    * the eval side is. Phase 2 prunes the corpus scan with
+    * `might_contain` — codegen'd, map-side, zero shuffle, exactly
+    * what AQE's InjectRuntimeFilter builds for shuffle joins, here
+    * applied deliberately. Phase 3 exact-confirms only the surviving
+    * candidates with a semi join, so bloom false positives never
+    * reach the result: output ≡ [[contamination]] row for row, which
+    * is what lets d08 share d07's DuckDB oracle.
+    */
+  def contaminationBloom(corpusSh: DataFrame, evalSh: DataFrame,
+      expectedItems: Long = 1L << 22,
+      numBits: Long = 1L << 25): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.types.BinaryType
+    val bloomAgg = ColumnBridge.column(
+      new BloomFilterAggregate(
+        ColumnBridge.expression(xxhash64(col("shingle"))),
+        Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+    val bloomBits = evalSh.select(bloomAgg.as("bf")).head.getAs[Array[Byte]](0)
+    val mightContain = ColumnBridge.column(new BloomFilterMightContain(
+      Literal.create(bloomBits, BinaryType),
+      ColumnBridge.expression(xxhash64(col("shingle")))))
+    val sizes = corpusSh.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"))
+    val overlap = corpusSh.filter(mightContain)
+      .join(evalSh.select(col("shingle")).distinct(), Seq("shingle"),
+        "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+    overlap.join(sizes, Seq("doc_id"))
+      .select(col("doc_id"), col("n_overlap"),
+        (col("n_overlap").cast("double") / col("n_shingles"))
+          .as("contamination"))
+  }
+
   /** Connected components over a near-dup pair list: every document
     * that appears in some pair is labeled with the minimum doc id of
     * its duplicate cluster — the canonical representative a keep-one

@@ -87,6 +87,21 @@ object DedupQueries {
       Dedup.contamination(corpusSh, evalSh)
     }),
 
+    // d07's semantics through the runtime-filter scale path: bloom
+    // sketch of the eval shingles (for when that side outgrows an
+    // exact broadcast set) prunes the corpus map-side, then a semi
+    // join confirms — false positives can't survive, so d08 shares
+    // d07's oracle verbatim. Sized ~16 bits/shingle at sf scale.
+    "d08_decontaminate_bloom" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpusSh = Dedup.shingles(
+        docs.filter(col("doc_id") >= 100), "doc_id", docTokens(s))
+      val evalSh = Dedup.shingles(
+        docs.filter(col("doc_id") < 100), "doc_id", docTokens(s))
+      Dedup.contaminationBloom(corpusSh, evalSh,
+        expectedItems = 1L << 16, numBits = 1L << 20)
+    }),
+
     // NOTE: jaccardPairs(maxShingleDf) — the hot-shingle survival mode
     // — is deliberately NOT benched on this corpus: the synthetic
     // 31-word vocabulary makes EVERY shingle hot (avg df ≈ 83 at
@@ -227,6 +242,21 @@ object DedupQueries {
       bucketSql(vec, Similarity.randomPlanes(numPlanes, 64, seed + 1000L * t)))
       .mkString("[", ", ", "]")
 
+  /** Shared by d07 (exact broadcast set) and d08 (bloom + confirm):
+    * the two plans compute the same relation.
+    */
+  private val decontaminateSql =
+    s"""WITH ${shingleCte()},
+        ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 100),
+        corp AS (SELECT * FROM sh WHERE doc_id >= 100),
+        sizes AS (SELECT doc_id, count(*) AS n FROM corp GROUP BY 1),
+        ov AS (
+          SELECT doc_id, count(*) AS n_overlap
+          FROM corp JOIN ev USING (shingle) GROUP BY 1)
+        SELECT ov.doc_id, ov.n_overlap,
+               CAST(ov.n_overlap AS DOUBLE) / sizes.n AS contamination
+        FROM ov JOIN sizes ON ov.doc_id = sizes.doc_id"""
+
   val oracleSql: Map[String, String] = Map(
     "d01_dedup_exact" ->
       """SELECT md5(text) AS content_hash, count(*) AS n_copies,
@@ -262,17 +292,10 @@ object DedupQueries {
             FROM reach r JOIN edges e ON e.a = r.node)
           SELECT node AS doc_id, min(root) AS cluster_id
           FROM reach GROUP BY node""",
-    "d07_decontaminate" ->
-      s"""WITH ${shingleCte()},
-          ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 100),
-          corp AS (SELECT * FROM sh WHERE doc_id >= 100),
-          sizes AS (SELECT doc_id, count(*) AS n FROM corp GROUP BY 1),
-          ov AS (
-            SELECT doc_id, count(*) AS n_overlap
-            FROM corp JOIN ev USING (shingle) GROUP BY 1)
-          SELECT ov.doc_id, ov.n_overlap,
-                 CAST(ov.n_overlap AS DOUBLE) / sizes.n AS contamination
-          FROM ov JOIN sizes ON ov.doc_id = sizes.doc_id""",
+    "d07_decontaminate" -> decontaminateSql,
+    // same oracle by design: the bloom phase only prunes, the semi
+    // join confirms — the result set must be identical to d07's
+    "d08_decontaminate_bloom" -> decontaminateSql,
     "e01_knn_brute" ->
       s"""WITH q AS (
             SELECT vec_id AS q_id, embedding AS q_vec

@@ -284,6 +284,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(r8 >= 0.8, s"recall@8=$r8")
   }
 
+  test("contaminationBloom ≡ contamination on the sf0.001 corpus, " +
+      "including at bloom sizes that force false positives") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val toks = TextOps.tokenize(col("text"))
+    val corpusSh = Dedup.shingles(docs.filter(col("doc_id") >= 20),
+      "doc_id", toks)
+    val evalSh = Dedup.shingles(docs.filter(col("doc_id") < 20),
+      "doc_id", toks)
+    val exact = Dedup.contamination(corpusSh, evalSh)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    // generous sizing AND a deliberately undersized filter (64 bits
+    // for thousands of shingles → false positives on most rows): the
+    // confirm join must erase the difference either way
+    for ((items, bits) <- Seq((1L << 16, 1L << 20), (8L, 64L))) {
+      val bloom = Dedup
+        .contaminationBloom(corpusSh, evalSh, items, bits)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(bloom == exact, s"items=$items bits=$bits diverged")
+    }
+  }
+
   test("dup clusters: components, min-id labels, multi-round chains") {
     import spark.implicits._
     // triangle {1,2,3}, edge {10,11}, cycle {20,21,22}, and a 9-hop
