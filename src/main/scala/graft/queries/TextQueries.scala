@@ -148,8 +148,34 @@ object TextQueries {
         "doc_id", TextOps.tokenize(col("text")), chunkSize = 8,
         stride = 8, passthrough = Seq("source"))
       graft.operators.Chunking.pack(ch, "source", budget = 64)
+    }),
+
+    // Unigram-LM document scoring — the cheap stand-in for perplexity
+    // filtering. Pass 1 estimates a top-V MLE model (one word-count
+    // agg; V bounded, collected to the driver); pass 2 scores every
+    // document purely in-row against the literal model map, OOV words
+    // at a 0.5-count floor. V=20 < the corpus vocabulary, so the OOV
+    // path is genuinely exercised.
+    "t12_unigram_logprob" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.tokenize(col("text")).as("toks"))
+      val counts = toks.select(explode(col("toks")).as("word"))
+        .groupBy(col("word")).count()
+      val total = counts.agg(sum(col("count"))).head.getLong(0).toDouble
+      val model = counts
+        .orderBy(col("count").desc, col("word")).limit(UnigramV)
+        .collect()
+        .map(r => r.getString(0) -> math.log(r.getLong(1) / total))
+        .toMap
+      val floorLp = math.log(0.5 / total)
+      toks.select(col("doc_id"), size(col("toks")).as("n_tokens"),
+        Analysis.unigramAvgLogProb(col("toks"), model, floorLp)
+          .as("avg_logprob"))
     })
   )
+
+  /** Unigram model size for t12 — shared with its oracle. */
+  private val UnigramV = 20
 
   private val cleanSql =
     """ltrim(regexp_replace(regexp_replace(lower(text),
@@ -291,6 +317,22 @@ object TextQueries {
                    AS pack_id,
                  count(*) AS n_chunks,
                  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
-          FROM cum GROUP BY 1, 2"""
+          FROM cum GROUP BY 1, 2""",
+    // top-V MLE tie-break (cnt DESC, word) and the 0.5-count OOV
+    // floor mirror the Spark pass exactly; the per-doc mean is
+    // rounded once at the aggregate
+    "t12_unigram_logprob" ->
+      s"""WITH toks AS (SELECT doc_id, $tokSql AS toks FROM documents),
+          u AS (SELECT doc_id, unnest(toks) AS word FROM toks),
+          c AS (SELECT word, count(*) AS cnt FROM u GROUP BY 1),
+          tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM c),
+          v AS (SELECT word, ln(cnt / (SELECT total FROM tot)) AS lp
+                FROM c ORDER BY cnt DESC, word LIMIT $UnigramV),
+          sc AS (SELECT u.doc_id,
+                   coalesce(v.lp, ln(0.5 / (SELECT total FROM tot))) AS lp
+                 FROM u LEFT JOIN v USING (word))
+          SELECT doc_id, CAST(count(*) AS INTEGER) AS n_tokens,
+                 round(sum(lp) / count(*), 6) AS avg_logprob
+          FROM sc GROUP BY doc_id"""
   )
 }

@@ -61,6 +61,23 @@ object Analysis {
     } // foldRight → first lang in priority order wins ties
   }
 
+  /** Mean per-token natural-log probability under a unigram model —
+    * the cheap stand-in for perplexity-based quality filtering. The
+    * model is a driver-side `Map` (top-V MLE estimates; V is bounded,
+    * so the literal map is small) folded into the expression: lookup,
+    * OOV floor, in-row sum and mean all happen inside the scan's
+    * codegen stage — per-token rows never exist, nothing shuffles.
+    * Rounded once at the aggregate (engine-portable).
+    */
+  def unigramAvgLogProb(tokens: Column, model: Map[String, Double],
+      floorLp: Double): Column = {
+    val m = typedLit(model)
+    val s = aggregate(
+      transform(tokens, t => coalesce(try_element_at(m, t), lit(floorLp))),
+      lit(0.0), (acc, x) => acc + x)
+    when(size(tokens) > 0, round(s / size(tokens), 6)).otherwise(lit(0.0))
+  }
+
   /** Quality-score feature columns for a document (text + tokens).
     * Returned as a struct so callers can `select(quality(...).as("q"))`
     * or splat individual fields.

@@ -257,4 +257,20 @@ class TextOpsSpec extends AnyFunSuite {
     assert(row.getDouble(3) == 3.8)     // (3+4+3+4+5)/5
     assert(row.getDouble(4) == 0.4)     // 2×"the" of 5
   }
+
+  test("unigramAvgLogProb: model lookup, OOV floor, empty doc") {
+    import spark.implicits._
+    val model = Map("a" -> math.log(0.5), "b" -> math.log(0.25))
+    val floor = math.log(0.01)
+    val df = Seq("a b", "a zzz", "").toDF("text")
+    val got = df.select(
+      Analysis.unigramAvgLogProb(TextOps.tokenize($"text"), model, floor))
+      .as[Double].collect().toSeq
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Seq(
+      r6((math.log(0.5) + math.log(0.25)) / 2),
+      r6((math.log(0.5) + floor) / 2),
+      0.0))
+  }
 }
