@@ -222,6 +222,28 @@ object Similarity {
       .groupBy(col("label"), col("dim"))
       .agg(round(avg(col("v").cast("double")), 6).as("centroid"))
 
+  /** Symmetric per-vector int8 quantization — the embedding
+    * compression step of a corpus-scale vector store (4 bytes/dim →
+    * 1 byte/dim + one float scale; reconstruction x̂ = q/scale, error
+    * ≤ maxAbs/254 per dim). Returns a struct `(scale, q)`; zero
+    * vectors quantize to scale 0 and all-zero codes.
+    *
+    * Entirely in-row (transform + array_max inside the scan's codegen
+    * stage — nothing shuffles, scales with the scan). `floor(x·s+0.5)`
+    * rather than `round`: floor is IEEE-exact and engine-portable,
+    * while round's half-case mode differs across engines (the
+    * [[graft.queries.DedupQueries]] oracle discipline).
+    */
+  def quantizeInt8(vec: Column): Column = {
+    val maxAbs = array_max(transform(vec, x => abs(x))).cast("double")
+    val scale = lit(127.0) / maxAbs
+    val q = transform(vec,
+      x => floor(x.cast("double") * scale + lit(0.5)).cast("int"))
+    when(maxAbs > 0, struct(scale.as("scale"), q.as("q")))
+      .otherwise(struct(lit(0.0).as("scale"),
+        transform(vec, _ => lit(0)).as("q")))
+  }
+
   def cosineDupPairsExact(corpus: DataFrame, threshold: Double,
                           idCol: String = "vec_id",
                           vecCol: String = "embedding"): DataFrame = {

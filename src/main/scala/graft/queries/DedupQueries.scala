@@ -156,7 +156,17 @@ object DedupQueries {
 
     // Per-label embedding centroids (map-side-combined dim-keyed agg).
     "e06_label_centroids" -> ((s, d) =>
-      Similarity.labelCentroids(Tables.embeddings(s, d)))
+      Similarity.labelCentroids(Tables.embeddings(s, d))),
+
+    // Symmetric int8 embedding quantization, unnested per dim for the
+    // oracle compare (the operator's native output is the in-row
+    // struct). scale is pure IEEE arithmetic — exact cross-engine.
+    "e07_quantize_int8" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          Similarity.quantizeInt8(col("embedding")).as("qz"))
+        .select(col("vec_id"), col("qz.scale").as("scale"),
+          posexplode(col("qz.q")).as(Seq("dim", "q"))))
   )
 
   /** Shared SQL fragments, mirrored from the Scala operators. */
@@ -393,6 +403,25 @@ object DedupQueries {
                       generate_subscripts(embedding, 1) AS pos
                FROM embeddings)
          GROUP BY 1, 2""",
+    "e07_quantize_int8" ->
+      """WITH m AS (
+           SELECT vec_id, embedding,
+                  CAST(list_max(list_transform(embedding,
+                    x -> abs(CAST(x AS DOUBLE)))) AS DOUBLE) AS maxabs
+           FROM embeddings),
+         s AS (
+           SELECT vec_id, embedding, maxabs,
+                  CASE WHEN maxabs > 0 THEN 127.0 / maxabs
+                       ELSE 0.0 END AS scale
+           FROM m)
+         SELECT vec_id, scale, CAST(pos - 1 AS INTEGER) AS dim,
+                CASE WHEN maxabs > 0
+                  THEN CAST(floor(CAST(v AS DOUBLE) * scale + 0.5)
+                       AS INTEGER)
+                  ELSE 0 END AS q
+         FROM (SELECT vec_id, scale, maxabs, unnest(embedding) AS v,
+                      generate_subscripts(embedding, 1) AS pos
+               FROM s)""",
     "e03_cosine_dup_pairs" ->
       s"""WITH e AS (
             SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500)

@@ -284,6 +284,36 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(r8 >= 0.8, s"recall@8=$r8")
   }
 
+  test("quantizeInt8: codes bounded, reconstruction within maxAbs/254, " +
+      "zero vector safe") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Array(3.0f, 2.0f, -3.0f, 0.1f)),
+      (3L, Array(0.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val rows = df.select($"vec_id", $"embedding",
+        Similarity.quantizeInt8($"embedding").as("qz"))
+      .select($"vec_id", $"embedding", $"qz.scale", $"qz.q")
+      .collect()
+    for (r <- rows) {
+      val vec = r.getSeq[Float](1)
+      val scale = r.getDouble(2)
+      val q = r.getSeq[Int](3)
+      val maxAbs = vec.map(x => math.abs(x.toDouble)).max
+      if (maxAbs == 0) {
+        assert(scale == 0.0 && q.forall(_ == 0))
+      } else {
+        assert(q.forall(c => c >= -127 && c <= 127))
+        assert(q.exists(c => math.abs(c) == 127)) // max dim saturates
+        vec.zip(q).foreach { case (x, c) =>
+          assert(math.abs(x - c / scale) <= maxAbs / 254 + 1e-12,
+            s"dim error too large for x=$x c=$c scale=$scale")
+        }
+      }
+    }
+  }
+
   test("contaminationBloom ≡ contamination on the sf0.001 corpus, " +
       "including at bloom sizes that force false positives") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")

@@ -45,6 +45,23 @@ class PlanAuditSpec extends AnyFunSuite {
       s"d07 lost the broadcast join:\n$cont")
   }
 
+  test("sp04 decides buckets via a broadcast prefix table; d08 prunes " +
+      "with a bloom might_contain before its confirm join") {
+    // sp04: the corpus rows must meet the per-bucket state table
+    // through a broadcast join (full-keep rows never key-shuffle),
+    // and only the edge branch may sort
+    val cap = PlanSummary.finalPlanString(
+      SparkEntry.queries("sp04_token_budget")(spark, sf))
+    assert(cap.contains("BroadcastHashJoin"),
+      s"sp04 lost the broadcast state join:\n$cap")
+    // d08: the bloom gate must sit in the scan-side filter, i.e. the
+    // plan carries might_contain before any join
+    val bloom = PlanSummary.finalPlanString(
+      SparkEntry.queries("d08_decontaminate_bloom")(spark, sf))
+    assert(bloom.contains("might_contain"),
+      s"d08 lost the bloom prune:\n$bloom")
+  }
+
   test("finalPlanString reads the post-AQE plan, not the initial one") {
     val df = SparkEntry.queries("q01_agg_pricing")(spark, sf)
     // before execution the AQE string has no codegen markers — the
