@@ -77,6 +77,41 @@ object Splits {
       salt, 100) < rate
   }
 
+  /** Deterministic global shuffle rank — the training-order
+    * assignment step: every row gets its position in the seeded
+    * hash-priority order, reproducible on any partitioning (unlike
+    * `orderBy(rand(seed))`, whose sample depends on partition
+    * layout).
+    *
+    * Scale shape: a naive `row_number() over (order by hash)` is a
+    * single-reducer global sort. Here the 60-bit hash is
+    * range-bucketed by its top bits (bucket order IS hash order), the
+    * per-bucket counts collapse to a driver-side prefix-offset map
+    * (≤ `buckets` entries, a literal in the plan), and each bucket
+    * sorts independently — one narrow shuffle, `buckets`-way
+    * parallel, position = bucket offset + rank within bucket.
+    */
+  def shuffleRank(docs: DataFrame, idCol: String, salt: String,
+      buckets: Int = 1024): DataFrame = {
+    require(buckets > 0 && (buckets & (buckets - 1)) == 0,
+      "buckets must be a power of two")
+    val shift = 60 - (31 - Integer.numberOfLeadingZeros(buckets))
+    val withRk = docs
+      .withColumn("__rk", hash60(col(idCol), salt))
+      .withColumn("__bkt", shiftright(col("__rk"), shift))
+    val counts = withRk.groupBy(col("__bkt")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.scanLeft(0L)(_ + _._2)
+    val offsetMap = counts.map(_._1).zip(offsets).toMap
+    val inBucket = Window.partitionBy(col("__bkt"))
+      .orderBy(col("__rk"), col(idCol))
+    withRk
+      .withColumn("shuffle_pos",
+        element_at(typedLit(offsetMap), col("__bkt")) +
+          row_number().over(inBucket).cast("long") - 1L)
+      .drop("__rk", "__bkt")
+  }
+
   /** Per-group token-budget cap — the "keep N tokens of this source"
     * step of mixture composition. Greedy prefix in deterministic
     * hash-priority order: a row is kept iff the `costCol` sum of all

@@ -50,7 +50,15 @@ object SplitQueries {
       Splits.tokenBudgetCap(docs, "doc_id", "source", "n_tokens", Salt,
           budget = TokenBudget, buckets = 8)
         .select(col("doc_id"), col("source"), col("n_tokens"))
-    })
+    }),
+
+    // Deterministic global training-order shuffle — every doc's
+    // position in seeded hash order, via bucketed prefix offsets
+    // (never a single-reducer global sort). buckets=8 so buckets
+    // hold many docs at sf0.01.
+    "sp05_shuffle_rank" -> ((s, d) =>
+      Splits.shuffleRank(Tables.documents(s, d)
+          .select(col("doc_id")), "doc_id", Salt, buckets = 8))
   )
 
   /** Mixing weights for sp03 — shared by the query and its oracle. */
@@ -110,6 +118,19 @@ object SplitQueries {
                      0) AS cum_before
             FROM r)
           SELECT doc_id, source, n_tokens FROM c
-          WHERE cum_before < $TokenBudget"""
+          WHERE cum_before < $TokenBudget""",
+    // the oracle is the naive single-window form of the same total
+    // order (rk, doc_id); the Spark side must reproduce it through
+    // its bucketed prefix-offset plan
+    "sp05_shuffle_rank" ->
+      s"""WITH r AS (
+            SELECT doc_id,
+                   CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+                     || '|$Salt'), 1, 15)) AS BIGINT) AS rk
+            FROM documents)
+          SELECT doc_id,
+                 row_number() OVER (ORDER BY rk, doc_id) - 1
+                   AS shuffle_pos
+          FROM r"""
   )
 }

@@ -140,6 +140,25 @@ class TemporalOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("shuffleRank: a dense permutation equal to the naive global " +
+      "window at every bucket count") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.{Window => W}
+    val df = (0L until 500L).toDF("id")
+    val expected = df
+      .withColumn("__rk", Splits.hash60($"id", "s5"))
+      .withColumn("shuffle_pos",
+        row_number().over(W.orderBy($"__rk", $"id")).cast("long") - 1L)
+      .select($"id", $"shuffle_pos")
+      .as[(Long, Long)].collect().toMap
+    assert(expected.values.toSeq.sorted == (0L until 500L)) // dense perm
+    for (buckets <- Seq(1, 8, 256)) {
+      val got = Splits.shuffleRank(df, "id", "s5", buckets)
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"buckets=$buckets diverged")
+    }
+  }
+
   test("pii redaction chain handles mixed content in one pass") {
     import spark.implicits._
     val redacted = Seq(
