@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.text.{Analysis, TextOps}
@@ -81,5 +81,52 @@ object Curation {
       Seq(keyCol), "left_anti")
     untouched.unionByName(
       latest.filter(!col(deleteCol)).drop(versionCol, deleteCol))
+  }
+
+  /** Salt for the snapshot's key→bucket layout. Fixed: the layout is
+    * part of the on-disk contract.
+    */
+  private val SnapshotSalt = "graft-snapshot"
+
+  def snapshotBucket(key: Column, buckets: Int): Column =
+    pmod(Splits.hash60(key, SnapshotSalt), lit(buckets.toLong))
+      .cast("int") // partition-value inference reads ints back
+
+  /** Seed a bucket-partitioned snapshot for [[upsertSnapshot]]. */
+  def writeSnapshot(rows: DataFrame, keyCol: String, dir: String,
+      buckets: Int): Unit =
+    rows.withColumn("bucket", snapshotBucket(col(keyCol), buckets))
+      .write.partitionBy("bucket").mode("overwrite").parquet(dir)
+
+  /** Apply one change batch to a bucket-partitioned parquet snapshot
+    * — [[upsert]] at maintenance scale. The snapshot is
+    * hash-bucketed by key; the batch's touched buckets (a tiny
+    * driver-side set) are the ONLY partitions read, merged, and
+    * rewritten, via dynamic partition overwrite — per-batch cost is
+    * O(delta + touched buckets), never O(snapshot). Re-running the
+    * same batch overwrites the same partitions with the same bytes,
+    * so the streaming wrapper's foreachBatch retries are idempotent.
+    */
+  def upsertSnapshot(dir: String, delta: DataFrame, keyCol: String,
+      versionCol: String, deleteCol: String, buckets: Int): Unit = {
+    val spark = delta.sparkSession
+    val withBkt = delta
+      .withColumn("bucket", snapshotBucket(col(keyCol), buckets))
+    val touched = withBkt.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0))
+    if (touched.nonEmpty) {
+      val base = spark.read.parquet(dir)
+        .filter(col("bucket").isin(touched: _*))
+      // materialize the merge BEFORE writing: the sink overwrites
+      // the very partitions the merge reads (Spark otherwise refuses
+      // the cycle). localCheckpoint holds only the touched buckets;
+      // on a cluster with a checkpoint dir, checkpoint() — same
+      // contract, off-heap-safe.
+      upsert(base, withBkt, keyCol, versionCol, deleteCol)
+        .localCheckpoint()
+        .write.partitionBy("bucket").mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(dir)
+    }
   }
 }

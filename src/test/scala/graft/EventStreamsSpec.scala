@@ -181,4 +181,53 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(batch.map(_._1) == Set(0L, 60L))
     } finally q.stop()
   }
+
+  test("streaming snapshot upsert merges micro-batches and rewrites " +
+      "only touched buckets") {
+    import spark.implicits._
+    import graft.operators.Curation
+    import graft.streaming.CorpusStreams
+    val dir = java.nio.file.Files.createTempDirectory("snap").toString
+    val buckets = 8
+    val seed = (0L until 40L).map(i => (i, s"v$i")).toDF("id", "payload")
+    Curation.writeSnapshot(seed, "id", dir, buckets)
+    // bucket untouched by any delta below → its files must survive
+    val deltaIds = Seq(3L, 7L, 11L, 100L)
+    val untouched = (0 until buckets).filter { b =>
+      deltaIds.forall(id => spark.range(1)
+        .select(Curation.snapshotBucket(lit(id), buckets))
+        .head.getInt(0) != b)
+    }
+    assert(untouched.nonEmpty, "fixture must leave some bucket alone")
+    def bucketFiles(b: Int) = {
+      val d = new java.io.File(s"$dir/bucket=$b")
+      if (d.exists()) d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+      else Map.empty[String, Long]
+    }
+    val before = untouched.map(b => b -> bucketFiles(b)).toMap
+
+    val mem = MemoryStream[(Long, String, Long, Boolean)](spark)
+    val q = CorpusStreams.upsertSink(
+      mem.toDS().toDF("id", "payload", "version", "is_delete"),
+      dir, "id", "version", "is_delete", buckets).start()
+    try {
+      mem.addData((3L, "updated3", 1L, false), (7L, "x", 1L, true))
+      q.processAllAvailable()
+      mem.addData((7L, "resurrected7", 2L, false), (11L, "x", 1L, true),
+        (100L, "inserted100", 1L, false))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.read.parquet(dir).select($"id", $"payload")
+      .as[(Long, String)].collect().toMap
+    val expected = (0L until 40L).filter(_ != 11L)
+      .map(i => i -> (if (i == 3L) "updated3"
+                      else if (i == 7L) "resurrected7" else s"v$i"))
+      .toMap + (100L -> "inserted100")
+    assert(got == expected)
+    untouched.foreach { b =>
+      assert(bucketFiles(b) == before(b), s"bucket $b was rewritten")
+    }
+  }
 }
