@@ -76,6 +76,56 @@ class PropertySpec extends AnyFunSuite {
         s"bad token '$t'")
     }
   }
+
+  // Randomized equivalence for the two-level bucketed operators: the
+  // bucketed plan must equal the naive single-window semantics on
+  // arbitrary (ids, groups, costs) inputs — skewed groups, singleton
+  // groups, costs larger than the budget, all bucket counts.
+  test("tokenBudgetCap ≡ naive window on random inputs (batched)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.{Window => W}
+    import graft.operators.Splits
+    val rowsGen = Gen.nonEmptyListOf(for {
+      id <- Gen.choose(0L, 300L)
+      g <- Gen.oneOf("a", "b", "c", "skew", "skew", "skew")
+      cost <- Gen.choose(1L, 120L)
+    } yield (id, g, cost)).map(_.distinctBy(_._1))
+    forAll(Gen.zip(rowsGen, Gen.oneOf(1, 4, 64)), n = 12) {
+      case (rows, buckets) =>
+        val df = rows.toDF("id", "g", "cost")
+        val w = W.partitionBy($"g").orderBy($"__rk", $"id")
+          .rowsBetween(W.unboundedPreceding, -1)
+        val expected = df
+          .withColumn("__rk", Splits.hash60($"id", "p"))
+          .withColumn("__cum", coalesce(sum($"cost").over(w), lit(0L)))
+          .filter($"__cum" < 100L).select($"id", $"g", $"cost")
+          .as[(Long, String, Long)].collect().toSet
+        val got = Splits
+          .tokenBudgetCap(df, "id", "g", "cost", "p", 100L, buckets)
+          .as[(Long, String, Long)].collect().toSet
+        assert(got == expected,
+          s"buckets=$buckets rows=${rows.size} diverged")
+    }
+  }
+
+  test("shuffleRank ≡ naive global window on random inputs (batched)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.{Window => W}
+    import graft.operators.Splits
+    val idsGen = Gen.nonEmptyListOf(Gen.choose(0L, 5000L)).map(_.distinct)
+    forAll(Gen.zip(idsGen, Gen.oneOf(1, 16, 1024)), n = 12) {
+      case (ids, buckets) =>
+        val df = ids.toDF("id")
+        val expected = df
+          .withColumn("__rk", Splits.hash60($"id", "p"))
+          .withColumn("pos",
+            row_number().over(W.orderBy($"__rk", $"id")).cast("long") - 1L)
+          .select($"id", $"pos").as[(Long, Long)].collect().toMap
+        val got = Splits.shuffleRank(df, "id", "p", buckets)
+          .as[(Long, Long)].collect().toMap
+        assert(got == expected, s"buckets=$buckets n=${ids.size} diverged")
+    }
+  }
 }
 
 private object TextOpsFixtures {
