@@ -64,6 +64,41 @@ object CurationQueries {
           lit(false).as("is_delete"))
       Curation.upsert(base, v1.unionByName(v2).unionByName(ins),
         "doc_id", "version", "is_delete")
+    }),
+
+    // Corpus-composition report — the planning dashboard a mixture
+    // designer reads: per (source, lang), per source, and grand
+    // total: docs, whitespace tokens, mean lexical diversity, exact-
+    // duplicate count (docs minus distinct fingerprints). One
+    // grouping-sets pass over the per-row signals; the lattice
+    // reuses one shuffle.
+    "c04_composition_report" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"source", $"lang",
+          TextOps.tokenize($"text").as("__toks"),
+          Analysis.fingerprint($"text").as("fp"))
+        .select($"source", $"lang", $"fp",
+          Analysis.tokenCount($"__toks").as("n_tokens"),
+          // per-row ttr is already on the 6-dp grid, so ×1e6 sits
+          // within ~1e-10 of an integer and floor(+0.5) is exact in
+          // any engine; the mean is then integer-sum ÷ count ÷ 1e6 —
+          // two IEEE divisions on exact integers, bit-identical
+          // cross-engine, where round(avg(double), 6) flips on
+          // exact .5e-6 boundaries (seen on sf0.01's src15/de)
+          floor(Analysis.typeTokenRatio($"__toks") * 1e6 + 0.5)
+            .cast("long").as("ttr_micro"))
+        .groupingSets(
+          Seq(Seq($"source", $"lang"), Seq($"source"), Seq.empty),
+          $"source", $"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_tokens").cast("long").as("total_tokens"),
+          (sum($"ttr_micro").cast("double") / count(lit(1)) / 1e6)
+            .as("mean_ttr"),
+          (count(lit(1)) - countDistinct($"fp")).as("n_exact_dups"))
+        .select(coalesce($"source", lit("(all)")).as("source"),
+          coalesce($"lang", lit("(all)")).as("lang"),
+          $"n_docs", $"total_tokens", $"mean_ttr", $"n_exact_dups")
     })
   )
 
@@ -151,6 +186,24 @@ object CurationQueries {
           WHERE l.doc_id IS NULL
           UNION ALL
           SELECT doc_id, source, n_chars FROM latest
-          WHERE NOT is_delete"""
+          WHERE NOT is_delete""",
+    "c04_composition_report" ->
+      s"""WITH t AS (
+            SELECT source, lang, md5(text) AS fp,
+                   CAST(len($tokSql) AS INTEGER) AS n_tokens,
+                   CAST(floor((CASE WHEN len($tokSql) > 0
+                     THEN round(CAST(len(list_distinct($tokSql)) AS DOUBLE)
+                          / CAST(len($tokSql) AS DOUBLE), 6)
+                     ELSE 0.0 END) * 1e6 + 0.5) AS BIGINT) AS ttr_micro
+            FROM documents)
+          SELECT coalesce(source, '(all)') AS source,
+                 coalesce(lang, '(all)') AS lang,
+                 count(*) AS n_docs,
+                 CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                 CAST(sum(ttr_micro) AS DOUBLE) / count(*) / 1e6
+                   AS mean_ttr,
+                 count(*) - count(DISTINCT fp) AS n_exact_dups
+          FROM t
+          GROUP BY GROUPING SETS ((source, lang), (source), ())"""
   )
 }
