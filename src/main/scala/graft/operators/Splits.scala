@@ -90,6 +90,8 @@ object Splits {
     * (≤ `buckets` entries, a literal in the plan), and each bucket
     * sorts independently — one narrow shuffle, `buckets`-way
     * parallel, position = bucket offset + rank within bucket.
+    * (`row_number` is per-bucket, so size `buckets` to keep every
+    * bucket under ~2³¹ rows — 1024 buckets covers 2⁴¹ rows.)
     */
   def shuffleRank(docs: DataFrame, idCol: String, salt: String,
       buckets: Int = 1024): DataFrame = {
@@ -131,6 +133,10 @@ object Splits {
     * is already over. Only the single boundary bucket per group
     * (~1/`buckets` of the group) pays the exact per-row running sum,
     * and the full-keep rows never shuffle at all.
+    *
+    * Requires `costCol` ≥ 0: the whole-bucket `drop` decision assumes
+    * the running sum never decreases (negative costs would diverge
+    * from the exact-window semantics).
     */
   def tokenBudgetCap(docs: DataFrame, idCol: String, groupCol: String,
       costCol: String, salt: String, budget: Long,
