@@ -40,11 +40,21 @@ object Bench {
         }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // ms precision is plenty for wall-clock timings and roughly halves
+    // the JSON line, so a bounded tail capture keeps every query
+    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    // loss-proof copy: the driver's tail capture has truncated stdout
+    // before (BENCH_r04 lost c01–f03), so the full record also goes to a
+    // file that survives however stdout is clipped
+    val out = java.nio.file.Paths.get("target", "bench.json")
+    java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
+    println(json)
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

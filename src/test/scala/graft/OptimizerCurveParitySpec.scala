@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.{Csv, Sinks}
+import graft.features.RddPipeline
+import graft.gd._
+
+/** Golden cost-curve parity vs the reference's committed optimizer
+  * artifacts (`/root/reference/out/`).
+  *
+  * `LR_Optimizers.py` / `SVM_Optimizers.py` each saved one cost curve
+  * per optimizer per run; the out/ tree holds THREE independent LR
+  * runs (`optimizer:`, `optimizer1`, `optimizer2:`) and TWO SVM runs
+  * (`optimizer3:`, `optimizer4_`). Every run drew its init from an
+  * UNSEEDED `np.random.normal(0, 0.1, 10000)` (`LR_Optimizers.py:129`,
+  * `SVM_Optimizers.py:131`), so exact parity is impossible even
+  * between the reference's own runs (SURVEY.md §7.2). What IS
+  * checkable is that the engine's curve behaves like one more draw of
+  * the same process:
+  *
+  *  - **per-document head cost** (iteration 0, before any update) must
+  *    land inside the reference families' head band. The head isolates
+  *    loss + regularizer arithmetic from the optimizer entirely;
+  *  - **normalized shape** `cost(i)/cost(0)` for the first 10
+  *    iterations must stay inside the cross-family envelope, widened
+  *    by the envelope's own width (the engine is treated as an extra
+  *    family draw). The early shape fingerprints each update rule —
+  *    measured iter-1..9 values separate cleanly: Adam's scalar-10000
+  *    second-moment quirk pins it at ≈1.000 while every other rule has
+  *    dropped ≥2% by iter 1; Momentum pulls away from SGD by iter 3;
+  *    RMSprop's `gti/(i+1)` accumulator sits between. Beyond ~10
+  *    iterations bold-driver chaos dominates — the reference families
+  *    themselves diverge by up to 92% (relative, iter 152+) — so later
+  *    iterations carry no parity signal and are not compared.
+  *
+  * Measured cross-family normalized spread over iters 0–9 (max rel.
+  * deviation from the family mean): LR ≤ 5.5% (Nesterov), SVM ≤ 8.9%
+  * (SGD), Adam ≤ 0.03% in both — the floor tolerance below covers the
+  * Adam band and the envelope-width term covers the rest.
+  *
+  * All reference runs split with `randomSplit([0.8, 0.2], seed=123)`
+  * on the same 7,613-tweet dataset (`LR_Optimizers.py:218`), the same
+  * split whose zeros-init run recorded head = 6097·ln 2 in
+  * `out/output/part-00000` — so 6097 is the per-document normalizer
+  * for every reference curve here.
+  */
+class OptimizerCurveParitySpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val RefOut = "/root/reference/out"
+  private val RefNTrain = 6097.0
+  private val Iters = 10
+  private val Optimizers =
+    Seq("SGD", "Momentum", "Nesterov", "Adam", "Adagrad", "RMSprop")
+
+  lazy val f = RddPipeline.featurize(spark, Csv.TrainCsv, dim = 10000)
+  lazy val training = {
+    val t = f.data.randomSplit(Array(0.8, 0.2), seed = 123L)(0)
+    t.persist()
+    t
+  }
+  lazy val nTrain: Long = training.count()
+
+  // seeded stand-in for the reference's unseeded normal(0, 0.1) init —
+  // the tolerance bands absorb draw-to-draw variation
+  private def init(): Array[Double] = {
+    val rng = new scala.util.Random(20260812L)
+    Array.fill(10000)(rng.nextGaussian() * 0.1)
+  }
+
+  private def engineCurve(loss: Loss, reg: GradientDescent.Reg,
+                          opt: String): Array[Double] =
+    GradientDescent.run(training, 10000, loss,
+      GradientDescent.Config(iterations = Iters, learningRate = 0.01,
+        optimizer = opt, reg = reg, initialCoef = Some(init()))).costs
+
+  private case class Stack(name: String, families: Seq[String],
+                           loss: Loss, reg: () => GradientDescent.Reg)
+
+  // LR: L2(1.15) (`LR_Optimizers.py:136,147-149`); SVM: λ = 1/(c·n)
+  // over the TRAINING count with the unsquared-norm cost term
+  // (`SVM_Optimizers.py:138-141,153-154`).
+  private val stacks = Seq(
+    Stack("LR", Seq("optimizer:", "optimizer1", "optimizer2:"),
+      LogisticLoss, () => GradientDescent.L2(1.15)),
+    Stack("SVM", Seq("optimizer3:", "optimizer4_"),
+      HingeLoss, () => GradientDescent.SvmNorm(1.0 / (0.5 * nTrain))))
+
+  for (stack <- stacks; opt <- Optimizers)
+    test(s"${stack.name}/$opt curve tracks the reference families") {
+      val refs = stack.families
+        .map(p => Sinks.readCostCurve(s"$RefOut/$p$opt"))
+      assert(refs.forall(_.length >= Iters))
+
+      val ours = engineCurve(stack.loss, stack.reg(), opt)
+      assert(ours.length == Iters)
+
+      // head: loss+reg arithmetic, optimizer-independent
+      val ourHead = ours(0) / nTrain
+      val refHeads = refs.map(_.head / RefNTrain)
+      val (hLo, hHi) = (refHeads.min, refHeads.max)
+      assert(ourHead > hLo * 0.97 && ourHead < hHi * 1.03,
+        s"per-doc head $ourHead outside ref band [$hLo, $hHi]")
+
+      // normalized shape: the update-rule fingerprint
+      val oursN = ours.map(_ / ours(0))
+      val refsN = refs.map(c => c.map(_ / c.head))
+      for (i <- 1 until Iters) {
+        val vals = refsN.map(_(i))
+        val (lo, hi) = (vals.min, vals.max)
+        val mid = vals.sum / vals.length
+        // widen by max(1%, one envelope width): the engine is one
+        // more unseeded-init draw, so it may fall outside the
+        // observed envelope by about its width again
+        val tol = math.max(0.01 * mid, hi - lo)
+        assert(oursN(i) >= lo - tol && oursN(i) <= hi + tol,
+          s"iter $i: normalized ${oursN(i)} outside " +
+            s"[${lo - tol}, ${hi + tol}] (ref $vals)")
+      }
+    }
+}
