@@ -1,5 +1,11 @@
 package graft.operators
 
+import java.awt.image.{BufferedImage, IndexColorModel}
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+import javax.imageio.stream.{MemoryCacheImageInputStream, MemoryCacheImageOutputStream}
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 
@@ -10,15 +16,16 @@ import org.apache.spark.sql.functions._
   * corpus uses (payload bytes never parsed by Catalyst; metadata
   * prunable/filterable without touching payloads). Decode /
   * feature-extract run batch-wise per partition (`mapPartitions`) so
-  * a real codec would amortize its init across a partition's rows —
-  * the same batch shape `mapInPandas` gives Python pipelines.
+  * codec state amortizes across a partition's rows — the same batch
+  * shape `mapInPandas` gives Python pipelines.
   *
-  * The image/audio codecs themselves are NOT in this container, so
-  * `decodeStub` parses this module's deterministic demo header
-  * instead of calling a codec — clearly marked; the Spark-side
-  * plumbing (schema, partition-wise batching, metadata flow, frame
-  * explosion) is real and oracle-/spec-tested. Byte-level feature
-  * extraction (histogram, entropy) is fully real.
+  * The codecs are REAL JVM codecs: PNG via `javax.imageio` for
+  * images, RIFF/WAV via `javax.sound.sampled` for audio, and
+  * multi-frame GIF (LZW) via `javax.imageio` for video. The demo
+  * fixture generator encodes deterministic content (document bytes
+  * cycled through the pixel/sample grid, all three formats lossless),
+  * which is what lets a SQL oracle predict the decoded features
+  * without itself decoding.
   */
 object Multimodal {
 
@@ -31,95 +38,258 @@ object Multimodal {
       asset_id: Long, kind: String, payload: Array[Byte],
       meta: MediaMeta)
 
-  final case class ImageFeatures(
-      asset_id: Long, width: Int, height: Int, channels: Int,
-      bytes: Int, entropy: Double)
-
-  /** Demo header: "GRF0" + kind byte + width + height (big-endian
-    * ints) — what [[decodeStub]] parses in place of a codec.
+  /** Decoded-content features, one row per asset.
+    *  - image: width×height of the decoded raster, frames = 1;
+    *  - audio: frames = PCM sample frames, width = height = 0;
+    *  - video: frames = decoded frame count, width×height per frame.
+    * `content_bytes` counts DECODED samples (what drives downstream
+    * memory), not the compressed payload size — payload size is plain
+    * `length(payload)` and needs no decode (see mm01). `entropy` is
+    * the byte-histogram entropy of the decoded content.
     */
-  def packHeader(kind: Byte, width: Int, height: Int,
-                 body: Array[Byte]): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(13 + body.length)
-    bb.put("GRF0".getBytes("US-ASCII")).put(kind)
-      .putInt(width).putInt(height).put(body)
-    bb.array()
+  final case class MediaFeatures(
+      asset_id: Long, kind: String, width: Int, height: Int,
+      channels: Int, frames: Int, content_bytes: Long, entropy: Double)
+
+  // 8-bit identity-gray palette: decoded palette indices == the bytes
+  // that were drawn, which keeps GIF (and indexed PNG) lossless in the
+  // byte domain
+  private def grayPalette(): IndexColorModel = {
+    val g = Array.tabulate[Byte](256)(_.toByte)
+    new IndexColorModel(8, 256, g, g, g)
+  }
+
+  private def grayImage(w: Int, h: Int, body: Array[Byte],
+                        offset: Long): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var i = 0
+    while (i < w * h) {
+      raster.setSample(i % w, i / w, 0,
+        body(((offset + i) % body.length).toInt) & 0xff)
+      i += 1
+    }
+    img
+  }
+
+  /** Encode a w×h grayscale PNG whose pixels are `body` cycled. */
+  def encodePng(w: Int, h: Int, body: Array[Byte]): Array[Byte] = {
+    val baos = new ByteArrayOutputStream()
+    ImageIO.write(grayImage(w, h, body, 0), "png", baos)
+    baos.toByteArray
+  }
+
+  /** Encode a PCM 8-bit unsigned mono WAV whose samples are `body`. */
+  def encodeWav(sampleRate: Int, body: Array[Byte]): Array[Byte] = {
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_UNSIGNED,
+      sampleRate.toFloat, 8, 1, 1, sampleRate.toFloat, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(body),
+      fmt, body.length.toLong)
+    val baos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  /** Encode an n-frame w×h grayscale GIF; pixels are `body` cycled
+    * continuously across frames (frame f starts at offset f·w·h).
+    */
+  def encodeGif(w: Int, h: Int, frames: Int,
+                body: Array[Byte]): Array[Byte] = {
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val baos = new ByteArrayOutputStream()
+    val ios = new MemoryCacheImageOutputStream(baos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    // the JDK GIF writer interlaces by default; write sequential rows
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+    val cm = grayPalette()
+    var f = 0
+    while (f < frames) {
+      // draw through the identity palette so indices == bytes
+      val gray = grayImage(w, h, body, f.toLong * w * h)
+      val idx = new BufferedImage(w, h,
+        BufferedImage.TYPE_BYTE_INDEXED, cm)
+      idx.getRaster.setDataElements(0, 0, w, h,
+        gray.getRaster.getDataElements(0, 0, w, h, null))
+      writer.writeToSequence(
+        new javax.imageio.IIOImage(idx, null, null), param)
+      f += 1
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    baos.toByteArray
   }
 
   /** Build a deterministic demo media table from any (id, text) frame:
-    * payload = demo header + UTF-8 bytes, metadata derived from the
-    * content hash. Pure Catalyst column work except the header pack.
+    * real PNG / WAV / GIF payloads whose decoded content is the UTF-8
+    * bytes of the text cycled through the pixel/sample grid, metadata
+    * derived from the content length. Kinds round-robin by id as
+    * before: image / audio / video for id % 3 = 0 / 1 / 2.
     */
   def demoAssets(docs: DataFrame, idCol: String,
                  textCol: String): Dataset[MediaAsset] = {
-    val spark = docs.sparkSession
     implicit val enc = Encoders.product[MediaAsset]
     docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
       .as(Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
       .map { case (id, text) =>
-        val body = text.getBytes("UTF-8")
+        val raw = text.getBytes("UTF-8")
+        val body = if (raw.nonEmpty) raw else Array[Byte](0)
+        val len = body.length
         // deterministic "dimensions" from content, so decode is testable
-        val w = 16 + (body.length % 64)
-        val h = 16 + ((body.length / 3) % 64)
-        val kind = (id % 3) match {
-          case 0 => "image"; case 1 => "audio"; case _ => "video"
+        val w = 16 + (len % 64)
+        val h = 16 + ((len / 3) % 64)
+        (id % 3) match {
+          case 0 =>
+            MediaAsset(id, "image", encodePng(w, h, body),
+              MediaMeta("image/png", w, h, 0, 0L))
+          case 1 =>
+            MediaAsset(id, "audio", encodeWav(16000, body),
+              MediaMeta("audio/wav", 0, 0, 16000, 0L))
+          case _ =>
+            val frames = 1 + (len % 4)
+            MediaAsset(id, "video", encodeGif(w, h, frames, body),
+              MediaMeta("video/gif", w, h, 0, len.toLong * 10))
         }
-        MediaAsset(id, kind, packHeader(kind.head.toByte, w, h, body),
-          MediaMeta(s"demo/$kind", w, h,
-            if (kind == "audio") 16000 else 0,
-            if (kind == "video") body.length.toLong * 10 else 0L))
       }
   }
 
-  /** STUB — decode step. A real deployment replaces the header parse
-    * below with a codec call (e.g. javax.imageio / ffmpeg bindings);
-    * everything around it — partition-wise batching, schema, the
-    * entropy/byte-feature math — is production plumbing. Runs
-    * per-partition so codec init would be amortized.
+  // shared by decode paths: histogram → Shannon entropy in bits
+  private def entropyOf(hist: Array[Long], n: Long): Double = {
+    var e = 0.0
+    var i = 0
+    while (i < 256) {
+      if (hist(i) > 0) {
+        val p = hist(i).toDouble / n
+        e -= p * (math.log(p) / math.log(2))
+      }
+      i += 1
+    }
+    e
+  }
+
+  private def histRaster(img: BufferedImage,
+                         hist: Array[Long]): Long = {
+    val raster = img.getRaster
+    val (w, h, bands) =
+      (img.getWidth, img.getHeight, raster.getNumBands)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var b = 0
+        while (b < bands) {
+          hist(raster.getSample(x, y, b) & 0xff) += 1
+          b += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    w.toLong * h * bands
+  }
+
+  /** Batch decode: real codec per kind (`javax.imageio` PNG reader,
+    * `javax.sound.sampled` WAV parser, `javax.imageio` GIF sequence
+    * reader), then byte-histogram features over the decoded content.
+    * Runs per-partition so the histogram scratch (and any heavier
+    * codec context) amortizes across the partition's rows.
     */
-  def decodeStub(assets: Dataset[MediaAsset]): Dataset[ImageFeatures] = {
-    implicit val enc = Encoders.product[ImageFeatures]
+  def decode(assets: Dataset[MediaAsset]): Dataset[MediaFeatures] = {
+    implicit val enc = Encoders.product[MediaFeatures]
     assets.mapPartitions { it =>
-      // per-partition scratch buffer — the "codec context"
       val hist = new Array[Long](256)
       it.map { a =>
-        val bb = java.nio.ByteBuffer.wrap(a.payload)
-        val magic = new Array[Byte](4); bb.get(magic)
-        require(new String(magic, "US-ASCII") == "GRF0",
-          s"bad header for asset ${a.asset_id}") // ??? real codec here
-        bb.get() // kind byte
-        val w = bb.getInt; val h = bb.getInt
         java.util.Arrays.fill(hist, 0L)
-        var n = 0
-        while (bb.hasRemaining) { hist(bb.get() & 0xff) += 1; n += 1 }
-        var entropy = 0.0
-        var i = 0
-        while (i < 256) {
-          if (hist(i) > 0) {
-            val p = hist(i).toDouble / n
-            entropy -= p * (math.log(p) / math.log(2))
-          }
-          i += 1
+        a.kind match {
+          case "audio" =>
+            val ais = AudioSystem.getAudioInputStream(
+              new ByteArrayInputStream(a.payload))
+            try {
+              val fmt = ais.getFormat
+              require(fmt.getSampleSizeInBits == 8,
+                s"asset ${a.asset_id}: expected 8-bit PCM")
+              val frames = ais.getFrameLength.toInt
+              val channels = fmt.getChannels
+              val buf = new Array[Byte](8192)
+              var n = 0L
+              var read = ais.read(buf)
+              while (read > 0) {
+                var i = 0
+                while (i < read) { hist(buf(i) & 0xff) += 1; i += 1 }
+                n += read
+                read = ais.read(buf)
+              }
+              MediaFeatures(a.asset_id, a.kind, 0, 0, channels,
+                frames, n, entropyOf(hist, n))
+            } finally ais.close()
+          case "video" =>
+            val reader =
+              ImageIO.getImageReadersByFormatName("gif").next()
+            val iis = new MemoryCacheImageInputStream(
+              new ByteArrayInputStream(a.payload))
+            try {
+              reader.setInput(iis)
+              val frames = reader.getNumImages(true)
+              var n = 0L
+              var w = 0
+              var h = 0
+              var f = 0
+              while (f < frames) {
+                val img = reader.read(f)
+                w = img.getWidth; h = img.getHeight
+                n += histRaster(img, hist)
+                f += 1
+              }
+              MediaFeatures(a.asset_id, a.kind, w, h, 1, frames,
+                n, entropyOf(hist, n))
+            } finally { reader.dispose(); iis.close() }
+          case _ =>
+            val img = ImageIO.read(new ByteArrayInputStream(a.payload))
+            require(img != null,
+              s"asset ${a.asset_id}: undecodable image payload")
+            val n = histRaster(img, hist)
+            MediaFeatures(a.asset_id, a.kind, img.getWidth,
+              img.getHeight, img.getRaster.getNumBands, 1, n,
+              entropyOf(hist, n))
         }
-        ImageFeatures(a.asset_id, w, h, channels = 3,
-          bytes = a.payload.length, entropy = entropy)
       }
     }
   }
 
-  /** STUB — resize: a real implementation re-encodes the payload; the
-    * stub rewrites the metadata struct (the part Catalyst sees) and
-    * passes the payload through untouched.
+  /** Image resize: real decode → area-scale → re-encode PNG, metadata
+    * updated to the new dimensions. Non-image assets pass through
+    * untouched (audio/video resampling is a different operation).
     */
-  def resizeStub(assets: Dataset[MediaAsset], w: Int,
-                 h: Int): Dataset[MediaAsset] = {
+  def resizeImages(assets: Dataset[MediaAsset], w: Int,
+                   h: Int): Dataset[MediaAsset] = {
     implicit val enc = Encoders.product[MediaAsset]
-    assets.map(a => a.copy(meta = a.meta.copy(width = w, height = h)))
+    assets.map { a =>
+      if (a.kind != "image") a
+      else {
+        val src = ImageIO.read(new ByteArrayInputStream(a.payload))
+        require(src != null,
+          s"asset ${a.asset_id}: undecodable image payload")
+        val dst = new BufferedImage(w, h, src.getType)
+        val g = dst.createGraphics()
+        try {
+          g.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(src, 0, 0, w, h, null)
+        } finally g.dispose()
+        val baos = new ByteArrayOutputStream()
+        ImageIO.write(dst, "png", baos)
+        a.copy(payload = baos.toByteArray,
+          meta = a.meta.copy(width = w, height = h))
+      }
+    }
   }
 
   /** Frame sampling for video assets: one row per sampled timestamp —
     * pure Catalyst (`sequence` + `explode`), no payload decode; the
-    * per-frame decode would hang off [[decodeStub]]'s batch shape.
+    * per-frame decode would hang off [[decode]]'s batch shape.
     */
   def frameSample(assets: DataFrame, everyMs: Long): DataFrame =
     assets.filter(col("kind") === "video")

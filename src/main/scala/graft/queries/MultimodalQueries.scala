@@ -9,13 +9,17 @@ import graft.operators.Multimodal
   *
   * All three are DuckDB-verified. mm01: pure binary-column math (byte
   * length, md5 fingerprint, chunk count) on UTF-8 payloads both
-  * engines build identically with `encode()`. mm02/mm03 exercise the
-  * typed asset/decode/frame plumbing; their oracles reconstruct the
-  * demo-asset layout in SQL — body-byte entropy via a char-code
-  * histogram (corpus is pure ASCII, so UTF-8 bytes ≡ code points;
-  * entropy rounded at 6 dp on both sides to absorb summation-order
-  * ULPs), frame grids via `range()`. Exactness of the unrounded
-  * operator output is additionally covered by MultimodalSpec.
+  * engines build identically with `encode()`. mm02 decodes REAL
+  * payloads — PNG / WAV / multi-frame GIF built by the demo fixture —
+  * through the JVM's actual codecs (`javax.imageio`,
+  * `javax.sound.sampled`); its oracle can predict the decoded
+  * features in SQL because the fixture's content is deterministic
+  * (document bytes cycled through the pixel/sample grid, all three
+  * codecs lossless; corpus is pure ASCII, so UTF-8 bytes ≡ code
+  * points; entropy rounded at 6 dp on both sides to absorb
+  * summation-order ULPs). mm03 exercises frame-grid explosion via
+  * `range()`. Byte-exact codec round-trips are additionally covered
+  * by MultimodalSpec.
   */
 object MultimodalQueries {
   type Q = (SparkSession, String) => DataFrame
@@ -33,15 +37,15 @@ object MultimodalQueries {
           ceil(length(col("payload")) / lit(65536.0)).cast("long")
             .as("n_chunks"))),
 
-    // Typed asset table → batch decode (stubbed codec, real batching):
-    // per-asset features incl. body-byte entropy (rounded here, in the
-    // query registration only, so the oracle hash is ULP-safe — the
-    // operator itself stays exact for MultimodalSpec).
+    // Typed asset table → batch decode through real codecs: per-asset
+    // decoded-content features incl. byte entropy (rounded here, in
+    // the query registration only, so the oracle hash is ULP-safe —
+    // the operator itself stays exact for MultimodalSpec).
     "mm02_decode_features" -> ((s, d) => {
       val assets = Multimodal.demoAssets(
         Tables.documents(s, d).filter(col("doc_id") < 200),
         "doc_id", "text")
-      Multimodal.decodeStub(assets).toDF()
+      Multimodal.decode(assets).toDF()
         .withColumn("entropy", round(col("entropy"), 6))
     }),
 
@@ -62,20 +66,37 @@ object MultimodalQueries {
          CAST(ceil(octet_length(encode(text)) / 65536.0) AS BIGINT)
            AS n_chunks
          FROM documents""",
-    // Mirrors demoAssets+decodeStub: dims/kind derive from the body
-    // length (w=16+len%64, h=16+(len/3)%64, bytes=13-byte header+len),
-    // entropy is over BODY bytes only (decodeStub consumes the header
-    // before histogramming). ASCII corpus ⇒ bytes ≡ ascii(char).
+    // Mirrors demoAssets+decode: kind round-robins on id%3; dims
+    // derive from the body length (w=16+len%64, h=16+(len//3)%64);
+    // the decoded content is the body cycled through the grid —
+    // image w·h pixels, audio len samples, video (1+len%4) frames of
+    // w·h — so byte i of the content is text[(i % len)+1]. All three
+    // fixture codecs are lossless, which is what makes the decoded
+    // histogram SQL-predictable.
     "mm02_decode_features" ->
-      """WITH src AS (
-           SELECT doc_id AS asset_id, text,
-                  octet_length(encode(text)) AS len
+      """WITH dims AS (
+           SELECT doc_id AS asset_id, CAST(doc_id % 3 AS INTEGER) AS k,
+                  text, octet_length(encode(text)) AS len,
+                  16 + (octet_length(encode(text)) % 64) AS w,
+                  16 + ((octet_length(encode(text)) // 3) % 64) AS h
            FROM documents WHERE doc_id < 200),
+         shaped AS (
+           SELECT asset_id, k, text, len,
+                  CASE WHEN k = 1 THEN 0 ELSE w END AS width,
+                  CASE WHEN k = 1 THEN 0 ELSE h END AS height,
+                  CASE WHEN k = 0 THEN 1
+                       WHEN k = 1 THEN len
+                       ELSE 1 + (len % 4) END AS frames,
+                  CASE WHEN k = 0 THEN w * h
+                       WHEN k = 1 THEN len
+                       ELSE (1 + (len % 4)) * w * h END AS content
+           FROM dims),
          hist AS (
            SELECT asset_id, b, count(*) AS cnt
            FROM (SELECT asset_id, unnest(list_transform(
-                   range(1, len(text) + 1), i -> ascii(text[i]))) AS b
-                 FROM src)
+                   range(0, content),
+                   i -> ascii(text[CAST(i % len AS INTEGER) + 1]))) AS b
+                 FROM shaped)
            GROUP BY 1, 2),
          ent AS (
            SELECT h.asset_id,
@@ -84,12 +105,16 @@ object MultimodalQueries {
            JOIN (SELECT asset_id, sum(cnt) AS n FROM hist GROUP BY 1) t
              USING (asset_id)
            GROUP BY 1)
-         SELECT s.asset_id, CAST(16 + (len % 64) AS INTEGER) AS width,
-                CAST(16 + ((len // 3) % 64) AS INTEGER) AS height,
-                CAST(3 AS INTEGER) AS channels,
-                CAST(13 + len AS INTEGER) AS bytes,
+         SELECT s.asset_id,
+                CASE WHEN k = 0 THEN 'image' WHEN k = 1 THEN 'audio'
+                     ELSE 'video' END AS kind,
+                CAST(s.width AS INTEGER) AS width,
+                CAST(s.height AS INTEGER) AS height,
+                CAST(1 AS INTEGER) AS channels,
+                CAST(s.frames AS INTEGER) AS frames,
+                CAST(s.content AS BIGINT) AS content_bytes,
                 round(e.entropy, 6) AS entropy
-         FROM src s JOIN ent e USING (asset_id)""",
+         FROM shaped s JOIN ent e USING (asset_id)""",
     // Mirrors frameSample on demoAssets: kind 'video' ⇔ id%3=2,
     // durationMs = body bytes x 10, frames every 500 ms inclusive
     // (range upper bound dur+1 ≡ Spark sequence's inclusive stop).

@@ -1,13 +1,13 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Multimodal
 
-/** Multimodal plumbing: header round-trip through the batch decode
-  * path, metadata-only resize, frame sampling arithmetic, and entropy
-  * on known byte distributions.
+/** Multimodal codec plumbing: byte-exact round-trips through the real
+  * JVM codecs (PNG / WAV / GIF), batch decode features, real image
+  * resize, frame sampling arithmetic, and entropy on known byte
+  * distributions.
   */
 class MultimodalSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSession.builder()
@@ -23,28 +23,97 @@ class MultimodalSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
   }
 
-  test("decode round-trips the packed header dimensions") {
-    val assets = Multimodal.demoAssets(demoDocs, "doc_id", "text")
-    val feats = Multimodal.decodeStub(assets).collect()
-      .map(f => f.asset_id -> f).toMap
-    // width/height formula: 16 + len%64, 16 + (len/3)%64
-    assert(feats(0L).width === 16 + 8 && feats(0L).height === 16 + 2)
-    assert(feats(0L).bytes === 13 + 8) // header + body
-    // "aaaabbbb": two symbols, equal counts → entropy exactly 1 bit
-    assert(math.abs(feats(0L).entropy - 1.0) < 1e-12)
-    // single byte → entropy 0
-    assert(feats(2L).entropy === 0.0)
+  // the lossless-content contract everything else rests on: decoded
+  // samples must equal the body bytes cycled through the grid
+  test("PNG round-trip is byte-exact") {
+    val body = "aaaabbbbcc".getBytes("UTF-8")
+    val png = Multimodal.encodePng(5, 4, body)
+    assert(png.take(4).sameElements(
+      Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)))
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(png))
+    assert(img.getWidth == 5 && img.getHeight == 4)
+    assert(img.getRaster.getNumBands == 1)
+    for (i <- 0 until 20)
+      assert(img.getRaster.getSample(i % 5, i / 5, 0) ==
+        (body(i % body.length) & 0xff), s"pixel $i")
   }
 
-  test("resize rewrites metadata only; payload untouched") {
+  test("WAV round-trip is byte-exact") {
+    val body = Array.tabulate[Byte](300)(i => (i * 7 % 251).toByte)
+    val wav = Multimodal.encodeWav(16000, body)
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF")
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    assert(ais.getFormat.getSampleRate == 16000f)
+    assert(ais.getFrameLength == 300L)
+    val back = ais.readAllBytes()
+    assert(back.sameElements(body))
+  }
+
+  test("GIF round-trip is byte-exact across frames") {
+    val body = "abcdefg".getBytes("UTF-8")
+    val gif = Multimodal.encodeGif(4, 3, 2, body)
+    assert(new String(gif.take(3), "US-ASCII") == "GIF")
+    val reader = javax.imageio.ImageIO
+      .getImageReadersByFormatName("gif").next()
+    reader.setInput(new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(gif)))
+    assert(reader.getNumImages(true) == 2)
+    for (f <- 0 until 2) {
+      val img = reader.read(f)
+      for (i <- 0 until 12)
+        assert(img.getRaster.getSample(i % 4, i / 4, 0) ==
+          (body((f * 12 + i) % body.length) & 0xff), s"frame $f px $i")
+    }
+  }
+
+  test("decode recovers dimensions and entropy through real codecs") {
+    val assets = Multimodal.demoAssets(demoDocs, "doc_id", "text")
+    val feats = Multimodal.decode(assets).collect()
+      .map(f => f.asset_id -> f).toMap
+    // id 0 → image, len 8: w = 16+8 = 24, h = 16+2 = 18, one frame
+    assert(feats(0L).kind == "image")
+    assert(feats(0L).width === 24 && feats(0L).height === 18)
+    assert(feats(0L).channels === 1 && feats(0L).frames === 1)
+    assert(feats(0L).content_bytes === 24L * 18)
+    // 432 pixels = 54 exact cycles of "aaaabbbb" → still exactly 1 bit
+    assert(math.abs(feats(0L).entropy - 1.0) < 1e-12)
+    // id 1 → audio, len 34: samples = body bytes exactly
+    assert(feats(1L).kind == "audio")
+    assert(feats(1L).width === 0 && feats(1L).frames === 34)
+    assert(feats(1L).content_bytes === 34L)
+    // id 2 → video, len 1: 2 frames of 17×16, single symbol → 0 bits
+    assert(feats(2L).kind == "video")
+    assert(feats(2L).width === 17 && feats(2L).height === 16)
+    assert(feats(2L).frames === 2)
+    assert(feats(2L).content_bytes === 2L * 17 * 16)
+    assert(feats(2L).entropy === 0.0)
+    // id 3 → image, "zzzz": single symbol → 0 bits
+    assert(feats(3L).kind == "image")
+    assert(feats(3L).entropy === 0.0)
+  }
+
+  test("resizeImages re-encodes images, passes others through") {
     val assets = Multimodal.demoAssets(demoDocs, "doc_id", "text")
     val before = assets.collect().map(a => a.asset_id ->
       a.payload.toSeq).toMap
-    val resized = Multimodal.resizeStub(assets, 224, 224).collect()
+    val resized = Multimodal.resizeImages(assets, 224, 224).collect()
     resized.foreach { a =>
-      assert(a.meta.width === 224 && a.meta.height === 224)
-      assert(a.payload.toSeq == before(a.asset_id))
+      if (a.kind == "image") {
+        assert(a.meta.width === 224 && a.meta.height === 224)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(a.payload))
+        assert(img.getWidth === 224 && img.getHeight === 224)
+      } else {
+        assert(a.payload.toSeq == before(a.asset_id))
+      }
     }
+    // a solid-color image stays solid through bilinear resize
+    val z = resized.find(_.asset_id == 3L).get
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(z.payload))
+    assert(img.getRaster.getSample(100, 100, 0) === 'z'.toInt)
   }
 
   test("frameSample: one row per everyMs step, inclusive of 0") {
