@@ -402,6 +402,10 @@ object Dedup {
     * scheme (Kiveris et al., "Connected Components in MapReduce and
     * Beyond") on its constant factor; swap that in for adversarially
     * chainy graphs — `maxIters` is the guard that detects one.
+    * Measured rounds-vs-diameter (DupClustersSpec, planted paths):
+    * a diameter-d chain needs `maxIters = d` exactly — converges at
+    * d, trips the guard at d-1 — so the default 25 tolerates any
+    * graph of diameter ≤ 25, vastly beyond near-dup cliques.
     */
   def dupClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
     val p = pairs.select(col("a"), col("b")).persist()

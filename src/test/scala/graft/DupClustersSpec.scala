@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Dedup
+
+/** Adversarial convergence behavior of `Dedup.dupClusters`: min-label
+  * propagation needs one round per hop of graph diameter (plus the
+  * final no-change round the loop uses to detect a fixpoint, minus
+  * the init round fused into label construction). Measured
+  * rounds-vs-diameter on planted path graphs: a diameter-d chain
+  * converges with `maxIters = d` and fails the `require` with
+  * `maxIters = d - 1` — exactly linear, no constant slack. LSH dup
+  * clusters are near-cliques (diameter ~2) so the default 25 is deep
+  * headroom; a genuinely chainy graph trips the guard loudly instead
+  * of returning half-merged clusters.
+  */
+class DupClustersSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** Path graph 0–1–2–…–n-1 (diameter n-1). */
+  private def chain(n: Int): DataFrame = {
+    import spark.implicits._
+    (0 until n - 1).map(i => (i.toLong, (i + 1).toLong)).toDF("a", "b")
+  }
+
+  test("diameter-5 chain: converges at maxIters = 5, fails at 4") {
+    val labels = Dedup.dupClusters(chain(6), maxIters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.keySet == (0L to 5L).toSet)
+    assert(labels.values.toSet == Set(0L))
+
+    val ex = intercept[IllegalArgumentException](
+      Dedup.dupClusters(chain(6), maxIters = 4))
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
+  test("diameter-25 chain converges within the default budget") {
+    val labels = Dedup.dupClusters(chain(26))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.keySet == (0L to 25L).toSet)
+    assert(labels.values.toSet == Set(0L))
+  }
+
+  test("diameter > maxIters fails loudly with the escape-hatch hint") {
+    val ex = intercept[IllegalArgumentException](
+      Dedup.dupClusters(chain(40), maxIters = 8))
+    assert(ex.getMessage.contains("star-contraction"))
+  }
+
+  test("two chains + an isolated pair keep distinct min labels") {
+    import spark.implicits._
+    // components: {0..4} (path), {10..14} (path), {20,21}
+    val edges = ((0 until 4).map(i => (i.toLong, (i + 1).toLong)) ++
+      (10 until 14).map(i => (i.toLong, (i + 1).toLong)) ++
+      Seq((20L, 21L))).toDF("a", "b")
+    val labels = Dedup.dupClusters(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 4L).forall(labels(_) == 0L))
+    assert((10L to 14L).forall(labels(_) == 10L))
+    assert(labels(20L) == 20L && labels(21L) == 20L)
+  }
+}

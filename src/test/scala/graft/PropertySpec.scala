@@ -108,6 +108,50 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  // Degenerate cost shapes the precondition doc calls out: zero-cost
+  // rows (the running sum stalls, so a zero-cost tail past the
+  // boundary stays kept — same as the exact window), single costs
+  // larger than the whole budget (the group's highest-priority row is
+  // still kept: its strict-prefix sum is 0 < budget), and buckets=1
+  // (the entire group lands in one boundary bucket, all-cost-in-one-
+  // bucket by construction).
+  test("tokenBudgetCap ≡ naive window on adversarial cost shapes") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.{Window => W}
+    import graft.operators.Splits
+    val rowsGen = Gen.nonEmptyListOf(for {
+      id <- Gen.choose(0L, 400L)
+      g <- Gen.oneOf("one", "one", "one", "two")
+      cost <- Gen.frequency(
+        3 -> Gen.const(0L),
+        3 -> Gen.choose(1L, 9L),
+        2 -> Gen.choose(50L, 5000L))
+    } yield (id, g, cost)).map(_.distinctBy(_._1))
+    val caseGen = Gen.zip(rowsGen, Gen.oneOf(1, 2, 64),
+      Gen.oneOf(1L, 7L, 40L))
+    forAll(caseGen, n = 12) { case (rows, buckets, budget) =>
+      val df = rows.toDF("id", "g", "cost")
+      val w = W.partitionBy($"g").orderBy($"__rk", $"id")
+        .rowsBetween(W.unboundedPreceding, -1)
+      val ranked = df.withColumn("__rk", Splits.hash60($"id", "p"))
+      val expected = ranked
+        .withColumn("__cum", coalesce(sum($"cost").over(w), lit(0L)))
+        .filter($"__cum" < budget).select($"id", $"g", $"cost")
+        .as[(Long, String, Long)].collect().toSet
+      val got = Splits
+        .tokenBudgetCap(df, "id", "g", "cost", "p", budget, buckets)
+        .as[(Long, String, Long)].collect().toSet
+      assert(got == expected,
+        s"buckets=$buckets budget=$budget rows=${rows.size} diverged")
+      // the highest-priority row of every group survives any budget
+      val firstPerGroup = ranked.as[(Long, String, Long, Long)].collect()
+        .groupBy(_._2).values.map(_.minBy(r => (r._4, r._1)))
+        .map(r => (r._1, r._2, r._3)).toSet
+      assert(firstPerGroup.subsetOf(got),
+        s"dropped a group's first row: ${firstPerGroup.diff(got)}")
+    }
+  }
+
   test("shuffleRank ≡ naive global window on random inputs (batched)") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.{Window => W}
