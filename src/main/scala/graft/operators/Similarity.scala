@@ -143,11 +143,14 @@ object Similarity {
     * vectors inside them.
     *
     * Scale shape: the quantizer fits on a (sampled) corpus pass; cell
-    * assignment is one `model.transform`; the probe-cell set per query
-    * is computed with pure Catalyst expressions against the ≤numCells
-    * centroid literals (no UDF); the candidate join is an equi-join on
-    * cell id — for a well-balanced quantizer each query touches
-    * nProbe/numCells of the corpus. Complementary to [[lshKnn]]:
+    * assignment and the probe-cell set per query are pure Catalyst
+    * expressions against the ≤numCells centroid literals (no UDF, no
+    * ML transform in the hot path); the candidate join is an
+    * equi-join on cell id — for a well-balanced quantizer each query
+    * touches nProbe/numCells of the corpus. The search stage is
+    * [[ivfSearch]], oracle-checked end-to-end with fixed seeded
+    * centroids (e08); the data-dependent k-means fit stays spec-land
+    * (recall bar vs brute force). Complementary to [[lshKnn]]:
     * IVF adapts to data structure (clustered corpora → tight cells),
     * LSH gives distribution-free guarantees.
     */
@@ -156,36 +159,59 @@ object Similarity {
              idCol: String = "vec_id",
              vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.ml.functions.array_to_vector
+    val km = new org.apache.spark.ml.clustering.KMeans()
+      .setK(numCells).setSeed(seed)
+      .setFeaturesCol("fv").setPredictionCol("cell")
+    val model = km.fit(corpus
+      .select(array_to_vector(col(vecCol)).as("fv")))
+    ivfSearch(corpus, queries, model.clusterCenters.map(_.toArray),
+      k, nProbe, idCol, vecCol)
+  }
+
+  /** Sequential-order squared L2 distance to a literal centroid —
+    * reassociation-free, so engine-portable like [[dot]].
+    */
+  private def sqDistLit(vec: Column, ctr: Array[Double]): Column =
+    aggregate(zip_with(vec, typedLit(ctr.toSeq),
+      (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** The `nProbe` nearest centroid ids for a vector, as a pure
+    * Catalyst expression against ≤numCells centroid literals —
+    * array_sort on (dist, cellId) structs, ties by cell id.
+    */
+  def nearestCells(vec: Column, centroids: Array[Array[Double]],
+                   nProbe: Int): Column = {
+    val dists = centroids.zipWithIndex.map { case (ctr, i) =>
+      struct(sqDistLit(vec, ctr).as("dist"), lit(i).as("cell"))
+    }
+    slice(transform(array_sort(array(dists: _*)),
+      s => s.getField("cell")), 1, nProbe)
+  }
+
+  /** The IVF search stage against FIXED centroids (the k-means fit in
+    * [[ivfKnn]] supplies them; any quantizer — product, scalar,
+    * externally trained — can too). Everything is pure Catalyst: cell
+    * assignment and probe-cell selection are literal-folded
+    * expressions inside the scan stage (no ML transform in the hot
+    * path, no UDF), and the candidate join is an equi-join on cell id.
+    */
+  def ivfSearch(corpus: DataFrame, queries: DataFrame,
+                centroids: Array[Array[Double]], k: Int,
+                nProbe: Int = 4, idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
       norm(col(vecCol)).as("n_nrm"))
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
       norm(col(vecCol)).as("q_nrm"))
 
-    val km = new org.apache.spark.ml.clustering.KMeans()
-      .setK(numCells).setSeed(seed)
-      .setFeaturesCol("fv").setPredictionCol("cell")
-    val model = km.fit(c.select(array_to_vector(col("n_vec")).as("fv")))
-    val centroids = model.clusterCenters.map(_.toArray)
+    val cCells = c.withColumn("cell",
+      element_at(nearestCells(col("n_vec"), centroids, 1), 1))
 
-    val cCells = model.transform(
-        c.withColumn("fv", array_to_vector(col("n_vec"))))
-      .select(col("n_id"), col("n_vec"), col("n_nrm"), col("cell"))
-
-    // distance to each centroid as a literal-folded expression; the
-    // nProbe smallest via array_sort on (dist, cellId) structs
-    def probeCells(vec: Column): Column = {
-      val dists = centroids.zipWithIndex.map { case (ctr, i) =>
-        struct(
-          aggregate(zip_with(vec, typedLit(ctr.toSeq),
-            (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-            lit(0.0), (acc, v) => acc + v).as("dist"),
-          lit(i).as("cell"))
-      }
-      slice(transform(array_sort(array(dists: _*)),
-        s => s.getField("cell")), 1, nProbe)
-    }
     val qCells = broadcast(q.select(col("q_id"), col("q_vec"),
-        col("q_nrm"), explode(probeCells(col("q_vec"))).as("cell")))
+        col("q_nrm"),
+        explode(nearestCells(col("q_vec"), centroids, nProbe))
+          .as("cell")))
 
     val scored = cCells.join(qCells, Seq("cell"))
       .filter(col("n_id") =!= col("q_id"))

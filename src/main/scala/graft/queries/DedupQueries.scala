@@ -154,6 +154,16 @@ object DedupQueries {
       Similarity.ivfKnn(emb, emb.filter(col("vec_id") < 10), k = 10)
     }),
 
+    // IVF SEARCH stage with fixed seeded centroids (DuckDB-verified:
+    // centroids are driver constants injected into the SQL as
+    // parsed-string literals, like e02's hyperplanes) — closes the
+    // oracle over everything in e05 except the k-means fit itself.
+    "e08_ivf_scoring" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfSearch(emb, emb.filter(col("vec_id") < 10),
+        Similarity.randomPlanes(8, 64, seed = 7L), k = 10, nProbe = 4)
+    }),
+
     // Per-label embedding centroids (map-side-combined dim-keyed agg).
     "e06_label_centroids" -> ((s, d) =>
       Similarity.labelCentroids(Tables.embeddings(s, d))),
@@ -251,6 +261,23 @@ object DedupQueries {
     (0 until numTables).map(t =>
       bucketSql(vec, Similarity.randomPlanes(numPlanes, 64, seed + 1000L * t)))
       .mkString("[", ", ", "]")
+
+  /** Sequential-order squared L2 distance to a DOUBLE[] column —
+    * mirrors [[Similarity.sqDistLit]]'s `(x-y)·(x-y)` accumulate.
+    */
+  private def sqDistSql(vec: String, ctr: String): String =
+    s"""list_sum(list_transform(list_zip($vec, $ctr),
+        x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) *
+             (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))"""
+
+  /** The e08 fixed centroids as a (cell, cvec) inline table — the
+    * same `randomPlanes(8, 64, seed=7)` constants the Spark plan
+    * folds in, through the VARCHAR→DOUBLE parse of [[planeSqlArr]].
+    */
+  private def centroidTableSql: String =
+    Similarity.randomPlanes(8, 64, seed = 7L).zipWithIndex.map {
+      case (ctr, i) => s"SELECT $i AS cell, ${planeSqlArr(ctr)} AS cvec"
+    }.mkString(" UNION ALL ")
 
   /** Shared by d07 (exact broadcast set) and d08 (bloom + confirm):
     * the two plans compute the same relation.
@@ -364,6 +391,44 @@ object DedupQueries {
           cand AS (
             SELECT DISTINCT q_id, n_id
             FROM cb JOIN qb ON cb.t = qb.t AND cb.bkt = qb.bkt
+            WHERE n_id <> q_id),
+          scored AS (
+            SELECT cand.q_id, cand.n_id,
+                   ${dotSql("q_vec", "n_vec")} /
+                   (${normSql("q_vec")} * ${normSql("n_vec")}) AS cos
+            FROM cand
+            JOIN c ON cand.n_id = c.n_id
+            JOIN q ON cand.q_id = q.q_id),
+          ranked AS (
+            SELECT q_id, n_id, cos, CAST(row_number() OVER (
+              PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS INTEGER) AS rn
+            FROM scored)
+          SELECT q_id, n_id, cos, rn FROM ranked WHERE rn <= 10""",
+    "e08_ivf_scoring" ->
+      s"""WITH c AS (
+            SELECT vec_id AS n_id, embedding AS n_vec FROM embeddings),
+          q AS (
+            SELECT vec_id AS q_id, embedding AS q_vec
+            FROM embeddings WHERE vec_id < 10),
+          ctr AS ($centroidTableSql),
+          cc AS (
+            SELECT n_id, cell FROM (
+              SELECT n_id, ctr.cell, CAST(row_number() OVER (
+                PARTITION BY n_id
+                ORDER BY ${sqDistSql("n_vec", "cvec")}, ctr.cell)
+                AS INTEGER) AS rn
+              FROM c, ctr)
+            WHERE rn = 1),
+          qc AS (
+            SELECT q_id, cell FROM (
+              SELECT q_id, ctr.cell, CAST(row_number() OVER (
+                PARTITION BY q_id
+                ORDER BY ${sqDistSql("q_vec", "cvec")}, ctr.cell)
+                AS INTEGER) AS rn
+              FROM q, ctr)
+            WHERE rn <= 4),
+          cand AS (
+            SELECT q_id, n_id FROM cc JOIN qc USING (cell)
             WHERE n_id <> q_id),
           scored AS (
             SELECT cand.q_id, cand.n_id,

@@ -62,6 +62,26 @@ object FeatureQueries {
           explode(arrays_zip(col("indices"), col("values"))).as("iv"))
         .select(col("doc_id"), col("iv.indices").as("word_id"),
           round(col("iv.values"), 6).as("tfidf"))
+    }),
+
+    // f03 gated by the deterministic 80% content-hash train split —
+    // hash-verifies the exact sparse matrix a training run consumes
+    // after featurize→split. (m07 itself keeps Spark's seeded
+    // `randomSplit` for reference parity; that RNG is engine-internal
+    // and inherently un-oracle-able, so the verified split here is
+    // the hash split a 100 TB pipeline would use — sp01's basis.)
+    "f04_train_matrix" -> ((s, d) => {
+      val toks = tokenized(s, d)
+      val data = TfIdf.transform(toks, "doc_id", "label", "tokens",
+        vocab(s, d), K, exactParity = true)
+      data.toDF()
+        .filter(col("id").cast("long") < 100)
+        .filter(graft.operators.Splits.hashBucket(col("id"),
+          "graft-split", 100) < 80)
+        .select(col("id").as("doc_id"),
+          explode(arrays_zip(col("indices"), col("values"))).as("iv"))
+        .select(col("doc_id"), col("iv.indices").as("word_id"),
+          round(col("iv.values"), 6).as("tfidf"))
     })
   )
 
@@ -103,6 +123,19 @@ object FeatureQueries {
                         CAST(count(*) OVER (PARTITION BY v.id) AS DOUBLE)),
                      6) AS tfidf
             FROM tok JOIN vocab v USING (word))
-          WHERE doc_num < 100"""
+          WHERE doc_num < 100""",
+    "f04_train_matrix" ->
+      s"""WITH $vocabCte
+          SELECT doc_id, word_id, tfidf FROM (
+            SELECT CAST(tok.doc_id AS VARCHAR) AS doc_id,
+                   tok.doc_id AS doc_num, v.id AS word_id,
+                   round(1.0 / tok.len *
+                     ln((SELECT n FROM n) /
+                        CAST(count(*) OVER (PARTITION BY v.id) AS DOUBLE)),
+                     6) AS tfidf
+            FROM tok JOIN vocab v USING (word))
+          WHERE doc_num < 100
+            AND CAST(('0x' || substring(md5(CAST(doc_num AS VARCHAR)
+                  || '|graft-split'), 1, 15)) AS BIGINT) % 100 < 80"""
   )
 }
