@@ -441,9 +441,79 @@ object Dedup {
     }
     require(changed == 0,
       s"dupClusters did not converge in $maxIters rounds — graph " +
-        "diameter exceeds the near-dup-cluster assumption; use a " +
-        "star-contraction scheme for this input")
+        "diameter exceeds the near-dup-cluster assumption; use " +
+        "dupClustersStar for this input")
     edges.unpersist()
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** One large-star round: every node u hangs its strictly-larger
+    * neighbors off m = min(Γ(u) ∪ u). Edges come and go canonical
+    * (bigger id first).
+    */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.select(col("u"), col("v"))
+      .union(e.select(col("v").as("u"), col("u").as("v")))
+    val m = sym.groupBy(col("u")).agg(min(col("v")).as("nmin"))
+      .select(col("u"), least(col("u"), col("nmin")).as("m"))
+    sym.join(m, Seq("u")).filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .distinct()
+  }
+
+  /** One small-star round: every node u (as the larger endpoint of
+    * its edges) hangs its smaller neighbors — and itself — off the
+    * minimum among them.
+    */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val keyed = e.select(greatest(col("u"), col("v")).as("u"),
+      least(col("u"), col("v")).as("v"))
+    val m = keyed.groupBy(col("u")).agg(min(col("v")).as("m"))
+    keyed.join(m, Seq("u"))
+      .select(col("v").as("n"), col("m"))
+      .union(m.select(col("u").as("n"), col("m")))
+      .filter(col("n") =!= col("m"))
+      .select(col("n").as("u"), col("m").as("v"))
+      .distinct()
+  }
+
+  /** Connected components by alternating large-star/small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond") — the escape hatch [[dupClusters]]'s guard points
+    * at: O(log n) rounds on ANY graph shape, including paths whose
+    * diameter would exhaust label propagation. Same output contract
+    * as [[dupClusters]] (every node in some pair → its component's
+    * min id); DupClustersSpec asserts equivalence on random graphs,
+    * and d09 runs it against d06's recursive-CTE oracle.
+    *
+    * Each round is two groupBy+join passes over the current edge
+    * list; the list only shrinks toward the star set (n-1 edges per
+    * component), and convergence is detected by edge-set fixpoint
+    * (count match + empty except, both cheap on the contracted set).
+    * Per-round `localCheckpoint` keeps lineage O(1) — use
+    * `checkpoint` on a real cluster.
+    */
+  def dupClustersStar(pairs: DataFrame, maxIters: Int = 30): DataFrame = {
+    var edges = pairs
+      .select(greatest(col("a"), col("b")).as("u"),
+        least(col("a"), col("b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      converged = next.count() == edges.count() &&
+        next.exceptAll(edges).isEmpty
+      edges = next
+      iter += 1
+    }
+    require(converged,
+      s"dupClustersStar did not converge in $maxIters rounds " +
+        "(expected O(log n) — this indicates a bug, not an input shape)")
+    // at the fixpoint the edge set is a star forest: u → root v
+    edges.select(col("u").as("doc_id"), col("v").as("cluster_id"))
+      .union(edges.select(col("v").as("doc_id"),
+        col("v").as("cluster_id")).distinct())
   }
 }

@@ -74,6 +74,18 @@ object DedupQueries {
           threshold = 0.5))
     }),
 
+    // d06's relation computed by the O(log n)-round star-contraction
+    // scheme instead of label propagation — the variant that survives
+    // adversarially chainy graphs. Shares d06's recursive-CTE oracle
+    // (same relation, different plan — the d07/d08 pattern).
+    "d09_dup_clusters_star" -> ((s, d) => {
+      val sh = Dedup.shingles(Tables.documents(s, d), "doc_id",
+        docTokens(s))
+      Dedup.dupClustersStar(
+        Dedup.minhashLshPairs(sh, numHashes = 16, rowsPerBand = 4,
+          threshold = 0.5))
+    }),
+
     // Test-set decontamination: corpus docs (id >= 100) sharing
     // 3-gram shingles with the eval slice (id < 100) — overlap count
     // + contaminated fraction. Eval shingles broadcast; the corpus
@@ -279,6 +291,28 @@ object DedupQueries {
       case (ctr, i) => s"SELECT $i AS cell, ${planeSqlArr(ctr)} AS cvec"
     }.mkString(" UNION ALL ")
 
+  /** Components of the ≥0.5-Jaccard LSH pair graph, each node labeled
+    * with its component min, walked with a recursive CTE. Tractable
+    * for the oracle because the LSH pair list is tiny; the Spark side
+    * converges by label propagation (d06) or star contraction (d09).
+    */
+  private val dupClustersOracleSql: String =
+    s"""WITH RECURSIVE ${shingleCte()}, $jaccardCte, $minhashCandsCte,
+        pairs AS (
+          SELECT jac.a, jac.b
+          FROM jac JOIN cands ON jac.a = cands.a AND jac.b = cands.b
+          WHERE jac.jaccard >= 0.5),
+        edges AS (
+          SELECT a, b FROM pairs
+          UNION SELECT b AS a, a AS b FROM pairs),
+        reach AS (
+          SELECT a AS node, a AS root FROM edges
+          UNION
+          SELECT e.b AS node, r.root
+          FROM reach r JOIN edges e ON e.a = r.node)
+        SELECT node AS doc_id, min(root) AS cluster_id
+        FROM reach GROUP BY node"""
+
   /** Shared by d07 (exact broadcast set) and d08 (bloom + confirm):
     * the two plans compute the same relation.
     */
@@ -313,22 +347,9 @@ object DedupQueries {
     // undirected edge list). Tractable for the oracle because the
     // LSH pair list is tiny; the Spark side converges by label
     // propagation instead.
-    "d06_dup_clusters" ->
-      s"""WITH RECURSIVE ${shingleCte()}, $jaccardCte, $minhashCandsCte,
-          pairs AS (
-            SELECT jac.a, jac.b
-            FROM jac JOIN cands ON jac.a = cands.a AND jac.b = cands.b
-            WHERE jac.jaccard >= 0.5),
-          edges AS (
-            SELECT a, b FROM pairs
-            UNION SELECT b AS a, a AS b FROM pairs),
-          reach AS (
-            SELECT a AS node, a AS root FROM edges
-            UNION
-            SELECT e.b AS node, r.root
-            FROM reach r JOIN edges e ON e.a = r.node)
-          SELECT node AS doc_id, min(root) AS cluster_id
-          FROM reach GROUP BY node""",
+    "d06_dup_clusters" -> dupClustersOracleSql,
+    // same relation, different Spark plan (star contraction)
+    "d09_dup_clusters_star" -> dupClustersOracleSql,
     "d07_decontaminate" -> decontaminateSql,
     // same oracle by design: the bloom phase only prunes, the semi
     // join confirms — the result set must be identical to d07's

@@ -49,7 +49,32 @@ class DupClustersSpec extends AnyFunSuite {
   test("diameter > maxIters fails loudly with the escape-hatch hint") {
     val ex = intercept[IllegalArgumentException](
       Dedup.dupClusters(chain(40), maxIters = 8))
-    assert(ex.getMessage.contains("star-contraction"))
+    assert(ex.getMessage.contains("dupClustersStar"))
+  }
+
+  test("star contraction: diameter-199 chain converges in O(log n) rounds") {
+    // label propagation would need 199 rounds here; star contraction
+    // lands well inside 15 (≈ log-squared bound, log₂ 200 ≈ 8)
+    val labels = Dedup.dupClustersStar(chain(200), maxIters = 15)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.keySet == (0L to 199L).toSet)
+    assert(labels.values.toSet == Set(0L))
+  }
+
+  test("star contraction ≡ label propagation on random graphs") {
+    import spark.implicits._
+    val rng = new scala.util.Random(20260812L)
+    for (trial <- 1 to 3) {
+      val n = 60 + trial * 40
+      val edges = Seq.fill(n)((rng.nextInt(200).toLong,
+        rng.nextInt(200).toLong))
+        .filter(e => e._1 != e._2).toDF("a", "b")
+      val prop = Dedup.dupClusters(edges)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val star = Dedup.dupClustersStar(edges)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(star == prop, s"trial $trial diverged")
+    }
   }
 
   test("two chains + an isolated pair keep distinct min labels") {
