@@ -91,6 +91,52 @@ class OptimizerCurveParitySpec extends AnyFunSuite {
     Stack("SVM", Seq("optimizer3:", "optimizer4_"),
       HingeLoss, () => GradientDescent.SvmNorm(1.0 / (0.5 * nTrain))))
 
+  /** The committed NN runs (`out/NN_rdd_{SGD,Adam}/part-00000`,
+    * `RDD_NN.py:333-346`: 1000→128→2 net, SSE per-doc cost, 300
+    * iterations, bold driver, unseeded uniform(-0.5, 0.5) init). Only
+    * ONE committed run exists per optimizer, so there is no
+    * cross-family envelope; the two runs' heads differ from each
+    * other by ~12% on init draw alone, which calibrates the ±20%
+    * head band. The discriminative assert is the shape gap at iter
+    * 100: the reference Adam (with its |v| bias-correction quirk)
+    * has shed ~25% of its head cost and flatlined while SGD has shed
+    * ~6% — the engine must reproduce that separation.
+    */
+  test("NN curves track the committed NN_rdd artifacts (SGD vs Adam)") {
+    val nn = RddPipeline.featurize(spark, Csv.TrainCsv, dim = 1000,
+      dictFilter = Some("1"))
+    val tr = nn.data.randomSplit(Array(0.8, 0.2), seed = 123L)(0)
+      .coalesce(8)
+    tr.persist()
+    try {
+      val iters = 120
+      val sgd = TwoLayerNet.train(tr,
+        TwoLayerNet.Config(iterations = iters)).costs
+      val adam = TwoLayerNet.train(tr,
+        TwoLayerNet.Config(iterations = iters, optimizer = "Adam")).costs
+      val refSgd = Sinks.readCostCurve("/root/reference/out/NN_rdd_SGD")
+      val refAdam = Sinks.readCostCurve("/root/reference/out/NN_rdd_Adam")
+      for ((name, ours, ref) <- Seq(("SGD", sgd, refSgd),
+          ("Adam", adam, refAdam))) {
+        info(f"$name head ours=${ours.head}%.4f ref=${ref.head}%.4f " +
+          f"n100 ours=${ours(100) / ours.head}%.4f " +
+          f"ref=${ref(100) / ref.head}%.4f")
+        assert(ours.head > ref.head * 0.8 && ours.head < ref.head * 1.25,
+          s"$name head ${ours.head} vs ref ${ref.head}")
+      }
+      val sgdN = sgd(100) / sgd.head
+      val adamN = adam(100) / adam.head
+      val refSgdN = refSgd(100) / refSgd.head
+      val refAdamN = refAdam(100) / refAdam.head
+      assert(math.abs(sgdN - refSgdN) < 0.10,
+        s"SGD shape at 100: $sgdN vs ref $refSgdN")
+      assert(math.abs(adamN - refAdamN) < 0.15,
+        s"Adam shape at 100: $adamN vs ref $refAdamN")
+      assert(adamN < sgdN - 0.05,
+        s"Adam ($adamN) must descend well past SGD ($sgdN) by iter 100")
+    } finally tr.unpersist()
+  }
+
   for (stack <- stacks; opt <- Optimizers)
     test(s"${stack.name}/$opt curve tracks the reference families") {
       val refs = stack.families
