@@ -55,7 +55,12 @@ def suffix_tokens(col: pa.ChunkedArray, r: int) -> pa.Array:
         flat.offsets, suffixed) if isinstance(
         flat, pa.LargeListArray) else pa.ListArray.from_arrays(
         flat.offsets, suffixed)
-    return pc.binary_join(rebuilt, " ")
+    joined = pc.binary_join(rebuilt, " ")
+    # from_arrays(offsets, values) drops the source validity bitmap, so
+    # restore it: a NULL text row must stay NULL in the replica, not
+    # become an empty/non-null string.
+    return pc.if_else(pc.is_valid(col.combine_chunks()), joined,
+                      pa.scalar(None, joined.type))
 
 
 def main():

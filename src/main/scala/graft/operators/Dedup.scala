@@ -494,9 +494,18 @@ object Dedup {
     * `checkpoint` on a real cluster.
     */
   def dupClustersStar(pairs: DataFrame, maxIters: Int = 30): DataFrame = {
-    var edges = pairs
+    val canon = pairs
       .select(greatest(col("a"), col("b")).as("u"),
         least(col("a"), col("b")).as("v"))
+    // A node appearing ONLY in self-pairs (a == b) has no real edge,
+    // so contraction never sees it — but dupClusters (label
+    // propagation) would emit it as its own singleton cluster. Keep
+    // the two output contracts identical by unioning those nodes back
+    // at the end (minhashLshPairs guarantees a < b, so this is a
+    // no-op filter for LSH-produced pair lists).
+    val selfOnly = canon.filter(col("u") === col("v"))
+      .select(col("u").as("n")).distinct()
+    var edges = canon
       .filter(col("u") =!= col("v")).distinct()
       .localCheckpoint()
     var converged = false
@@ -509,11 +518,19 @@ object Dedup {
       iter += 1
     }
     require(converged,
-      s"dupClustersStar did not converge in $maxIters rounds " +
-        "(expected O(log n) — this indicates a bug, not an input shape)")
+      s"dupClustersStar did not converge in $maxIters rounds — the " +
+        "proven worst-case bound for alternating large-star/small-star " +
+        "is O(log² n) rounds, so an extremely deep pathological " +
+        "graph can legitimately need more; raise maxIters before " +
+        "suspecting a bug")
     // at the fixpoint the edge set is a star forest: u → root v
+    val lone = selfOnly
+      .join(edges.select(col("u").as("n"))
+          .union(edges.select(col("v").as("n"))),
+        Seq("n"), "left_anti")
     edges.select(col("u").as("doc_id"), col("v").as("cluster_id"))
       .union(edges.select(col("v").as("doc_id"),
         col("v").as("cluster_id")).distinct())
+      .union(lone.select(col("n").as("doc_id"), col("n").as("cluster_id")))
   }
 }

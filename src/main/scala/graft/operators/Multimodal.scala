@@ -134,8 +134,15 @@ object Multimodal {
     docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
       .as(Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
       .map { case (id, text) =>
-        val raw = text.getBytes("UTF-8")
-        val body = if (raw.nonEmpty) raw else Array[Byte](0)
+        // The mm02 oracle predicts decoded bytes by indexing the text
+        // per CHARACTER position (`text[i % len + 1]`), which is only
+        // byte-accurate for non-empty pure-ASCII content. Reject the
+        // rest here so a fixture violation fails loudly on BOTH sides
+        // instead of silently diverging (ADVICE r5).
+        require(text.nonEmpty && text.forall(_ < 128),
+          s"demoAssets: doc $id must be non-empty pure-ASCII " +
+            "(oracle indexes by char position)")
+        val body = text.getBytes("UTF-8")
         val len = body.length
         // deterministic "dimensions" from content, so decode is testable
         val w = 16 + (len % 64)
@@ -271,7 +278,14 @@ object Multimodal {
         val src = ImageIO.read(new ByteArrayInputStream(a.payload))
         require(src != null,
           s"asset ${a.asset_id}: undecodable image payload")
-        val dst = new BufferedImage(w, h, src.getType)
+        // ImageIO reports TYPE_CUSTOM (0) for some real-world PNGs
+        // (16-bit, odd alpha layouts); the BufferedImage constructor
+        // rejects type 0, so fall back to a universal format.
+        val dstType =
+          if (src.getType == BufferedImage.TYPE_CUSTOM)
+            BufferedImage.TYPE_INT_ARGB
+          else src.getType
+        val dst = new BufferedImage(w, h, dstType)
         val g = dst.createGraphics()
         try {
           g.setRenderingHint(

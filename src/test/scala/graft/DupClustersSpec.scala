@@ -77,6 +77,20 @@ class DupClustersSpec extends AnyFunSuite {
     }
   }
 
+  test("self-pair-only nodes come back as singletons from both algorithms") {
+    import spark.implicits._
+    // node 7 appears ONLY in a self-pair; 0-1 is a real edge; 3's
+    // self-pair coexists with its real edge to 4
+    val edges = Seq((0L, 1L), (7L, 7L), (3L, 3L), (3L, 4L)).toDF("a", "b")
+    val prop = Dedup.dupClusters(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val star = Dedup.dupClustersStar(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(star == prop, "self-pair handling diverged between algorithms")
+    assert(prop.contains((7L, 7L)), "singleton 7 must survive")
+    assert(prop.toMap.apply(4L) == 3L)
+  }
+
   test("two chains + an isolated pair keep distinct min labels") {
     import spark.implicits._
     // components: {0..4} (path), {10..14} (path), {20,21}
