@@ -22,6 +22,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => LemmatizeWord(children.head)))
 
     ext.injectFunction((
+      new FunctionIdentifier("graft_simhash60"),
+      new ExpressionInfo(classOf[SimHash60].getName,
+        null, "graft_simhash60",
+        "graft_simhash60(hashes) - 60-bit SimHash fingerprint of an " +
+          "array of 64-bit token hashes (one-pass vote loop).", ""),
+      (children: Seq[Expression]) => SimHash60(children.head)))
+
+    ext.injectFunction((
+      new FunctionIdentifier("graft_simhash_text"),
+      new ExpressionInfo(classOf[SimHashText].getName,
+        null, "graft_simhash_text",
+        "graft_simhash_text(tokens) - 60-bit SimHash fingerprint of a " +
+          "token array (fused md5 + vote loop).", ""),
+      (children: Seq[Expression]) => SimHashText(children.head)))
+
+    ext.injectFunction((
       new FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashAgg].getName,
         null, "graft_minhash",

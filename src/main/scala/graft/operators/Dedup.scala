@@ -282,6 +282,28 @@ object Dedup {
 
   def simhash(tokens: Column): Column = simhashFromHashes(tokenHashes(tokens))
 
+  /** [[simhashFromHashes]] as the one-pass native expression
+    * [[graft.expressions.SimHash60]] — value-identical (ExpressionSpec
+    * asserts parity against the composed form), but whole-stage
+    * codegen instead of 60 interpreted HOF traversals per document.
+    * This is what the production path ([[simhashPairs]]) uses; the
+    * composed form stays as the executable spec of the bit math.
+    */
+  def simhashNative(hvs: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expressions.SimHash60(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(hvs)))
+
+  /** The full tokens→fingerprint chain as ONE codegen'd expression
+    * ([[graft.expressions.SimHashText]]): md5 + top-60-bit hash + vote
+    * loop fused, no interpreted HOF pass and no intermediate hash
+    * array. Value-identical to [[simhash]].
+    */
+  def simhashTextNative(tokens: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expressions.SimHashText(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(tokens)))
+
   /** Hamming distance between two simhash fingerprints. */
   def hammingDist(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
@@ -304,8 +326,7 @@ object Dedup {
     val bandBits = 60 / numBands
     val mask = (1L << bandBits) - 1
     val fp = docs
-      .select(col(idCol).as("doc_id"), tokenHashes(tokens).as("hvs"))
-      .select(col("doc_id"), simhashFromHashes(col("hvs")).as("fp"))
+      .select(col(idCol).as("doc_id"), simhashTextNative(tokens).as("fp"))
     val bands = (0 until numBands).map(b =>
       struct(lit(b).as("band"),
         shiftright(col("fp"), b * bandBits).bitwiseAND(mask).as("bits")))

@@ -30,3 +30,26 @@ trait StringInputTypes
   override def inputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] =
     children.map(_ => org.apache.spark.sql.types.StringType)
 }
+
+/** Declared `array<string>` input types — same reasoning as
+  * [[StringInputTypes]].
+  */
+trait StringArrayInputTypes
+    extends org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  this: Expression =>
+  override def inputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] =
+    children.map(_ => org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType))
+}
+
+/** Declared `array<bigint>` input types — same reasoning as
+  * [[StringInputTypes]] (the `AbstractDataType` return type is
+  * `private[sql]`, so the override lives in this package tree).
+  */
+trait LongArrayInputTypes
+    extends org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  this: Expression =>
+  override def inputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] =
+    children.map(_ => org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType))
+}
