@@ -554,4 +554,48 @@ object Dedup {
         col("v").as("cluster_id")).distinct())
       .union(lone.select(col("n").as("doc_id"), col("n").as("cluster_id")))
   }
+
+  /** Quality-aware duplicate resolution: decide, for every clustered
+    * document, whether it is the cluster's keeper — the member with
+    * the highest quality score, ties broken by lowest id. Returns
+    * `(doc_id, cluster_id, quality, kept)` for every cluster member.
+    *
+    * Scale shape: the winner per cluster is a single hash aggregate —
+    * `min(struct(-quality, doc_id))` — with map-side partial
+    * aggregation, NOT a per-cluster window sort, so one pathological
+    * mega-cluster (a boilerplate template with 10⁸ copies) costs a
+    * combine instead of a single-reducer sort. Quality should be an
+    * integer-valued column (token count, rule score) so cross-engine
+    * comparisons are exact; float quality risks tie-order divergence.
+    */
+  def resolveClusters(clusters: DataFrame, docQuality: DataFrame): DataFrame = {
+    val member = clusters.join(docQuality, Seq("doc_id"))
+    val winners = member.groupBy(col("cluster_id"))
+      .agg(min(struct((-col("quality")).as("nq"), col("doc_id")))
+        .as("best"))
+      .select(col("cluster_id"), col("best.doc_id").as("keep_id"))
+    member.join(winners, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("quality"),
+        (col("doc_id") === col("keep_id")).as("kept"))
+  }
+
+  /** Keep-best near-duplicate removal over a whole corpus: close the
+    * near-dup `pairs` into clusters ([[dupClusters]]), keep each
+    * cluster's highest-quality member ([[resolveClusters]]), and pass
+    * unclustered documents through untouched. Returns the deduped
+    * corpus with `docs`' original columns.
+    *
+    * The corpus is only ever touched by one anti join against the
+    * dropped-id set (clustered non-winners — by near-dup construction
+    * a small fraction of the corpus), so the 100 TB side never
+    * shuffles and never carries cluster metadata.
+    */
+  def resolveDuplicates(docs: DataFrame, idCol: String,
+                        pairs: DataFrame, quality: Column): DataFrame = {
+    val q = docs.select(col(idCol).cast("long").as("doc_id"),
+      quality.cast("long").as("quality"))
+    val dropped = resolveClusters(dupClusters(pairs), q)
+      .filter(!col("kept")).select(col("doc_id"))
+    docs.join(dropped, docs(idCol) === dropped("doc_id"), "left_anti")
+  }
 }

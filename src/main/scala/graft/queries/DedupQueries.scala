@@ -86,6 +86,22 @@ object DedupQueries {
           threshold = 0.5))
     }),
 
+    // Quality-aware duplicate resolution: d06's clusters scored by
+    // token count; each cluster's best member (ties → min id) is the
+    // keeper. One hash aggregate per cluster (max_by via min(struct)),
+    // never a per-cluster window sort — the shape that survives a
+    // boilerplate mega-cluster.
+    "d10_dedup_resolve" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val sh = Dedup.shingles(docs, "doc_id", docTokens(s))
+      val clusters = Dedup.dupClusters(
+        Dedup.minhashLshPairs(sh, numHashes = 16, rowsPerBand = 4,
+          threshold = 0.5))
+      val q = docs.select(col("doc_id"),
+        size(docTokens(s)).cast("bigint").as("quality"))
+      Dedup.resolveClusters(clusters, q)
+    }),
+
     // Test-set decontamination: corpus docs (id >= 100) sharing
     // 3-gram shingles with the eval slice (id < 100) — overlap count
     // + contaminated fraction. Eval shingles broadcast; the corpus
@@ -296,8 +312,8 @@ object DedupQueries {
     * for the oracle because the LSH pair list is tiny; the Spark side
     * converges by label propagation (d06) or star contraction (d09).
     */
-  private val dupClustersOracleSql: String =
-    s"""WITH RECURSIVE ${shingleCte()}, $jaccardCte, $minhashCandsCte,
+  private val dupClusterCtes: String =
+    s"""${shingleCte()}, $jaccardCte, $minhashCandsCte,
         pairs AS (
           SELECT jac.a, jac.b
           FROM jac JOIN cands ON jac.a = cands.a AND jac.b = cands.b
@@ -309,9 +325,14 @@ object DedupQueries {
           SELECT a AS node, a AS root FROM edges
           UNION
           SELECT e.b AS node, r.root
-          FROM reach r JOIN edges e ON e.a = r.node)
-        SELECT node AS doc_id, min(root) AS cluster_id
-        FROM reach GROUP BY node"""
+          FROM reach r JOIN edges e ON e.a = r.node),
+        clusters AS (
+          SELECT node AS doc_id, min(root) AS cluster_id
+          FROM reach GROUP BY node)"""
+
+  private val dupClustersOracleSql: String =
+    s"""WITH RECURSIVE $dupClusterCtes
+        SELECT doc_id, cluster_id FROM clusters"""
 
   /** Shared by d07 (exact broadcast set) and d08 (bloom + confirm):
     * the two plans compute the same relation.
@@ -350,6 +371,26 @@ object DedupQueries {
     "d06_dup_clusters" -> dupClustersOracleSql,
     // same relation, different Spark plan (star contraction)
     "d09_dup_clusters_star" -> dupClustersOracleSql,
+    // clusters → token-count quality → per-cluster argmax (quality
+    // desc, doc_id asc); kept ⇔ the member IS the winner
+    "d10_dedup_resolve" ->
+      s"""WITH RECURSIVE $dupClusterCtes,
+          q AS (
+            SELECT doc_id, CAST(len($tokSql) AS BIGINT) AS quality
+            FROM documents),
+          member AS (
+            SELECT c.doc_id, c.cluster_id, q.quality
+            FROM clusters c JOIN q USING (doc_id)),
+          win AS (
+            SELECT cluster_id, doc_id AS keep_id FROM (
+              SELECT cluster_id, doc_id, row_number() OVER (
+                PARTITION BY cluster_id
+                ORDER BY quality DESC, doc_id ASC) AS rn
+              FROM member)
+            WHERE rn = 1)
+          SELECT m.doc_id, m.cluster_id, m.quality,
+                 m.doc_id = w.keep_id AS kept
+          FROM member m JOIN win w USING (cluster_id)""",
     "d07_decontaminate" -> decontaminateSql,
     // same oracle by design: the bloom phase only prunes, the semi
     // join confirms — the result set must be identical to d07's

@@ -91,6 +91,36 @@ class DupClustersSpec extends AnyFunSuite {
     assert(prop.toMap.apply(4L) == 3L)
   }
 
+  test("resolveClusters keeps the best-quality member, ties to min id") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // cluster {0,1,2}: quality 5,9,9 → keeper 1 (tie 1 vs 2 → min id)
+    // cluster {10,11}: quality 3,7 → keeper 11
+    val clusters = Seq((0L, 0L), (1L, 0L), (2L, 0L), (10L, 10L),
+      (11L, 10L)).toDF("doc_id", "cluster_id")
+    val q = Seq((0L, 5L), (1L, 9L), (2L, 9L), (10L, 3L), (11L, 7L))
+      .toDF("doc_id", "quality")
+    val kept = Dedup.resolveClusters(clusters, q)
+      .filter(col("kept")).select(col("doc_id"))
+      .as[Long].collect().toSet
+    assert(kept == Set(1L, 11L))
+  }
+
+  test("resolveDuplicates passes unclustered docs through untouched") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, length}
+    // pairs merge {1,2} and {3,4}; 5 and 6 are never in a pair
+    val docs = Seq((1L, "short"), (2L, "a much longer text"),
+      (3L, "mid text"), (4L, "tiny"), (5L, "loner"), (6L, "alone"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("a", "b")
+    val kept = Dedup.resolveDuplicates(docs, "doc_id", pairs,
+      length(col("text")))
+      .select(col("doc_id")).as[Long].collect().toSet
+    // keepers: 2 (longer than 1), 3 (longer than 4); 5,6 untouched
+    assert(kept == Set(2L, 3L, 5L, 6L))
+  }
+
   test("two chains + an isolated pair keep distinct min labels") {
     import spark.implicits._
     // components: {0..4} (path), {10..14} (path), {20,21}
