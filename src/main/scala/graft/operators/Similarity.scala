@@ -270,6 +270,62 @@ object Similarity {
         transform(vec, _ => lit(0)).as("q")))
   }
 
+  /** SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"): partition the corpus into coarse quantizer
+    * cells, then emit cosine pairs ≥ threshold ONLY within a cell.
+    * Semantic dups sit close in embedding space, so cell-local
+    * comparison preserves nearly all true pairs while making the
+    * quadratic term per-cell: with k ∝ √n cells the candidate volume
+    * is O(n²/k) per cell × k — a ~k× cut over all-pairs, and each
+    * cell's join is an independent equi-join bucket (no global
+    * shuffle beyond the cell-key hash). Cross-cell near-dups straddle
+    * a Voronoi boundary and are the method's documented recall loss —
+    * quantified against the exact all-pairs baseline in
+    * DedupSimilaritySpec.
+    *
+    * Centroids are FIXED literals here (trained upstream or seeded) —
+    * same plan discipline as [[ivfSearch]]: cell assignment is a
+    * literal-folded expression inside the scan, no ML transform or
+    * UDF in the hot path.
+    */
+  def semDedupPairs(corpus: DataFrame, centroids: Array[Array[Double]],
+                    threshold: Double, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      norm(col(vecCol)).as("nrm"))
+    val cells = c.withColumn("cell",
+      element_at(nearestCells(col("vec"), centroids, 1), 1))
+    cells.as("x").join(cells.as("y"),
+        col("x.cell") === col("y.cell") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        cosineFromNorms(col("x.vec"), col("y.vec"),
+          col("x.nrm"), col("y.nrm")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** Full SemDeDup: fit the coarse quantizer (k-means, like
+    * [[ivfKnn]]), take cell-local pairs, close them into duplicate
+    * clusters — each embedding labeled with its semantic-dup group's
+    * min id, ready for [[graft.operators.Dedup.resolveClusters]]-style
+    * keep-one resolution. The e09 oracle pins the search stage with
+    * fixed centroids; the k-means fit stays spec-land (recall bar),
+    * the d06 discipline.
+    */
+  def semDedup(corpus: DataFrame, numCells: Int, threshold: Double,
+               seed: Long = 42L, idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val km = new org.apache.spark.ml.clustering.KMeans()
+      .setK(numCells).setSeed(seed)
+      .setFeaturesCol("fv").setPredictionCol("cell")
+    val model = km.fit(corpus
+      .select(array_to_vector(col(vecCol)).as("fv")))
+    val pairs = semDedupPairs(corpus,
+      model.clusterCenters.map(_.toArray), threshold, idCol, vecCol)
+    Dedup.dupClusters(pairs.select(col("a"), col("b")))
+  }
+
   def cosineDupPairsExact(corpus: DataFrame, threshold: Double,
                           idCol: String = "vec_id",
                           vecCol: String = "embedding"): DataFrame = {

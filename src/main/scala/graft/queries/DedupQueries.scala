@@ -192,6 +192,20 @@ object DedupQueries {
         Similarity.randomPlanes(8, 64, seed = 7L), k = 10, nProbe = 4)
     }),
 
+    // SemDeDup search stage: fixed coarse cells (e08's seeded
+    // centroids), cell-local cosine pairs ≥ 0.4, closed into semantic
+    // dup clusters. Same fixed-500 slice as e03/e04 — with literal
+    // k=8 cells the per-cell term is the e03 quadratic; the scale
+    // path is Similarity.semDedup with k ∝ √n trained cells
+    // (recall vs the exact baseline asserted in spec).
+    "e09_semdedup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).filter(col("vec_id") < 500)
+      val pairs = Similarity.semDedupPairs(emb,
+        Similarity.randomPlanes(8, 64, seed = 7L), threshold = 0.4)
+      Dedup.dupClusters(pairs.select(col("a"), col("b")))
+        .select(col("doc_id").as("vec_id"), col("cluster_id"))
+    }),
+
     // Per-label embedding centroids (map-side-combined dim-keyed agg).
     "e06_label_centroids" -> ((s, d) =>
       Similarity.labelCentroids(Tables.embeddings(s, d))),
@@ -504,6 +518,39 @@ object DedupQueries {
               PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS INTEGER) AS rn
             FROM scored)
           SELECT q_id, n_id, cos, rn FROM ranked WHERE rn <= 10""",
+    "e09_semdedup" ->
+      s"""WITH RECURSIVE ctr AS ($centroidTableSql),
+          c AS (
+            SELECT vec_id AS id, embedding AS vec
+            FROM embeddings WHERE vec_id < 500),
+          cc AS (
+            SELECT id, cell FROM (
+              SELECT id, ctr.cell, CAST(row_number() OVER (
+                PARTITION BY id
+                ORDER BY ${sqDistSql("vec", "cvec")}, ctr.cell)
+                AS INTEGER) AS rn
+              FROM c, ctr)
+            WHERE rn = 1),
+          sempairs AS (
+            SELECT a, b FROM (
+              SELECT x.id AS a, y.id AS b,
+                     ${dotSql("ca.vec", "cb.vec")} /
+                     (${normSql("ca.vec")} * ${normSql("cb.vec")}) AS cos
+              FROM cc x
+              JOIN cc y ON x.cell = y.cell AND x.id < y.id
+              JOIN c ca ON ca.id = x.id
+              JOIN c cb ON cb.id = y.id)
+            WHERE cos >= 0.4),
+          semedges AS (
+            SELECT a, b FROM sempairs
+            UNION SELECT b AS a, a AS b FROM sempairs),
+          semreach AS (
+            SELECT a AS node, a AS root FROM semedges
+            UNION
+            SELECT e.b AS node, r.root
+            FROM semreach r JOIN semedges e ON e.a = r.node)
+          SELECT node AS vec_id, min(root) AS cluster_id
+          FROM semreach GROUP BY node""",
     "e04_cosine_dup_lsh" ->
       s"""WITH e AS (
             SELECT vec_id AS id, embedding AS vec

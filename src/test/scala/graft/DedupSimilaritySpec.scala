@@ -370,4 +370,34 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val recall = (exact & lsh).size.toDouble / exact.size
     assert(recall >= 0.75, s"recall=$recall")
   }
+
+  test("semDedup: no false pairs; trained cells keep most exact pairs") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") < 500)
+    val exact = Similarity.cosineDupPairsExact(emb, 0.4)
+      .select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    // trained path: k-means cells + cell-local pairs → clusters
+    val clusters = Similarity.semDedup(emb, numCells = 4,
+      threshold = 0.4)
+    val labels = clusters.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every exact pair that semDedup recovered shares a cluster label;
+    // recall loss is only cell-boundary straddling, quantified here.
+    // These embeddings are unstructured (near-worst case for a coarse
+    // quantizer), so the bar is deliberately modest; clustered real
+    // corpora sit near 1.0.
+    val kept = exact.count { case (a, b) =>
+      labels.get(a).exists(la => labels.get(b).contains(la))
+    }
+    val recall = kept.toDouble / exact.size
+    assert(recall >= 0.25, s"semantic recall=$recall")
+    // and the pair stage itself admits no below-threshold pair
+    val pairs = Similarity.semDedupPairs(emb,
+      Similarity.randomPlanes(8, 64, seed = 7L), 0.4)
+      .select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((pairs -- exact).isEmpty, "cell-local stage invented a pair")
+  }
 }
