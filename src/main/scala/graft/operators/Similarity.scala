@@ -326,6 +326,96 @@ object Similarity {
     Dedup.dupClusters(pairs.select(col("a"), col("b")))
   }
 
+  /** Product-quantization codebooks: `M` subspaces × `K` centroids ×
+    * `dsub` dims each (Jégou et al. 2011, "Product quantization for
+    * nearest neighbor search"). Codes compress a d-dim float vector
+    * to M bytes (K ≤ 256), the memory step that lets a 100 TB vector
+    * corpus keep its index hot: 64 float32 dims → 4 code bytes here.
+    */
+  type Codebooks = Array[Array[Array[Double]]]
+
+  /** Deterministic seeded codebooks — the fixed-literal profile the
+    * e10/e11 oracles pin (the d03-vs-d05 discipline: oracle anchors
+    * the math, [[pqTrain]] is the production fit).
+    */
+  def seededCodebooks(numSub: Int, k: Int, dsub: Int,
+                      seed: Long = 7L): Codebooks =
+    Array.tabulate(numSub)(m => randomPlanes(k, dsub, seed + 31L * m))
+
+  /** Per-subspace k-means codebooks (the real PQ training). */
+  def pqTrain(corpus: DataFrame, numSub: Int, k: Int, dim: Int,
+              seed: Long = 42L, vecCol: String = "embedding"): Codebooks = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val dsub = dim / numSub
+    Array.tabulate(numSub) { m =>
+      val km = new org.apache.spark.ml.clustering.KMeans()
+        .setK(k).setSeed(seed + m).setFeaturesCol("fv")
+      km.fit(corpus.select(array_to_vector(
+          slice(col(vecCol), m * dsub + 1, dsub)).as("fv")))
+        .clusterCenters.map(_.toArray)
+    }
+  }
+
+  /** PQ encode: nearest codebook centroid per subvector (ties → lower
+    * code, the [[nearestCells]] ordering). Pure in-row Catalyst
+    * against literal codebooks — the encode rides the scan, nothing
+    * shuffles.
+    */
+  def pqEncode(vec: Column, codebooks: Codebooks): Column =
+    array(codebooks.zipWithIndex.map { case (cb, m) =>
+      val dsub = cb(0).length
+      element_at(nearestCells(slice(vec, m * dsub + 1, dsub), cb, 1), 1)
+    }: _*)
+
+  /** PQ decode: concatenated centroids of each code — the lossy
+    * reconstruction whose error [[pqTrain]] minimizes.
+    */
+  def pqDecode(codes: Column, codebooks: Codebooks): Column =
+    concat(codebooks.zipWithIndex.map { case (cb, m) =>
+      element_at(
+        typedLit(cb.map(_.toSeq).toSeq), element_at(codes, m + 1) + 1)
+    }: _*)
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: each query builds
+    * its M×K lookup table of exact subvector-to-centroid distances
+    * ONCE (on the small broadcast side), and scoring a corpus vector
+    * is M table lookups on its code — no float vector is read on the
+    * corpus side at all. The approximate distances rank candidates;
+    * a production pipeline re-ranks the top slice with exact cosine
+    * ([[bruteForceKnn]] shape) if needed.
+    *
+    * The M per-subspace terms are added left-to-right (foldLeft), so
+    * the oracle can reproduce the IEEE sum exactly with a fixed-order
+    * chain instead of an unordered SUM().
+    */
+  def pqAdcTopK(corpus: DataFrame, queries: DataFrame,
+                codebooks: Codebooks, k: Int,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    val numSub = codebooks.length
+    val codes = corpus.select(col(idCol).as("n_id"),
+      pqEncode(col(vecCol), codebooks).as("codes"))
+    val lut = array(codebooks.zipWithIndex.map { case (cb, m) =>
+      val dsub = cb(0).length
+      array(cb.map(ctr =>
+        sqDistLit(slice(col(vecCol), m * dsub + 1, dsub), ctr)): _*)
+    }: _*)
+    val q = broadcast(queries.select(col(idCol).as("q_id"),
+      lut.as("lut")))
+    val adist = (0 until numSub)
+      .map(m => element_at(element_at(col("lut"), m + 1),
+        element_at(col("codes"), m + 1) + 1))
+      .reduce(_ + _)
+    val scored = codes.join(q, col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"), adist.as("adist"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("adist").asc, col("n_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("n_id"), col("adist"), col("rn"))
+  }
+
   def cosineDupPairsExact(corpus: DataFrame, threshold: Double,
                           idCol: String = "vec_id",
                           vecCol: String = "embedding"): DataFrame = {

@@ -16,6 +16,14 @@ object DedupQueries {
 
   private def docTokens(s: SparkSession) = TextOps.tokenize(col("text"))
 
+  /** Fixed seeded PQ codebooks for the e10/e11 oracle anchors:
+    * 64 dims → 4 subspaces × 16 centroids × 16 dims. The trained
+    * profile ([[Similarity.pqTrain]]) is spec-land, the e05/e08
+    * discipline.
+    */
+  private lazy val pqCbs: Similarity.Codebooks =
+    Similarity.seededCodebooks(numSub = 4, k = 16, dsub = 16)
+
   val queries: Map[String, Q] = Map(
     // Exact dedup groups: shuffle 16-byte hashes, not documents.
     "d01_dedup_exact" -> ((s, d) =>
@@ -206,6 +214,23 @@ object DedupQueries {
         .select(col("doc_id").as("vec_id"), col("cluster_id"))
     }),
 
+    // PQ encode: 64 float dims → 4 code bytes, pure in-row Catalyst
+    // against literal codebooks (unnested per subspace for the oracle
+    // compare; the operator's native output is the code array).
+    "e10_pq_encode" -> ((s, d) =>
+      Tables.embeddings(s, d).select(col("vec_id"),
+        posexplode(Similarity.pqEncode(col("embedding"), pqCbs))
+          .as(Seq("m", "code")))),
+
+    // ADC top-10: per-query M×K lookup tables on the broadcast side,
+    // M table lookups per corpus code — the corpus float vectors are
+    // never read during scoring.
+    "e11_pq_adc_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.pqAdcTopK(emb, emb.filter(col("vec_id") < 10),
+        pqCbs, k = 10)
+    }),
+
     // Per-label embedding centroids (map-side-combined dim-keyed agg).
     "e06_label_centroids" -> ((s, d) =>
       Similarity.labelCentroids(Tables.embeddings(s, d))),
@@ -311,6 +336,36 @@ object DedupQueries {
     s"""list_sum(list_transform(list_zip($vec, $ctr),
         x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) *
              (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))"""
+
+  /** The e10/e11 codebooks as an (m, k, cvec) inline table, through
+    * the same VARCHAR→DOUBLE literal parse as [[planeSqlArr]].
+    */
+  private def pqCodebookTableSql: String =
+    pqCbs.zipWithIndex.flatMap { case (cb, m) =>
+      cb.zipWithIndex.map { case (ctr, k) =>
+        s"SELECT $m AS m, $k AS k, ${planeSqlArr(ctr)} AS cvec"
+      }
+    }.mkString(" UNION ALL ")
+
+  /** Shared by e10 and e11: per-(vec, subspace) nearest-codebook-entry
+    * assignment, mirroring [[Similarity.pqEncode]]'s (dist, code)
+    * ordering. */
+  private val pqCodesCtes: String =
+    s"""cb AS ($pqCodebookTableSql),
+        sub AS (
+          SELECT vec_id, CAST(m.range AS INTEGER) AS m,
+                 list_slice(embedding,
+                   CAST(m.range * 16 + 1 AS INTEGER),
+                   CAST(m.range * 16 + 16 AS INTEGER)) AS sv
+          FROM embeddings, range(4) m),
+        codes AS (
+          SELECT vec_id, m, k AS code FROM (
+            SELECT sub.vec_id, sub.m, cb.k, CAST(row_number() OVER (
+              PARTITION BY sub.vec_id, sub.m
+              ORDER BY ${sqDistSql("sv", "cvec")}, cb.k)
+              AS INTEGER) AS rn
+            FROM sub JOIN cb ON sub.m = cb.m)
+          WHERE rn = 1)"""
 
   /** The e08 fixed centroids as a (cell, cvec) inline table — the
     * same `randomPlanes(8, 64, seed=7)` constants the Spark plan
@@ -518,6 +573,44 @@ object DedupQueries {
               PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS INTEGER) AS rn
             FROM scored)
           SELECT q_id, n_id, cos, rn FROM ranked WHERE rn <= 10""",
+    "e10_pq_encode" ->
+      s"""WITH $pqCodesCtes
+          SELECT vec_id, m, code FROM codes""",
+    // fixed-order chain (t0+t1)+t2)+t3 mirrors Spark's left-to-right
+    // reduce so the IEEE sum is exact — never an unordered SUM()
+    "e11_pq_adc_topk" ->
+      s"""WITH $pqCodesCtes,
+          q AS (
+            SELECT vec_id AS q_id, embedding AS q_vec
+            FROM embeddings WHERE vec_id < 10),
+          qsub AS (
+            SELECT q_id, CAST(m.range AS INTEGER) AS m,
+                   list_slice(q_vec,
+                     CAST(m.range * 16 + 1 AS INTEGER),
+                     CAST(m.range * 16 + 16 AS INTEGER)) AS sv
+            FROM q, range(4) m),
+          lut AS (
+            SELECT q_id, qsub.m, cb.k,
+                   ${sqDistSql("sv", "cvec")} AS dist
+            FROM qsub JOIN cb ON qsub.m = cb.m),
+          terms AS (
+            SELECT l.q_id, n.vec_id AS n_id, l.m, l.dist
+            FROM codes n
+            JOIN lut l ON l.m = n.m AND l.k = n.code
+            WHERE n.vec_id <> l.q_id),
+          scored AS (
+            SELECT q_id, n_id,
+                   max(CASE WHEN m = 0 THEN dist END) +
+                   max(CASE WHEN m = 1 THEN dist END) +
+                   max(CASE WHEN m = 2 THEN dist END) +
+                   max(CASE WHEN m = 3 THEN dist END) AS adist
+            FROM terms GROUP BY 1, 2),
+          ranked AS (
+            SELECT q_id, n_id, adist, CAST(row_number() OVER (
+              PARTITION BY q_id ORDER BY adist ASC, n_id ASC)
+              AS INTEGER) AS rn
+            FROM scored)
+          SELECT q_id, n_id, adist, rn FROM ranked WHERE rn <= 10""",
     "e09_semdedup" ->
       s"""WITH RECURSIVE ctr AS ($centroidTableSql),
           c AS (

@@ -371,6 +371,75 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.75, s"recall=$recall")
   }
 
+  test("PQ: codes bounded; training beats seeded codebooks; ADC ranks") {
+    import org.apache.spark.sql.functions.{avg, posexplode}
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") < 500)
+    val seeded = Similarity.seededCodebooks(4, 16, 16)
+    val trained = Similarity.pqTrain(emb, numSub = 4, k = 16, dim = 64)
+
+    // codes live in [0, K)
+    val codeRange = emb.select(posexplode(
+        Similarity.pqEncode(col("embedding"), seeded)))
+      .agg(org.apache.spark.sql.functions.min(col("col")),
+        org.apache.spark.sql.functions.max(col("col"))).head()
+    assert(codeRange.getInt(0) >= 0 && codeRange.getInt(1) < 16)
+
+    // mean squared reconstruction error: k-means codebooks must beat
+    // random gaussian ones on the same data by a wide margin
+    def mse(cbs: Similarity.Codebooks): Double =
+      emb.select(Similarity.dot(
+          org.apache.spark.sql.functions.zip_with(
+            col("embedding").cast("array<double>"),
+            Similarity.pqDecode(
+              Similarity.pqEncode(col("embedding"), cbs), cbs),
+            (x, y) => x - y),
+          org.apache.spark.sql.functions.zip_with(
+            col("embedding").cast("array<double>"),
+            Similarity.pqDecode(
+              Similarity.pqEncode(col("embedding"), cbs), cbs),
+            (x, y) => x - y)).as("se"))
+        .agg(avg(col("se"))).head().getDouble(0)
+    val (mseTrained, mseSeeded) = (mse(trained), mse(seeded))
+    assert(mseTrained < mseSeeded / 2,
+      s"trained $mseTrained vs seeded $mseSeeded")
+
+    // ADC top-10 vs exact L2 top-10 (ADC approximates L2, so the
+    // baseline is L2, not cosine). Unstructured embeddings are PQ's
+    // worst case, so the claims are the ones that must hold anywhere:
+    // recall rises with code granularity (M=4 → M=16 measured
+    // 0.06 → 0.21 here) and the fine profile clears a floor.
+    import org.apache.spark.sql.functions.{broadcast, row_number, zip_with}
+    val queries = emb.filter(col("vec_id") < 10)
+    val c = emb.select(col("vec_id").as("n_id"),
+      col("embedding").cast("array<double>").as("n_vec"))
+    val qv = broadcast(queries.select(col("vec_id").as("q_id"),
+      col("embedding").cast("array<double>").as("q_vec")))
+    val diff = zip_with(col("q_vec"), col("n_vec"), (x, y) => x - y)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("d2").asc, col("n_id").asc)
+    val exact = c.join(qv, col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"),
+        Similarity.dot(diff, diff).as("d2"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def recallOf(cbs: Similarity.Codebooks): Double = {
+      val adc = Similarity.pqAdcTopK(emb, queries, cbs, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      exact.keys.map(q =>
+        (adc.getOrElse(q, Set.empty) & exact(q)).size.toDouble / 10)
+        .sum / exact.size
+    }
+    val coarse = recallOf(trained)
+    val fine = recallOf(
+      Similarity.pqTrain(emb, numSub = 16, k = 16, dim = 64))
+    assert(fine > coarse,
+      s"recall must rise with M: coarse=$coarse fine=$fine")
+    assert(fine >= 0.15, s"fine-profile ADC recall@10=$fine")
+  }
+
   test("semDedup: no false pairs; trained cells keep most exact pairs") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
       .filter(col("vec_id") < 500)
