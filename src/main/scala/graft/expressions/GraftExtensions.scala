@@ -38,6 +38,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => SimHashText(children.head)))
 
     ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotF64].getName, null, "graft_dot",
+        "graft_dot(a, b) - sequential-order float64 dot product.", ""),
+      (children: Seq[Expression]) => DotF64(children(0), children(1))))
+
+    ext.injectFunction((
+      new FunctionIdentifier("graft_sqdist"),
+      new ExpressionInfo(classOf[SqDistF64].getName, null, "graft_sqdist",
+        "graft_sqdist(a, b) - sequential-order squared L2 distance.", ""),
+      (children: Seq[Expression]) => SqDistF64(children(0), children(1))))
+
+    ext.injectFunction((
+      new FunctionIdentifier("graft_norm"),
+      new ExpressionInfo(classOf[NormF64].getName, null, "graft_norm",
+        "graft_norm(a) - sequential-order L2 norm.", ""),
+      (children: Seq[Expression]) => NormF64(children.head)))
+
+    ext.injectFunction((
       new FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashAgg].getName,
         null, "graft_minhash",

@@ -16,15 +16,37 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-order float64 dot product of two float-array columns.
-    * `aggregate` evaluates left-to-right, giving the same IEEE result
-    * on every engine (reassociation-free).
+  private def kernel2(a: Column, b: Column,
+      f: (org.apache.spark.sql.catalyst.expressions.Expression,
+          org.apache.spark.sql.catalyst.expressions.Expression) =>
+        org.apache.spark.sql.catalyst.expressions.Expression): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge._
+    column(f(expression(a), expression(b)))
+  }
+
+  /** Sequential-order float64 dot product of two float-array columns —
+    * left-to-right IEEE accumulation, same result on every engine
+    * (reassociation-free). Runs as the native codegen'd
+    * [[graft.expressions.DotF64]] kernel; [[dotComposed]] is the
+    * executable spec of the same semantics (bit-parity asserted in
+    * ExpressionSpec).
     */
   def dot(a: Column, b: Column): Column =
+    kernel2(a, b, graft.expressions.DotF64(_, _))
+
+  /** The `aggregate(zip_with(...))` reference form of [[dot]]. */
+  def dotComposed(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
-  def norm(a: Column): Column =
+  /** Sequential-order L2 norm (native kernel; see [[dot]]). */
+  def norm(a: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge._
+    column(graft.expressions.NormF64(expression(a)))
+  }
+
+  /** The composed reference form of [[norm]]. */
+  def normComposed(a: Column): Column =
     sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, v) => acc + v))
 
@@ -71,9 +93,7 @@ object Similarity {
     */
   def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
-      val d = aggregate(
-        zip_with(vec, typedLit(p.toSeq), (x, h) => x.cast("double") * h),
-        lit(0.0), (acc, v) => acc + v)
+      val d = dot(vec, typedLit(p.toSeq))
       when(d >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
@@ -172,6 +192,11 @@ object Similarity {
     * reassociation-free, so engine-portable like [[dot]].
     */
   private def sqDistLit(vec: Column, ctr: Array[Double]): Column =
+    kernel2(vec, typedLit(ctr.toSeq), graft.expressions.SqDistF64(_, _))
+
+  /** The composed reference form of [[sqDistLit]] (parity spec). */
+  private[graft] def sqDistLitComposed(vec: Column,
+      ctr: Array[Double]): Column =
     aggregate(zip_with(vec, typedLit(ctr.toSeq),
       (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
       lit(0.0), (acc, v) => acc + v)

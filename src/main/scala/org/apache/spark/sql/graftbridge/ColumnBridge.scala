@@ -42,6 +42,18 @@ trait StringArrayInputTypes
       org.apache.spark.sql.types.StringType))
 }
 
+/** Declared `array<double>` input types — same reasoning as
+  * [[StringInputTypes]]. ImplicitCastInputTypes makes an
+  * `array<float>` argument arrive through an exact widening cast.
+  */
+trait DoubleArrayInputTypes
+    extends org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  this: Expression =>
+  override def inputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] =
+    children.map(_ => org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.DoubleType))
+}
+
 /** Declared `array<bigint>` input types — same reasoning as
   * [[StringInputTypes]] (the `AbstractDataType` return type is
   * `private[sql]`, so the override lives in this package tree).

@@ -117,6 +117,57 @@ class ExpressionSpec extends AnyFunSuite {
     got.foreach { case (f, c) => assert(f == c) }
   }
 
+  test("vector kernels are bit-identical to the composed HOF forms") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val rng = new scala.util.Random(0xE01L)
+    val rows = Seq.fill(200)((
+      Seq.fill(64)(rng.nextFloat() * 2 - 1),
+      Seq.fill(64)(rng.nextFloat() * 2 - 1)))
+    val df = rows.toDF("a", "b")
+    val dots = df.select(
+        Similarity.dot(col("a"), col("b")).as("n"),
+        Similarity.dotComposed(col("a"), col("b")).as("c"))
+      .as[(Double, Double)].collect()
+    dots.foreach { case (n, c) =>
+      assert(java.lang.Double.doubleToRawLongBits(n) ==
+        java.lang.Double.doubleToRawLongBits(c)) }
+    val norms = df.select(
+        Similarity.norm(col("a")).as("n"),
+        Similarity.normComposed(col("a")).as("c"))
+      .as[(Double, Double)].collect()
+    norms.foreach { case (n, c) =>
+      assert(java.lang.Double.doubleToRawLongBits(n) ==
+        java.lang.Double.doubleToRawLongBits(c)) }
+    val ctr = Array.fill(64)(rng.nextGaussian())
+    val sq = df.select(
+        Similarity.sqDistLitComposed(col("a"), ctr).as("c"))
+      .as[Double].collect()
+    val sqNative = df.select(org.apache.spark.sql.graftbridge
+        .ColumnBridge.column(graft.expressions.SqDistF64(
+          org.apache.spark.sql.graftbridge.ColumnBridge
+            .expression(col("a")),
+          org.apache.spark.sql.graftbridge.ColumnBridge
+            .expression(typedLit(ctr.toSeq)))).as("n"))
+      .as[Double].collect()
+    sq.zip(sqNative).foreach { case (c, n) =>
+      assert(java.lang.Double.doubleToRawLongBits(n) ==
+        java.lang.Double.doubleToRawLongBits(c)) }
+  }
+
+  test("vector kernels: null element poisons, null array nulls out") {
+    val r = spark.sql(
+      """SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+         graft_dot(array(1.0D, CAST(NULL AS DOUBLE)), array(1.0D, 1.0D)) AS dn,
+         graft_dot(CAST(NULL AS ARRAY<DOUBLE>), array(1.0D)) AS nn,
+         graft_norm(array(3.0D, 4.0D)) AS nrm,
+         graft_sqdist(array(0.0D, 0.0D), array(3.0D, 4.0D)) AS sq""").head()
+    assert(r.getDouble(0) == 11.0)
+    assert(r.isNullAt(1) && r.isNullAt(2))
+    assert(r.getDouble(3) == 5.0)
+    assert(r.getDouble(4) == 25.0)
+  }
+
   test("SQL registry: graft_simhash60 callable from SQL text") {
     val r = spark.sql(
       "SELECT graft_simhash60(array(1L, 1L, 1L)) AS fp").head().getLong(0)
