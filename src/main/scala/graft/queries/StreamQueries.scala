@@ -46,7 +46,17 @@ object StreamQueries {
     // convergence in EventStreamsSpec): purchases attributed to a
     // same-user view within 30 minutes.
     "st05_stream_stream_join" -> ((s, d) =>
-      EventStreams.attributedPurchases(Tables.events(s, d)))
+      EventStreams.attributedPurchases(Tables.events(s, d))),
+
+    // Streaming dedup: earliest event per (user, type, UTC day),
+    // finalized by watermark in the stream form; batch semantics here
+    // for the oracle.
+    "st06_stream_dedup" -> ((s, d) =>
+      EventStreams.firstEventPerDayBatch(Tables.events(s, d))
+        .select(col("user_id"), col("event_type"),
+          unix_millis(col("day")).as("day_ms"),
+          unix_millis(col("first_ts")).as("first_ts_ms"),
+          col("first_event_id")))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -92,6 +102,19 @@ object StreamQueries {
          round(sum(value), 6) AS sum_value
          FROM events JOIN customer ON user_id = c_custkey
          GROUP BY 1, 2""",
+    "st06_stream_dedup" ->
+      """WITH r AS (
+           SELECT user_id, event_type, date_trunc('day', ts) AS day,
+                  ts, event_id,
+                  row_number() OVER (
+                    PARTITION BY user_id, event_type, date_trunc('day', ts)
+                    ORDER BY ts, event_id) AS rn
+           FROM events)
+         SELECT user_id, event_type,
+                CAST(epoch_ms(day) AS BIGINT) AS day_ms,
+                CAST(epoch_ms(ts) AS BIGINT) AS first_ts_ms,
+                event_id AS first_event_id
+         FROM r WHERE rn = 1""",
     "st05_stream_stream_join" ->
       """SELECT a.user_id, a.event_id AS view_id,
          b.event_id AS purchase_id,

@@ -100,6 +100,72 @@ object EventStreams {
       }
   }
 
+  final case class DedupInput(user_id: Long, event_type: String,
+                              ts: Timestamp, event_id: Long)
+  final case class FirstSeen(ts: Long, event_id: Long)
+  final case class FirstEvent(user_id: Long, event_type: String,
+                              day: Timestamp, first_ts: Timestamp,
+                              first_event_id: Long)
+
+  private val DayMs = 86400000L
+
+  /** Streaming dedup / canonicalization: each (user, event type, UTC
+    * day) keys exactly one output row — its EARLIEST event (ties by
+    * event id) — emitted once the watermark passes the day, i.e. once
+    * the answer can no longer change. The day bound is what makes
+    * streaming dedup state finite: an unbounded "first ever per key"
+    * would grow state with the key universe forever, while windowed
+    * dedup state is O(active keys × 1 day) and evicted by event-time
+    * timeout. Batch form of the same semantics:
+    * [[firstEventPerDayBatch]] (the st06 oracle); the MemoryStream
+    * spec asserts stream → batch convergence.
+    */
+  def firstEventPerDayStream(events: Dataset[DedupInput],
+                             watermark: String = "2 hours"): Dataset[FirstEvent] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(r => (r.user_id, r.event_type, r.ts.getTime / DayMs))
+      .flatMapGroupsWithState[FirstSeen, FirstEvent](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: (Long, String, Long), rows: Iterator[DedupInput],
+         state: GroupState[FirstSeen]) =>
+          val (user, etype, day) = key
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(FirstEvent(user, etype,
+              new Timestamp(day * DayMs), new Timestamp(s.ts),
+              s.event_id))
+          } else {
+            val ord = Ordering.Tuple2[Long, Long]
+            var best = state.getOption
+            rows.foreach { r =>
+              val c = FirstSeen(r.ts.getTime, r.event_id)
+              if (best.forall(b =>
+                  ord.lt((c.ts, c.event_id), (b.ts, b.event_id))))
+                best = Some(c)
+            }
+            state.update(best.get)
+            // finalize when the watermark clears the day's end
+            state.setTimeoutTimestamp((day + 1) * DayMs)
+            Iterator.empty
+          }
+      }
+  }
+
+  /** Batch semantics of [[firstEventPerDayStream]]: one min(struct)
+    * hash aggregate with map-side combine — never a per-key window
+    * sort, the same argmax shape as
+    * [[graft.operators.Dedup.resolveClusters]].
+    */
+  def firstEventPerDayBatch(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"), col("event_type"),
+        date_trunc("day", col("ts")).as("day"))
+      .agg(min(struct(col("ts"), col("event_id"))).as("f"))
+      .select(col("user_id"), col("event_type"), col("day"),
+        col("f.ts").as("first_ts"), col("f.event_id").as("first_event_id"))
+
   /** Stream-static enrichment join + windowed aggregation: the event
     * stream joined to a static dimension table (user → market
     * segment). Under `readStream` Spark plans the static side as a

@@ -230,4 +230,49 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(bucketFiles(b) == before(b), s"bucket $b was rewritten")
     }
   }
+
+  test("streaming first-per-day dedup converges to the batch answer") {
+    import spark.implicits._
+    import EventStreams.{DedupInput, FirstEvent}
+    val mem = MemoryStream[DedupInput](spark)
+    val dedup = EventStreams.firstEventPerDayStream(mem.toDS())
+    val q = dedup.writeStream.format("memory")
+      .queryName("firstday_out").outputMode("append").start()
+    // user 1 'view': three events in one day — only the earliest
+    // survives, delivered OUT of event-time order to prove the min
+    // beats arrival order; user 1 'click' and user 2 'view' key
+    // separately; user 1 'view' next day keys a new window
+    val in = Seq(
+      DedupInput(1L, "view", ts(30), 103L),
+      DedupInput(1L, "view", ts(10), 101L),
+      DedupInput(1L, "click", ts(40), 104L),
+      DedupInput(2L, "view", ts(15), 202L),
+      DedupInput(1L, "view", ts(20), 102L),
+      DedupInput(1L, "view", ts(24 * 60 + 5), 301L))
+    try {
+      mem.addData(in.take(3): _*)
+      q.processAllAvailable()
+      mem.addData(in.drop(3): _*)
+      q.processAllAvailable()
+      // advance the watermark two days out to finalize every window
+      mem.addData(DedupInput(99L, "x", ts(3 * 24 * 60), 999L))
+      q.processAllAvailable()
+
+      val got = spark.table("firstday_out").as[FirstEvent]
+        .collect().filter(_.user_id != 99L)
+        .map(f => (f.user_id, f.event_type, mins(f.day.getTime),
+          mins(f.first_ts.getTime), f.first_event_id)).toSet
+      val batch = EventStreams.firstEventPerDayBatch(in.toDF())
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          mins(r.getTimestamp(2).getTime),
+          mins(r.getTimestamp(3).getTime), r.getLong(4))).toSet
+      assert(got == batch)
+      assert(got == Set(
+        (1L, "view", 0L, 10L, 101L),
+        (1L, "click", 0L, 40L, 104L),
+        (2L, "view", 0L, 15L, 202L),
+        (1L, "view", 24 * 60L, 24 * 60 + 5L, 301L)))
+    } finally q.stop()
+  }
 }
