@@ -477,9 +477,11 @@ object Dedup {
       .union(e.select(col("v").as("u"), col("u").as("v")))
     val m = sym.groupBy(col("u")).agg(min(col("v")).as("nmin"))
       .select(col("u"), least(col("u"), col("nmin")).as("m"))
+    // No distinct here: the follow-on small-star round min-aggregates
+    // (duplicate-insensitive) and ends with its own distinct, so an
+    // intermediate dedup would only add a shuffle per round.
     sym.join(m, Seq("u")).filter(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
-      .distinct()
   }
 
   /** One small-star round: every node u (as the larger endpoint of
@@ -515,9 +517,14 @@ object Dedup {
     * `checkpoint` on a real cluster.
     */
   def dupClustersStar(pairs: DataFrame, maxIters: Int = 30): DataFrame = {
+    // Materialize the canonical pair list ONCE: both `selfOnly` (only
+    // consumed at the very end) and the contraction loop's seed edges
+    // hang off it, and without this the entire upstream pair pipeline
+    // (LSH candidate generation + verify) re-executes per consumer.
     val canon = pairs
       .select(greatest(col("a"), col("b")).as("u"),
         least(col("a"), col("b")).as("v"))
+      .localCheckpoint()
     // A node appearing ONLY in self-pairs (a == b) has no real edge,
     // so contraction never sees it — but dupClusters (label
     // propagation) would emit it as its own singleton cluster. Keep
