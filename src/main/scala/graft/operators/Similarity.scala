@@ -295,6 +295,35 @@ object Similarity {
         transform(vec, _ => lit(0)).as("q")))
   }
 
+  /** Seeded Rademacher (±1) sign matrix for [[randomProject]] —
+    * driver-generated like [[randomPlanes]], shipped as plan
+    * literals to both engines.
+    */
+  def rademacherSigns(outDim: Int, inDim: Int,
+                      seed: Long = 7L): Array[Array[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(outDim)(
+      Array.fill(inDim)(if (rng.nextBoolean()) 1.0 else -1.0))
+  }
+
+  /** Johnson–Lindenstrauss random projection to `signs.length` dims:
+    * proj_i = ⟨x, s_i⟩ / √k with Rademacher sign rows (Achlioptas
+    * 2003, "Database-friendly random projections") — the embedding
+    * compression that preserves pairwise distances within 1±ε while
+    * cutting every downstream distance computation by inDim/outDim.
+    *
+    * Entirely in-row: k sequential-order [[dot]] kernels against
+    * literal sign vectors inside the scan's codegen stage — nothing
+    * shuffles, scales with the scan (the e07 shape). With k a power
+    * of 4 the √k divisor is exact binary, so results are
+    * bit-deterministic and engine-portable like [[dot]] itself.
+    */
+  def randomProject(vec: Column, signs: Array[Array[Double]]): Column = {
+    val scale = math.sqrt(signs.length.toDouble)
+    array(signs.map(s0 =>
+      (dot(vec, typedLit(s0.toSeq)) / lit(scale)): Column): _*)
+  }
+
   /** SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
     * "SemDeDup: Data-efficient learning at web-scale through semantic
     * deduplication"): partition the corpus into coarse quantizer

@@ -243,8 +243,22 @@ object DedupQueries {
         .select(col("vec_id"),
           Similarity.quantizeInt8(col("embedding")).as("qz"))
         .select(col("vec_id"), col("qz.scale").as("scale"),
-          posexplode(col("qz.q")).as(Seq("dim", "q"))))
+          posexplode(col("qz.q")).as(Seq("dim", "q")))),
+
+    // Johnson–Lindenstrauss random projection 64 → 16 dims: seeded
+    // ±1 sign rows as plan literals, 16 sequential-dot kernels
+    // in-row — nothing shuffles (the e07 shape). √16 = 4 divides
+    // exactly, so the projected doubles hash-match bit-for-bit.
+    "e12_random_projection" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          Similarity.randomProject(col("embedding"), jlSigns).as("proj"))
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("dim", "v"))))
   )
+
+  /** e12's seeded sign matrix — shared with its oracle. */
+  private lazy val jlSigns: Array[Array[Double]] =
+    Similarity.rademacherSigns(outDim = 16, inDim = 64)
 
   /** Shared SQL fragments, mirrored from the Scala operators. */
   private val tokSql = "list_filter(string_split(text, ' '), w -> len(w) > 0)"
@@ -697,6 +711,18 @@ object DedupQueries {
                    ${dotSql("x.embedding", "y.embedding")} /
                    (${normSql("x.embedding")} * ${normSql("y.embedding")}) AS cos
             FROM e x JOIN e y ON x.vec_id < y.vec_id)
-          WHERE cos >= 0.4"""
+          WHERE cos >= 0.4""",
+    // same literal sign rows as the Spark plan (planeSqlArr's
+    // VARCHAR→DOUBLE cast discipline); /4 is exact; exploded to
+    // scalar rows like e07 (the compare hashes scalars)
+    "e12_random_projection" -> {
+      val projs = jlSigns
+        .map(s0 => s"${dotSql("embedding", planeSqlArr(s0))} / 4")
+        .mkString("[\n            ", ",\n            ", "]")
+      s"""SELECT vec_id, CAST(pos - 1 AS INTEGER) AS dim, v
+          FROM (SELECT vec_id, unnest($projs) AS v,
+                       generate_subscripts($projs, 1) AS pos
+                FROM embeddings)"""
+    }
   )
 }

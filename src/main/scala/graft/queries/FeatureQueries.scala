@@ -82,8 +82,22 @@ object FeatureQueries {
           explode(arrays_zip(col("indices"), col("values"))).as("iv"))
         .select(col("doc_id"), col("iv.indices").as("word_id"),
           round(col("iv.values"), 6).as("tfidf"))
-    })
+    }),
+
+    // Hashing-trick TF (the vocabulary-free featurization): token →
+    // md5-prefix bucket, per-(doc, bucket) counts. No dictionary
+    // aggregation, no broadcast — a single stateless pass, the shape
+    // that never synchronizes at corpus scale. HashBuckets=32 < the
+    // 31-word vocabulary, so bucket collisions (summed counts) are
+    // genuinely exercised; the xxhash64 production profile is
+    // spec-verified against this one on hash-independent invariants.
+    "f05_feature_hashing" -> ((s, d) =>
+      graft.features.FeatureHashing.hashedTf(tokenized(s, d),
+        "doc_id", col("tokens"), HashBuckets))
   )
+
+  /** f05's bucket count — shared with its oracle. */
+  private val HashBuckets = 32
 
   private val tokSql =
     "list_filter(string_split(text, ' '), w -> len(w) > 0)"
@@ -105,6 +119,14 @@ object FeatureQueries {
         n AS (SELECT count(*) AS n FROM documents)"""
 
   val oracleSql: Map[String, String] = Map(
+    // CAST('0x'||…) hex→long ≡ Spark's conv(…,16,10) (sp01's idiom)
+    "f05_feature_hashing" ->
+      s"""SELECT doc_id,
+            CAST(('0x' || substring(md5(w), 1, 8)) AS BIGINT)
+              % $HashBuckets AS bucket,
+            CAST(count(*) AS BIGINT) AS tf
+          FROM (SELECT doc_id, unnest($tokSql) AS w FROM documents)
+          GROUP BY 1, 2""",
     "f01_vocab_topk" ->
       s"""WITH $vocabCte SELECT word, cnt, id FROM vocab""",
     "f02_docfreq_idf" ->

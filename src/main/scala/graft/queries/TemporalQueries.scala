@@ -91,6 +91,23 @@ object TemporalQueries {
           .as("delta_value"),
         count(lit(1)).over(w5).as("n5"),
         round(sum(col("value")).over(w5), 2).as("sum5"))
+    }),
+
+    // Rank-family windows over orders: per-priority quartile (ntile),
+    // cumulative distribution and percent rank. PARTITIONED windows —
+    // a global ntile would be a single-reducer sort; per-priority
+    // partitions shuffle on the partition key and sort locally. The
+    // order-by carries o_orderkey as a total-order tiebreak, so every
+    // rank value is deterministic; cume/pct are exact integer-ratio
+    // divisions, identical IEEE ops in both engines — no rounding.
+    "q24_decile_rank" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_orderpriority"),
+        ntile(4).over(w).as("quartile"),
+        cume_dist().over(w).as("cume"),
+        percent_rank().over(w).as("pct_rank"))
     })
   )
 
@@ -139,6 +156,14 @@ object TemporalQueries {
           FROM ($evSql)
           WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id),
             w5 AS (PARTITION BY user_id ORDER BY t, event_id
-              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)"""
+              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""",
+    "q24_decile_rank" ->
+      """SELECT o_orderkey, o_orderpriority,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+           cume_dist() OVER w AS cume,
+           percent_rank() OVER w AS pct_rank
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderpriority
+           ORDER BY o_totalprice DESC, o_orderkey)"""
   )
 }

@@ -171,8 +171,29 @@ object TextQueries {
       toks.select(col("doc_id"), size(col("toks")).as("n_tokens"),
         Analysis.unigramAvgLogProb(col("toks"), model, floorLp)
           .as("avg_logprob"))
-    })
+    }),
+
+    // Corpus n-gram profile: top-K trigrams by document frequency
+    // (ties → gram asc) with total occurrence counts — the analysis
+    // view that picks t14's hot set. Grams build in-row (no
+    // positional self-join); one gram-key shuffle.
+    "t13_ngram_topk" -> ((s, d) =>
+      graft.operators.Ngrams.topNgrams(Tables.documents(s, d),
+        "doc_id", TextOps.tokenize(col("text")), n = 3, k = NgramTopK)),
+
+    // Boilerplate span removal: every occurrence of the corpus'
+    // top-25 most-document-frequent bigrams is stripped from every
+    // document (Lee et al. 2022-style span dedup). Corpus scanned
+    // twice, never grouped or reassembled — the strip itself is an
+    // in-row positional filter against each doc's covered set.
+    "t14_boilerplate_strip" -> ((s, d) =>
+      graft.operators.Ngrams.stripHotNgrams(Tables.documents(s, d),
+        "doc_id", TextOps.tokenize(col("text")), n = 2, topK = HotBigrams))
   )
+
+  /** t13's profile size / t14's hot-set size — shared with oracles. */
+  private val NgramTopK = 20
+  private val HotBigrams = 25
 
   /** Unigram model size for t12 — shared with its oracle. */
   private val UnigramV = 20
@@ -333,6 +354,62 @@ object TextQueries {
                  FROM u LEFT JOIN v USING (word))
           SELECT doc_id, CAST(count(*) AS INTEGER) AS n_tokens,
                  round(sum(lp) / count(*), 6) AS avg_logprob
-          FROM sc GROUP BY doc_id"""
+          FROM sc GROUP BY doc_id""",
+    // trigram profile via positional self-joins (the SQL mirror of
+    // the in-row gram build); df over per-doc gram rows ≡ the Spark
+    // two-level aggregate
+    "t13_ngram_topk" ->
+      s"""WITH tok AS (
+            SELECT doc_id, unnest($tokSql) AS w,
+                   generate_subscripts($tokSql, 1) AS pos
+            FROM documents),
+          g AS (
+            SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS gram
+            FROM tok a
+            JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+            JOIN tok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+          pg AS (
+            SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2)
+          SELECT gram, CAST(count(*) AS BIGINT) AS df,
+                 CAST(sum(cnt) AS BIGINT) AS occurrences
+          FROM pg GROUP BY 1
+          ORDER BY df DESC, gram LIMIT $NgramTopK""",
+    // positions are 1-based here vs 0-based in Spark — each side's
+    // covered set is internally consistent, and only the re-joined
+    // strings and removal counts cross the engine boundary
+    "t14_boilerplate_strip" ->
+      s"""WITH tok AS (
+            SELECT doc_id, unnest($tokSql) AS w,
+                   generate_subscripts($tokSql, 1) AS pos
+            FROM documents),
+          g AS (
+            SELECT a.doc_id, a.pos, a.w || ' ' || b.w AS gram
+            FROM tok a
+            JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+          hot AS (
+            SELECT gram FROM (
+              SELECT gram, count(DISTINCT doc_id) AS df
+              FROM g GROUP BY 1)
+            ORDER BY df DESC, gram LIMIT $HotBigrams),
+          cov AS (
+            SELECT DISTINCT doc_id, cpos FROM (
+              SELECT doc_id, unnest([pos, pos + 1]) AS cpos
+              FROM g JOIN hot USING (gram))),
+          kept AS (
+            SELECT t.doc_id, t.pos, t.w
+            FROM tok t LEFT JOIN cov
+              ON cov.doc_id = t.doc_id AND cov.cpos = t.pos
+            WHERE cov.doc_id IS NULL),
+          agg AS (
+            SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS clean_text
+            FROM kept GROUP BY 1),
+          nc AS (
+            SELECT doc_id, CAST(count(*) AS INTEGER) AS n_removed
+            FROM cov GROUP BY 1)
+          SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
+                 coalesce(nc.n_removed, 0) AS n_removed
+          FROM documents d
+          LEFT JOIN agg a USING (doc_id)
+          LEFT JOIN nc USING (doc_id)"""
   )
 }

@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.features.FeatureHashing
+import graft.operators.{Ngrams, Similarity}
+
+/** Unit contracts for the round-6 operators: hot-n-gram boilerplate
+  * stripping, hashing-trick TF, and Johnson–Lindenstrauss random
+  * projection. The DuckDB oracles (t13/t14/f05/e12) prove
+  * engine-parity on the corpus; these prove the hand-computable
+  * semantics and the hash-independent invariants on planted fixtures.
+  */
+class Round6OpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import Ngrams._
+
+  private def toks = graft.text.TextOps.tokenize(col("text"))
+
+  test("topNgrams: df counts docs not occurrences; ties break by gram") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b"), // "a b" twice in one doc → df 1, occ 2
+      (2L, "a b c"),   // "a b" df 2; "b c" df 1
+      (3L, "b c d")    // "b c" df 2; "c d" df 1
+    ).toDF("doc_id", "text")
+    val top = topNgrams(docs, "doc_id", toks, n = 2, k = 3)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(top == Seq(("a b", 2L, 3L), ("b c", 2L, 2L), ("b a", 1L, 1L)))
+  }
+
+  test("stripHotNgrams: planted boilerplate spans vanish, clean docs untouched") {
+    import spark.implicits._
+    // "click here" is in 3 of 4 docs — the clear top bigram.
+    val docs = Seq(
+      (1L, "click here now"),
+      (2L, "real content click here"),
+      (3L, "click here"),
+      (4L, "untouched words only")
+    ).toDF("doc_id", "text")
+    val out = stripHotNgrams(docs, "doc_id", toks, n = 2, topK = 1)
+      .as[(Long, String, Int)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, "now", 2),
+      (2L, "real content", 2),
+      (3L, "", 2),              // fully covered → empty, still present
+      (4L, "untouched words only", 0)))
+  }
+
+  test("stripHotNgrams: overlapping hot grams cover the union of positions") {
+    import spark.implicits._
+    // hot grams "a b" and "b c" overlap at the shared b: positions
+    // 0,1,2 are covered once each, not double-counted.
+    val docs = Seq(
+      (1L, "a b c tail"),
+      (2L, "a b x"), (3L, "a b y"),   // keep "a b" df-hot
+      (4L, "b c x"), (5L, "b c y"))   // keep "b c" df-hot
+      .toDF("doc_id", "text")
+    val row = stripHotNgrams(docs, "doc_id", toks, n = 2, topK = 2)
+      .filter(col("doc_id") === 1L)
+      .as[(Long, String, Int)].head()
+    assert(row == ((1L, "tail", 3)))
+  }
+
+  test("hashedTf: bucket range, token-mass conservation, profile agreement") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c a"),
+      (2L, "d e"),
+      (3L, "a a a a a a"))
+      .toDF("doc_id", "text").select(col("doc_id"), toks.as("tokens"))
+    val b = 8
+    for (profile <- Seq(FeatureHashing.bucketOracle _,
+                        FeatureHashing.bucketFast _)) {
+      val tf = FeatureHashing.hashedTf(docs, "doc_id", col("tokens"), b,
+        profile)
+      val buckets = tf.select(col("bucket")).as[Long].collect()
+      assert(buckets.forall(x => x >= 0 && x < b))
+      val mass = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("m"))
+        .as[(Long, Long)].collect().toMap
+      assert(mass == Map(1L -> 4L, 2L -> 2L, 3L -> 6L))
+    }
+    // same token always lands in the same bucket within a profile
+    val one = FeatureHashing.hashedTf(docs, "doc_id", col("tokens"), b)
+      .filter(col("doc_id") === 3L).count()
+    assert(one == 1L) // six identical tokens → exactly one bucket row
+  }
+
+  test("randomProject: JL norm preservation in expectation + exact parity") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val vecs = Seq.tabulate(64)(i =>
+      (i.toLong, Array.fill(64)(rng.nextGaussian().toFloat).toSeq))
+    val df = vecs.toDF("vec_id", "embedding")
+    val signs = Similarity.rademacherSigns(outDim = 16, inDim = 64)
+
+    // E[‖proj‖²] = ‖x‖² for Rademacher rows scaled by 1/√k: the mean
+    // ratio over 64 vectors concentrates well inside ±30%.
+    val ratios = df.select(
+        (Similarity.norm(Similarity.randomProject(col("embedding"), signs))
+          / Similarity.norm(col("embedding"))).as("r"))
+      .as[Double].collect()
+    val meanSq = ratios.map(r => r * r).sum / ratios.length
+    assert(meanSq > 0.7 && meanSq < 1.3, s"mean ‖proj‖²/‖x‖² = $meanSq")
+
+    // bit-exact vs the hand-composed form: ⟨x,s_i⟩/√k per output dim
+    val composed = array(signs.map(s0 =>
+      (Similarity.dotComposed(col("embedding"),
+        typedLit(s0.toSeq)) / lit(4.0)): org.apache.spark.sql.Column): _*)
+    val mismatches = df.select(
+        Similarity.randomProject(col("embedding"), signs).as("a"),
+        composed.as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(mismatches == 0L)
+  }
+}
