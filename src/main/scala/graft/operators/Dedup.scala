@@ -93,6 +93,48 @@ object Dedup {
     scoreJaccard(inter, sizes, threshold)
   }
 
+  /** Asymmetric shingle-containment pairs: containment(a→b) =
+    * |S(a)∩S(b)| / |S(a)| ≥ threshold, emitted DIRECTED (both a→b
+    * and b→a can qualify independently). The dedup signal Jaccard
+    * misses: a short document quoted whole inside a long one has
+    * containment ≈ 1 while its Jaccard ≈ |S(a)|/|S(b)| can sit far
+    * under any near-dup threshold (Broder 1997 distinguishes
+    * resemblance from containment for exactly this).
+    *
+    * Same pair-generation shape as [[jaccardPairs]] — per-shingle doc
+    * lists through chained generators, never a shingle self-join —
+    * each undirected candidate is scored once and emitted in both
+    * directions (the two denominators differ). Same hot-shingle
+    * survival mode (`maxShingleDf`) as the Jaccard baseline.
+    */
+  def containmentPairs(sh: DataFrame, threshold: Double,
+                       maxShingleDf: Option[Int] = None): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val shC = maxShingleDf match {
+      case Some(cap) =>
+        val hot = sh.groupBy(col("shingle"))
+          .agg(count(lit(1)).as("df")).filter(col("df") > cap)
+          .select(col("shingle"))
+        sh.join(hot, Seq("shingle"), "left_anti")
+      case None => sh
+    }
+    val inter = shC.groupBy(col("shingle"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .select(col("ds"), posexplode(col("ds")).as(Seq("pos", "a")))
+      .select(col("a"),
+        explode(slice(col("ds"), col("pos") + lit(2), size(col("ds"))))
+          .as("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("i"))
+    val directed = inter.select(col("a"), col("b"), col("i"))
+      .union(inter.select(col("b").as("a"), col("a").as("b"), col("i")))
+    directed
+      .join(sizes.as("sa"), col("a") === col("sa.doc_id"))
+      .select(col("a"), col("b"),
+        (col("i").cast("double") / col("sa.n")).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   private def scoreJaccard(inter: DataFrame, sizes: DataFrame,
                            threshold: Double): DataFrame =
     inter

@@ -43,6 +43,17 @@ object DedupQueries {
       Dedup.jaccardPairs(sh, 0.5)
     }),
 
+    // Asymmetric containment pairs on the same bounded slice as d02:
+    // directed |S(a)∩S(b)|/|S(a)| — the quoted-whole/subset signal a
+    // symmetric Jaccard threshold misses. Same chained-generator pair
+    // emission, same survival mode.
+    "d11_containment_pairs" -> ((s, d) => {
+      val sh = Dedup.shingles(
+        Tables.documents(s, d).filter(col("doc_id") < 500), "doc_id",
+        docTokens(s))
+      Dedup.containmentPairs(sh, 0.6)
+    }),
+
     // MinHash-LSH: shingle → 16 minhashes → 4 bands → bucket-join →
     // exact-Jaccard verify on candidates only.
     "d03_minhash_lsh_pairs" -> ((s, d) => {
@@ -440,6 +451,18 @@ object DedupQueries {
     "d02_jaccard_pairs" ->
       s"""WITH ${shingleCte("WHERE doc_id < 500")}, $jaccardCte
           SELECT a, b, jaccard FROM jac WHERE jaccard >= 0.5""",
+    // directed: each candidate scored against BOTH endpoint sizes
+    "d11_containment_pairs" ->
+      s"""WITH ${shingleCte("WHERE doc_id < 500")},
+          sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+          inter AS (
+            SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+            FROM sh x JOIN sh y
+              ON x.shingle = y.shingle AND x.doc_id <> y.doc_id
+            GROUP BY 1, 2)
+          SELECT a, b, CAST(i AS DOUBLE) / sa.n AS containment
+          FROM inter JOIN sizes sa ON a = sa.doc_id
+          WHERE CAST(i AS DOUBLE) / sa.n >= 0.6""",
     "d03_minhash_lsh_pairs" ->
       s"""WITH ${shingleCte()}, $jaccardCte, $minhashCandsCte
           SELECT jac.a, jac.b, jac.jaccard

@@ -108,6 +108,38 @@ object TemporalQueries {
         ntile(4).over(w).as("quartile"),
         cume_dist().over(w).as("cume"),
         percent_rank().over(w).as("pct_rank"))
+    }),
+
+    // Ordered conversion funnel per user: first view, first click AT
+    // OR AFTER that view, first purchase at or after that click —
+    // stage reached (1/2/3) and the two inter-stage latencies (-1
+    // where the stage was never reached). Sequential-pattern
+    // semantics, not three independent minimums. Every aggregate and
+    // join keys on user_id, so the whole funnel reuses ONE hash
+    // partitioning end to end — no window over the raw event stream,
+    // no per-user sort.
+    "q25_conversion_funnel" -> ((s, d) => {
+      val e = ev(s, d)
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("t")).as("t_view"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, Seq("user_id"))
+        .filter(col("t") >= col("t_view"))
+        .groupBy(col("user_id")).agg(min(col("t")).as("t_click"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id"))
+        .filter(col("t") >= col("t_click"))
+        .groupBy(col("user_id")).agg(min(col("t")).as("t_purchase"))
+      v.join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .select(col("user_id"),
+          when(col("t_purchase").isNotNull, lit(3))
+            .when(col("t_click").isNotNull, lit(2))
+            .otherwise(lit(1)).as("stage"),
+          coalesce(col("t_click") - col("t_view"), lit(-1L))
+            .as("view_to_click_ms"),
+          coalesce(col("t_purchase") - col("t_click"), lit(-1L))
+            .as("click_to_purchase_ms"))
     })
   )
 
@@ -164,6 +196,26 @@ object TemporalQueries {
            percent_rank() OVER w AS pct_rank
          FROM orders
          WINDOW w AS (PARTITION BY o_orderpriority
-           ORDER BY o_totalprice DESC, o_orderkey)"""
+           ORDER BY o_totalprice DESC, o_orderkey)""",
+    "q25_conversion_funnel" ->
+      s"""WITH e AS ($evSql),
+          v AS (SELECT user_id, min(t) AS t_view FROM e
+                WHERE event_type = 'view' GROUP BY 1),
+          c AS (SELECT user_id, min(t) AS t_click
+                FROM e JOIN v USING (user_id)
+                WHERE event_type = 'click' AND t >= t_view GROUP BY 1),
+          p AS (SELECT user_id, min(t) AS t_purchase
+                FROM e JOIN c USING (user_id)
+                WHERE event_type = 'purchase' AND t >= t_click
+                GROUP BY 1)
+          SELECT v.user_id,
+            CAST(CASE WHEN t_purchase IS NOT NULL THEN 3
+                      WHEN t_click IS NOT NULL THEN 2
+                      ELSE 1 END AS INTEGER) AS stage,
+            CAST(coalesce(t_click - t_view, -1) AS BIGINT)
+              AS view_to_click_ms,
+            CAST(coalesce(t_purchase - t_click, -1) AS BIGINT)
+              AS click_to_purchase_ms
+          FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)"""
   )
 }

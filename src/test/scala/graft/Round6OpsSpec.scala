@@ -92,6 +92,61 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(one == 1L) // six identical tokens → exactly one bucket row
   }
 
+  test("containmentPairs: detects the quoted-short-doc Jaccard misses; directed") {
+    import spark.implicits._
+    // doc 1's text appears whole inside doc 2: containment(1→2) = 1
+    // while Jaccard = 3/12 = 0.25 — under any near-dup threshold.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon one two three four five " +
+        "six seven eight nine"),
+      (3L, "totally unrelated words here"))
+      .toDF("doc_id", "text")
+    val sh = graft.operators.Dedup.shingles(docs, "doc_id", toks)
+    val cont = graft.operators.Dedup.containmentPairs(sh, 0.9)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(cont == Seq((1L, 2L, 1.0))) // directed: only 1→2, never 2→1
+    val jac = graft.operators.Dedup.jaccardPairs(sh, 0.5).count()
+    assert(jac == 0L) // the symmetric threshold indeed misses it
+  }
+
+  test("conversion funnel: clicks before the first view don't count") {
+    import spark.implicits._
+    // user 1: view@10 → click@20 → purchase@30 (stage 3)
+    // user 2: click@5, view@10, click@40 → first QUALIFYING click is
+    //         40, no purchase after it (stage 2, latency 30)
+    // user 3: view@10 only (stage 1)
+    // user 4: purchase@10 with no view — not in the funnel at all
+    val rows = Seq(
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L),
+      (2L, "click", 5L), (2L, "view", 10L), (2L, "click", 40L),
+      (2L, "purchase", 35L),
+      (3L, "view", 10L),
+      (4L, "purchase", 10L))
+    val e = rows.toDF("user_id", "event_type", "t")
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("t")).as("t_view"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, Seq("user_id")).filter(col("t") >= col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("t")).as("t_click"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id")).filter(col("t") >= col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("t")).as("t_purchase"))
+    val out = v.join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select(col("user_id"),
+        when(col("t_purchase").isNotNull, lit(3))
+          .when(col("t_click").isNotNull, lit(2)).otherwise(lit(1))
+          .as("stage"),
+        coalesce(col("t_click") - col("t_view"), lit(-1L)).as("d1"),
+        coalesce(col("t_purchase") - col("t_click"), lit(-1L)).as("d2"))
+      .as[(Long, Int, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 3, 10L, 10L),
+      (2L, 2, 30L, -1L),  // purchase@35 < qualifying click@40 → stage 2
+      (3L, 1, -1L, -1L)))
+  }
+
   test("randomProject: JL norm preservation in expectation + exact parity") {
     import spark.implicits._
     val rng = new scala.util.Random(11)
