@@ -57,6 +57,16 @@ object StreamQueries {
           unix_millis(col("day")).as("day_ms"),
           unix_millis(col("first_ts")).as("first_ts_ms"),
           col("first_event_id")))
+
+    ,
+    // Top-20 session paths: st03's session assignment, each session's
+    // event types joined in (t, event_id) order, counted corpus-wide.
+    // The in-session ordering is an in-row sort of that session's own
+    // collected rows (gap-bounded by construction) — never a global
+    // sort.
+    "st07_session_paths" -> ((s, d) =>
+      EventStreams.sessionPaths(Tables.events(s, d),
+        gapMs = 1800000L, k = 20))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -122,6 +132,33 @@ object StreamQueries {
          FROM events a JOIN events b
            ON a.user_id = b.user_id
           AND a.event_type = 'view' AND b.event_type = 'purchase'
-          AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE"""
+          AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE""",
+    // st03's gaps-and-islands with an (t, event_id) total order, paths
+    // via ordered string_agg, deterministic top-20 boundary
+    "st07_session_paths" ->
+      """WITH o AS (
+           SELECT user_id, event_id, event_type, epoch_ms(ts) AS t,
+                  lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+                    ORDER BY epoch_ms(ts), event_id) AS prev_t
+           FROM events),
+         marked AS (
+           SELECT user_id, event_id, event_type, t,
+                  CASE WHEN prev_t IS NULL OR t - prev_t > 1800000
+                       THEN 1 ELSE 0 END AS new_session
+           FROM o),
+         numbered AS (
+           SELECT user_id, event_id, event_type, t,
+                  sum(new_session) OVER (PARTITION BY user_id
+                    ORDER BY t, event_id
+                    ROWS UNBOUNDED PRECEDING) AS session_id
+           FROM marked),
+         paths AS (
+           SELECT user_id, session_id,
+                  string_agg(event_type, '>' ORDER BY t, event_id)
+                    AS path
+           FROM numbered GROUP BY 1, 2)
+         SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+         FROM paths GROUP BY 1
+         ORDER BY n_sessions DESC, path LIMIT 20"""
   )
 }

@@ -258,4 +258,43 @@ object EventStreams {
         round(sum(col("value")), 6).as("sum_value"))
       .drop(col("session_id"))
   }
+
+  /** Top-K session paths: [[sessionizeBatch]]'s gaps-and-islands
+    * assignment, then each session's event types joined in time
+    * order (`>`-separated) and counted corpus-wide — the
+    * product-analytics "what do users do in a visit" view.
+    *
+    * Order inside a session is made total with `event_id` as the
+    * tiebreak (same-timestamp events would otherwise make the path
+    * string nondeterministic). The ordered join is a sort of each
+    * session's OWN rows in-row (`sort_array` on (t, id, type)
+    * structs after a per-session collect) — sessions are bounded by
+    * the gap rule, so the collected array is small by construction;
+    * nothing ever globally sorts. Path counting is an ordinary
+    * hash aggregate + bounded top-K.
+    */
+  def sessionPaths(events: DataFrame, gapMs: Long, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("t"))
+      .withColumn("prev_t", lag(col("t"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_t").isNull || col("t") - col("prev_t") > gapMs,
+          1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(array_join(transform(
+          sort_array(collect_list(
+            struct(col("t"), col("event_id"), col("event_type")))),
+          s => s.getField("event_type")), ">").as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path").asc)
+      .limit(k)
+  }
 }

@@ -147,6 +147,27 @@ class Round6OpsSpec extends AnyFunSuite {
       (3L, 1, -1L, -1L)))
   }
 
+  test("sessionPaths: gap splits sessions; same-ts events order by event_id") {
+    import spark.implicits._
+    val gap = 1000L
+    // user 1: two events 1 ms apart, then a 5 s gap, then two events
+    // at the SAME timestamp (order must fall back to event_id).
+    val rows = Seq(
+      (1L, 10L, "view", 0L), (1L, 11L, "click", 1L),
+      (1L, 13L, "purchase", 5001L), (1L, 12L, "view", 5001L),
+      (2L, 20L, "view", 0L))
+    val e = rows.toDF("user_id", "event_id", "event_type", "ms")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        timestamp_millis(col("ms")).as("ts"))
+    val paths = graft.streaming.EventStreams
+      .sessionPaths(e, gapMs = gap, k = 10)
+      .as[(String, Long)].collect().toMap
+    assert(paths == Map(
+      "view>click" -> 1L,      // session 1 of user 1
+      "view>purchase" -> 1L,   // id 12 (view) before id 13 (purchase)
+      "view" -> 1L))           // user 2
+  }
+
   test("randomProject: JL norm preservation in expectation + exact parity") {
     import spark.implicits._
     val rng = new scala.util.Random(11)
