@@ -126,8 +126,13 @@ object Dedup {
           .as("b"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("i"))
-    val directed = inter.select(col("a"), col("b"), col("i"))
-      .union(inter.select(col("b").as("a"), col("a").as("b"), col("i")))
+    // both directions emitted in ONE pass over the intersection
+    // aggregate (a union of two reads would re-execute the whole
+    // shingle pipeline per branch — the dupClustersStar lesson)
+    val directed = inter.select(explode(array(
+        struct(col("a"), col("b"), col("i")),
+        struct(col("b").as("a"), col("a").as("b"), col("i")))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"), col("p.i").as("i"))
     directed
       .join(sizes.as("sa"), col("a") === col("sa.doc_id"))
       .select(col("a"), col("b"),
