@@ -38,8 +38,14 @@ object Ngrams {
     */
   def ngramProfile(docs: DataFrame, idCol: String, tokens: Column,
                    n: Int): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-        explode(ngramsInRow(tokens, n)).as("gram"))
+    // tokens bound to its own projection first: the gram builder reads
+    // its input array n× per gram via element_at, and Catalyst inlines
+    // a raw Column at every reference — with tokenize's regex split
+    // that re-runs the split ~n·|grams| times per document (the
+    // Dedup.shingles lesson, measured there at 9.3 s of 11.7 s).
+    docs.select(col(idCol).as("doc_id"), tokens.as("__toks"))
+      .select(col("doc_id"),
+        explode(ngramsInRow(col("__toks"), n)).as("gram"))
       .groupBy(col("doc_id"), col("gram"))
       .agg(count(lit(1)).as("cnt"))
       .groupBy(col("gram"))
@@ -80,8 +86,9 @@ object Ngrams {
                      n: Int, topK: Int): DataFrame = {
     val hot = topNgrams(docs, idCol, tokens, n, topK)
       .select(col("gram"))
-    val occ = docs.select(col(idCol).as("doc_id"),
-        posexplode(ngramsInRow(tokens, n)).as(Seq("pos", "gram")))
+    val occ = docs.select(col(idCol).as("doc_id"), tokens.as("__toks"))
+      .select(col("doc_id"),
+        posexplode(ngramsInRow(col("__toks"), n)).as(Seq("pos", "gram")))
     val covered = occ.join(hot, Seq("gram"))
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + lit(n - 1)))
