@@ -59,7 +59,26 @@ object SplitQueries {
     "sp05_shuffle_rank" -> ((s, d) =>
       Splits.shuffleRank(Tables.documents(s, d)
           .select(col("doc_id")), "doc_id", Salt, buckets = 8))
+
+    ,
+    // Deterministic K-docs-per-source head sample ("take K docs per
+    // domain"): the budget cap with unit costs IS per-group top-K in
+    // hash-priority order, so the bucketed design carries over
+    // unchanged — whole buckets decided by the broadcast prefix
+    // table, only the boundary bucket sorts, full-keep rows never
+    // shuffle. K=15 < the 25 docs/source at sf0.01, so keeps and
+    // drops both occur in every source.
+    "sp06_per_source_sample" -> ((s, d) =>
+      Splits.tokenBudgetCap(
+          Tables.documents(s, d).select(col("doc_id"), col("source"),
+            lit(1L).as("one")),
+          "doc_id", "source", "one", Salt, budget = SampleK,
+          buckets = 8)
+        .select(col("doc_id"), col("source")))
   )
+
+  /** sp06's per-source sample size — shared with its oracle. */
+  private val SampleK = 15L
 
   /** Mixing weights for sp03 — shared by the query and its oracle. */
   private val MixRates: Seq[(String, Int)] =
@@ -131,6 +150,20 @@ object SplitQueries {
           SELECT doc_id,
                  row_number() OVER (ORDER BY rk, doc_id) - 1
                    AS shuffle_pos
-          FROM r"""
+          FROM r""",
+    // unit costs ⇒ the running-sum semantics reduce to per-source
+    // row_number ≤ K in (rk, doc_id) priority order
+    "sp06_per_source_sample" ->
+      s"""WITH r AS (
+            SELECT doc_id, source,
+                   CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+                     || '|$Salt'), 1, 15)) AS BIGINT) AS rk
+            FROM documents),
+          n AS (
+            SELECT doc_id, source,
+                   row_number() OVER (PARTITION BY source
+                     ORDER BY rk, doc_id) AS rn
+            FROM r)
+          SELECT doc_id, source FROM n WHERE rn <= $SampleK"""
   )
 }
