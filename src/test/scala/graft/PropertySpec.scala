@@ -170,6 +170,33 @@ class PropertySpec extends AnyFunSuite {
         assert(got == expected, s"buckets=$buckets n=${ids.size} diverged")
     }
   }
+
+  test("containment dominates jaccard and is bounded by 1 on random corpora") {
+    import spark.implicits._
+    // containment(a→b) = i/|S(a)| ≥ i/(|S(a)|+|S(b)|−i) = jaccard —
+    // every Jaccard pair must reappear in the directed containment
+    // list (both directions) at the same threshold, never scored
+    // above 1.
+    val docGen = Gen.listOfN(12,
+      Gen.oneOf("a", "b", "c", "d", "e", "f")).map(_.mkString(" "))
+    forAll(Gen.listOfN(12, docGen), n = 5) { texts =>
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val sh = graft.operators.Dedup.shingles(docs, "doc_id",
+        TextOps.tokenize(col("text")))
+      val thr = 0.3
+      val jac = graft.operators.Dedup.jaccardPairs(sh, thr)
+        .select($"a", $"b").as[(Long, Long)].collect().toSet
+      val cont = graft.operators.Dedup.containmentPairs(sh, thr)
+        .as[(Long, Long, Double)].collect()
+      assert(cont.forall(_._3 <= 1.0 + 1e-12))
+      val contSet = cont.map(c => (c._1, c._2)).toSet
+      jac.foreach { case (a, b) =>
+        assert(contSet.contains((a, b)) && contSet.contains((b, a)),
+          s"jaccard pair ($a,$b) missing from containment at thr=$thr")
+      }
+    }
+  }
 }
 
 private object TextOpsFixtures {
