@@ -12,6 +12,12 @@ Design notes (what makes the replication honest):
    the replica count and measure content duplication, not engine
    throughput) cannot form — this mimics "10x new unique content with
    the same statistical shape";
+ - EMBEDDING dims are permuted by a per-replica seeded permutation for
+   replicas > 0 — an orthogonal transform, so every within-replica
+   norm/cosine/centroid is preserved bit-for-bit in set terms while
+   cross-replica vectors decorrelate, keeping LSH/IVF candidate volume
+   a measure of engine throughput rather than of the copies
+   (the text-suffix trick's exact analogue for the vector column);
  - region/nation are dimensions referenced by unchanged nationkeys and
    stay single-copy, as a real sf1 would;
  - schemas are preserved via pyarrow (events.ts stays timestamp[ns]).
@@ -63,6 +69,24 @@ def suffix_tokens(col: pa.ChunkedArray, r: int) -> pa.Array:
                       pa.scalar(None, joined.type))
 
 
+def permute_dims(col: pa.ChunkedArray, r: int) -> pa.Array:
+    """Apply a seeded per-replica permutation to every vector's dims —
+    orthogonal, so within-replica geometry is untouched while
+    cross-replica similarity is destroyed."""
+    import numpy as np
+    arr = col.combine_chunks()
+    n = len(arr)
+    flat = arr.values.to_numpy(zero_copy_only=False)
+    dim = flat.shape[0] // n
+    perm = np.random.RandomState(97 + r).permutation(dim)
+    permuted = flat.reshape(n, dim)[:, perm].reshape(-1)
+    vals = pa.array(permuted, type=arr.values.type)
+    out = (pa.LargeListArray.from_arrays(arr.offsets, vals)
+           if isinstance(arr, pa.LargeListArray)
+           else pa.ListArray.from_arrays(arr.offsets, vals))
+    return pc.if_else(pc.is_valid(arr), out, pa.scalar(None, out.type))
+
+
 def main():
     os.makedirs(DST, exist_ok=True)
     for name in SINGLE_COPY:
@@ -84,6 +108,11 @@ def main():
                 rt = rt.set_column(
                     i, rt.schema.field(i),
                     suffix_tokens(rt.column("text"), r))
+            if name == "embeddings" and r > 0:
+                i = rt.schema.get_field_index("embedding")
+                rt = rt.set_column(
+                    i, rt.schema.field(i),
+                    permute_dims(rt.column("embedding"), r))
             parts.append(rt)
         out = pa.concat_tables(parts)
         pq.write_table(out, f"{DST}/{name}.parquet")
