@@ -62,6 +62,29 @@ class PlanAuditSpec extends AnyFunSuite {
       s"d08 lost the bloom prune:\n$bloom")
   }
 
+  test("round-6 plan shapes: e12 in-row, t14 broadcast hot set, " +
+      "f05 single shuffle") {
+    // e12: 16 projection kernels inside the scan stage — ANY exchange
+    // means the in-row design regressed
+    val jl = PlanSummary.finalPlanString(
+      SparkEntry.queries("e12_random_projection")(spark, sf))
+    assert(!jl.contains("Exchange"),
+      s"e12 gained a shuffle:\n$jl")
+    // t14: the ≤K-row hot-gram side and the per-doc covered sets must
+    // meet their joins as broadcasts — the corpus never key-shuffles
+    val strip = PlanSummary.finalPlanString(
+      SparkEntry.queries("t14_boilerplate_strip")(spark, sf))
+    assert(strip.contains("BroadcastHashJoin"),
+      s"t14 lost its broadcast joins:\n$strip")
+    assert(!strip.contains("SortMergeJoin"),
+      s"t14 degraded to a sort-merge join:\n$strip")
+    // f05: one (doc, bucket) hash aggregate — exactly one exchange
+    val fh = PlanSummary.finalPlanString(
+      SparkEntry.queries("f05_feature_hashing")(spark, sf))
+    assert("Exchange".r.findAllIn(fh).length == 1,
+      s"f05 shuffled more than once:\n$fh")
+  }
+
   test("finalPlanString reads the post-AQE plan, not the initial one") {
     val df = SparkEntry.queries("q01_agg_pricing")(spark, sf)
     // before execution the AQE string has no codegen markers — the
