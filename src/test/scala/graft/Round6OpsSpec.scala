@@ -147,6 +147,27 @@ class Round6OpsSpec extends AnyFunSuite {
       (3L, 1, -1L, -1L)))
   }
 
+  test("null text: strip passes through null, hashing and profile drop it") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b"), (2L, null.asInstanceOf[String]),
+      (3L, "a b c"), (4L, "a b d")).toDF("doc_id", "text")
+    val out = stripHotNgrams(docs, "doc_id", toks, n = 2, topK = 1)
+      .as[(Long, Option[String], Int)].collect().sortBy(_._1).toSeq
+    // null text survives as a null row (the 100 TB contract: no crash,
+    // no silent row loss), untouched by the strip
+    assert(out.map(_._1) == Seq(1L, 2L, 3L, 4L))
+    assert(out(1) == ((2L, None, 0)))
+    // explode semantics drop the null row from token-level operators
+    val tf = FeatureHashing.hashedTf(
+      docs.select(col("doc_id"), toks.as("tokens")), "doc_id",
+      col("tokens"), 8)
+    assert(tf.filter(col("doc_id") === 2L).count() == 0L)
+    assert(tf.count() > 0L)
+    val top = topNgrams(docs, "doc_id", toks, n = 2, k = 10)
+      .as[(String, Long, Long)].collect()
+    assert(top.exists(_._1 == "a b") && top.forall(_._1 != null))
+  }
+
   test("sessionPaths: gap splits sessions; same-ts events order by event_id") {
     import spark.implicits._
     val gap = 1000L
