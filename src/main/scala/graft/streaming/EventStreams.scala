@@ -273,7 +273,17 @@ object EventStreams {
     * nothing ever globally sorts. Path counting is an ordinary
     * hash aggregate + bounded top-K.
     */
-  def sessionPaths(events: DataFrame, gapMs: Long, k: Int): DataFrame = {
+  def sessionPaths(events: DataFrame, gapMs: Long, k: Int): DataFrame =
+    sessionPathRows(events, gapMs)
+      .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path").asc)
+      .limit(k)
+
+  /** One row per (user, session): the session's start and its ordered
+    * event-type path — the batch form [[sessionPathsStream]] must
+    * converge to, and [[sessionPaths]]'s input.
+    */
+  def sessionPathRows(events: DataFrame, gapMs: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("t"), col("event_id"))
@@ -289,12 +299,73 @@ object EventStreams {
           byUser.rowsBetween(Window.unboundedPreceding,
             Window.currentRow)))
       .groupBy(col("user_id"), col("session_id"))
-      .agg(array_join(transform(
+      .agg(min(col("t")).as("session_start_ms"),
+        array_join(transform(
           sort_array(collect_list(
             struct(col("t"), col("event_id"), col("event_type")))),
           s => s.getField("event_type")), ">").as("path"))
-      .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
-      .orderBy(col("n_sessions").desc, col("path").asc)
-      .limit(k)
+      .select(col("user_id"), col("session_start_ms"), col("path"))
+  }
+
+  final case class PathInput(user_id: Long, ts: Timestamp,
+                             event_id: Long, event_type: String)
+  final case class PathEvent(t: Long, id: Long, tpe: String)
+  final case class PathState(start: Long, end: Long,
+                             events: List[PathEvent])
+  final case class SessionPathRow(user_id: Long, session_start_ms: Long,
+                                  path: String)
+
+  /** Streaming session paths: per-user gap sessions whose ordered
+    * event-type path is emitted ONCE, when event-time timeout closes
+    * the session — the [[sessionizeStream]] machinery carrying the
+    * session's own events in state (bounded: a session's rows, capped
+    * by the gap rule) so late-but-in-watermark arrivals inside an
+    * open session still land in correct (t, event_id) order — the
+    * final sort happens at close, not at arrival. Batch oracle:
+    * [[sessionPathRows]].
+    */
+  def sessionPathsStream(events: Dataset[PathInput],
+                         gapMs: Long): Dataset[SessionPathRow] = {
+    import events.sparkSession.implicits._
+    def pathOf(s: PathState): String =
+      s.events.sortBy(e => (e.t, e.id)).map(_.tpe).mkString(">")
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[PathState, SessionPathRow](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[PathInput],
+         state: GroupState[PathState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionPathRow(user, s.start, pathOf(s)))
+          } else {
+            val sorted = rows.toSeq
+              .sortBy(r => (r.ts.getTime, r.event_id))
+            var out = List.empty[SessionPathRow]
+            var cur = state.getOption
+            sorted.foreach { r =>
+              val t = r.ts.getTime
+              val ev = PathEvent(t, r.event_id, r.event_type)
+              cur match {
+                case Some(s) if t - s.end <= gapMs =>
+                  cur = Some(s.copy(end = math.max(s.end, t),
+                    start = math.min(s.start, t),
+                    events = ev :: s.events))
+                case Some(s) =>
+                  out ::= SessionPathRow(user, s.start, pathOf(s))
+                  cur = Some(PathState(t, t, List(ev)))
+                case None =>
+                  cur = Some(PathState(t, t, List(ev)))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            out.reverseIterator
+          }
+      }
   }
 }

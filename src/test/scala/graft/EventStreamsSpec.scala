@@ -71,6 +71,51 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming session paths converge to the batch rows, ordered at close") {
+    import spark.implicits._
+    import EventStreams.{PathInput, SessionPathRow}
+    val mem = MemoryStream[PathInput](spark)
+    val paths = EventStreams.sessionPathsStream(mem.toDS(),
+      gapMs = 30L * 60000L)
+    val q = paths.writeStream.format("memory")
+      .queryName("paths_out").outputMode("append").start()
+    val rows = Seq(
+      // user 1, session A fed ACROSS micro-batches with the second
+      // batch's event EARLIER in event time (in-watermark, in-gap) —
+      // the close-time sort must still order view>click>purchase
+      PathInput(1L, ts(0), 10L, "view"),
+      PathInput(1L, ts(20), 12L, "purchase"),
+      // user 1, session B after the gap; same-ts tie broken by id
+      PathInput(1L, ts(70), 13L, "view"), PathInput(1L, ts(70), 14L, "error"),
+      // user 2: single-event session
+      PathInput(2L, ts(5), 20L, "signup"))
+    try {
+      mem.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(PathInput(1L, ts(10), 11L, "click")) // late, in-gap
+      q.processAllAvailable()
+      mem.addData(rows.drop(2): _*)
+      q.processAllAvailable()
+      mem.addData(PathInput(99L, ts(10000), 990L, "view")) // advance wm
+      q.processAllAvailable()
+
+      val got = spark.table("paths_out").as[SessionPathRow]
+        .collect().filter(_.user_id != 99L)
+        .map(r => (r.user_id, mins(r.session_start_ms), r.path)).toSet
+      val batch = EventStreams.sessionPathRows(
+          (rows :+ PathInput(1L, ts(10), 11L, "click")).toDF(),
+          gapMs = 30L * 60000L)
+        .collect()
+        .map(r => (r.getLong(0), mins(r.getLong(1)), r.getString(2)))
+        .toSet
+      assert(got == batch)
+      assert(got == Set(
+        (1L, 0L, "view>click>purchase"),
+        (1L, 70L, "view>error"),
+        (2L, 5L, "signup")))
+    } finally q.stop()
+  }
+
   test("streaming dedup: duplicates dropped across micro-batches") {
     import spark.implicits._
     val mem = MemoryStream[(Timestamp, String)](spark)
