@@ -295,6 +295,49 @@ object Similarity {
         transform(vec, _ => lit(0)).as("q")))
   }
 
+  /** Per-dimension sign bit sketch of a ≤64-dim vector as ONE long:
+    * bit i set iff dim i ≥ 0 — 1 bit/dim, the most aggressive
+    * embedding compression a vector store ships (32× smaller than
+    * float32). Two's-complement bit 63 makes the value negative for
+    * vectors whose last dim is ≥ 0; only the bit PATTERN carries
+    * meaning ([[hammingTopK]] compares via xor+bit_count, never by
+    * magnitude). In-row, codegen'd — the e07 shape.
+    */
+  def signSketch(vec: Column, dim: Int = 64): Column = {
+    require(dim >= 1 && dim <= 64, s"signSketch needs 1..64 dims, got $dim")
+    (0 until dim).map(i =>
+      when(element_at(vec, i + 1) >= 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Approximate top-k by Hamming distance between sign sketches
+    * (Charikar 2002 — sign-random-projection similarity; here the
+    * identity projection's signs): rank = bit_count(xor(sketches)),
+    * ties by neighbor id. The candidate scan costs one long xor +
+    * popcount per pair — no float math touches the corpus — and the
+    * broadcast-queries / corpus-never-shuffles shape matches
+    * [[bruteForceKnn]] with 1/32 the scan bytes; re-rank survivors
+    * with [[cosine]] when exactness matters.
+    */
+  def hammingTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("n_id"),
+      signSketch(col(vecCol)).as("n_sk"))
+    val q = broadcast(queries.select(col(idCol).as("q_id"),
+      signSketch(col(vecCol)).as("q_sk")))
+    val scored = c.join(q, col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"),
+        call_function("bit_count",
+          col("n_sk").bitwiseXOR(col("q_sk"))).as("hamming"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("hamming").asc, col("n_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("n_id"), col("hamming"), col("rn"))
+  }
+
   /** Seeded Rademacher (±1) sign matrix for [[randomProject]] —
     * driver-generated like [[randomPlanes]], shipped as plan
     * literals to both engines.

@@ -256,6 +256,16 @@ object DedupQueries {
         .select(col("vec_id"), col("qz.scale").as("scale"),
           posexplode(col("qz.q")).as(Seq("dim", "q")))),
 
+    // Binary sign-sketch Hamming top-k: 1 bit/dim (a 64-dim vector IS
+    // one long), candidates ranked by popcount(xor) — no float math
+    // in the corpus scan, 1/32 the bytes of brute cosine. Queries
+    // broadcast; corpus never shuffles.
+    "e13_hamming_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.hammingTopK(emb, emb.filter(col("vec_id") < 100),
+        k = 10)
+    }),
+
     // Johnson–Lindenstrauss random projection 64 → 16 dims: seeded
     // ±1 sign rows as plan literals, 16 sequential-dot kernels
     // in-row — nothing shuffles (the e07 shape). √16 = 4 divides
@@ -735,6 +745,35 @@ object DedupQueries {
                    (${normSql("x.embedding")} * ${normSql("y.embedding")}) AS cos
             FROM e x JOIN e y ON x.vec_id < y.vec_id)
           WHERE cos >= 0.4""",
+    // sign bit i of dim i+1; bit 63 enters as BIGINT min so the
+    // two's-complement value matches Spark's bitwiseOR fold exactly,
+    // and popcount(xor) is engine-identical on the full 64-bit
+    // pattern (bit_count(-1) = 64 in both)
+    "e13_hamming_topk" -> {
+      val sketch = (0 until 64).map { i =>
+        val bit =
+          if (i == 63) "-9223372036854775808"
+          else (1L << i).toString
+        s"(CASE WHEN embedding[${i + 1}] >= 0 THEN $bit ELSE 0 END)"
+      }.mkString("(", " +\n             ", ")")
+      s"""WITH sk AS (
+            SELECT vec_id, $sketch AS s
+            FROM embeddings),
+          q AS (SELECT vec_id AS q_id, s AS q_sk FROM sk
+                WHERE vec_id < 100),
+          scored AS (
+            SELECT q.q_id, c.vec_id AS n_id,
+                   bit_count(xor(c.s, q.q_sk)) AS hamming
+            FROM sk c JOIN q ON c.vec_id <> q.q_id),
+          ranked AS (
+            SELECT q_id, n_id, hamming,
+                   row_number() OVER (PARTITION BY q_id
+                     ORDER BY hamming, n_id) AS rn
+            FROM scored)
+          SELECT q_id, n_id, CAST(hamming AS INTEGER) AS hamming,
+                 CAST(rn AS INTEGER) AS rn
+          FROM ranked WHERE rn <= 10"""
+    },
     // same literal sign rows as the Spark plan (planeSqlArr's
     // VARCHAR→DOUBLE cast discipline); /4 is exact; exploded to
     // scalar rows like e07 (the compare hashes scalars)

@@ -189,6 +189,30 @@ class Round6OpsSpec extends AnyFunSuite {
       "view" -> 1L))           // user 2
   }
 
+  test("signSketch bit pattern and hammingTopK ranking are exact") {
+    import spark.implicits._
+    // dims 0 and 2 non-negative → bits 0,2 → 0b101 = 5; zero counts
+    // as non-negative (bit set)
+    val v = Seq((1L, Seq(1.0f, -1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val sk = v.select(Similarity.signSketch(col("embedding"), dim = 3))
+      .as[Long].head()
+    assert(sk == 5L)
+    // corpus: an exact twin of the query (hamming 0, rank 1), a
+    // one-bit flip (hamming 1, rank 2), an antipode (hamming 64)
+    val base = Array.fill(64)(1.0f)
+    val flip = base.clone(); flip(10) = -1.0f
+    val anti = base.map(-_)
+    val corpus = Seq(
+      (100L, base.toSeq), (101L, flip.toSeq), (102L, anti.toSeq))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((1L, base.toSeq)).toDF("vec_id", "embedding")
+    val got = Similarity.hammingTopK(corpus, queries, k = 3)
+      .as[(Long, Long, Int, Int)].collect().sortBy(_._4).toSeq
+    assert(got == Seq(
+      (1L, 100L, 0, 1), (1L, 101L, 1, 2), (1L, 102L, 64, 3)))
+  }
+
   test("randomProject: JL norm preservation in expectation + exact parity") {
     import spark.implicits._
     val rng = new scala.util.Random(11)
