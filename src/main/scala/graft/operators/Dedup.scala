@@ -53,6 +53,34 @@ object Dedup {
         explode(array_distinct(Analysis.ngrams(col("__toks"), n)))
           .as("shingle"))
 
+  /** [[lshBandSignatures]] computed IN-ROW — same md5-chunk minhash
+    * profile, same band digests (value-parity asserted in spec) — as
+    * an array of (b, sig) structs per document. This is the form a
+    * STREAMING dedup needs: Structured Streaming forbids an
+    * aggregation upstream of a stateful operator in append mode, so
+    * the per-doc signature must come out of the scan projection, not
+    * a group-by. Cost is identical in aggregate terms (numHashes
+    * array passes over the doc's shingle set). Docs with no shingles
+    * yield an empty array (the aggregation form drops them too).
+    *
+    * Bind `shingles` to its own projected column first — it is read
+    * numHashes times (the [[shingles]] / Ngrams token-binding rule).
+    */
+  def bandSignaturesInRow(shingles: Column, numHashes: Int,
+                          rowsPerBand: Int): Column = {
+    require(numHashes % rowsPerBand == 0,
+      "numHashes must be a multiple of rowsPerBand")
+    val mins = (0 until numHashes).map(h =>
+      array_min(transform(shingles, s => minhashChunk(s, h))))
+    val bands = (0 until numHashes / rowsPerBand).map { b =>
+      struct(lit(b).as("b"),
+        md5(concat((b * rowsPerBand until (b + 1) * rowsPerBand)
+          .map(mins): _*)).as("sig"))
+    }
+    when(size(shingles) > 0, array(bands: _*))
+      .otherwise(array().cast("array<struct<b:int,sig:string>>"))
+  }
+
   /** Exact n-gram Jaccard near-dup pairs (a < b, jaccard ≥ threshold).
     * O(Σ per-shingle df²) pair volume — the exact baseline for toy/
     * verification scale. At 100 TB a hot shingle (df ~ 10⁶) is a

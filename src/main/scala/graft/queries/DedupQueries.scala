@@ -256,6 +256,20 @@ object DedupQueries {
         .select(col("vec_id"), col("qz.scale").as("scale"),
           posexplode(col("qz.q")).as(Seq("dim", "q")))),
 
+    // Batch face of the streaming near-dup candidate detector
+    // (CorpusStreams.streamingNearDupCands): same-band-bucket pairs
+    // within an ingest horizon — here 60 ids ≈ 60 minutes at the
+    // one-doc-per-minute ingest rate the streaming spec uses. The
+    // streaming side converges to exactly this relation
+    // (RocksDb/MemoryStream spec); the in-row signature builder it
+    // requires is value-identical to the aggregation form here.
+    "st08_stream_neardup_cands" -> ((s, d) => {
+      val sh = Dedup.shingles(Tables.documents(s, d), "doc_id",
+        docTokens(s))
+      Dedup.lshCandidates(Dedup.lshBandSignatures(sh, 16, 4))
+        .filter(col("b") - col("a") <= 60)
+    }),
+
     // Binary sign-sketch Hamming top-k: 1 bit/dim (a 64-dim vector IS
     // one long), candidates ranked by popcount(xor) — no float math
     // in the corpus scan, 1/32 the bytes of brute cosine. Queries
@@ -745,6 +759,9 @@ object DedupQueries {
                    (${normSql("x.embedding")} * ${normSql("y.embedding")}) AS cos
             FROM e x JOIN e y ON x.vec_id < y.vec_id)
           WHERE cos >= 0.4""",
+    "st08_stream_neardup_cands" ->
+      s"""WITH ${shingleCte()}, $minhashCandsCte
+          SELECT a, b FROM cands WHERE b - a <= 60""",
     // sign bit i of dim i+1; bit 63 enters as BIGINT min so the
     // two's-complement value matches Spark's bitwiseOR fold exactly,
     // and popcount(xor) is engine-identical on the full 64-bit

@@ -116,6 +116,80 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("in-row band signatures are value-identical to the aggregation form") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    import graft.text.TextOps
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "completely different words in this document here"),
+      (4L, "xy"), // 1 token → no 3-gram shingles → no signature rows
+      (5L, "the quick brown fox jumps over the lazy dog")) // dup of 1
+      .toDF("doc_id", "text")
+    val agg = Dedup.lshBandSignatures(
+        Dedup.shingles(docs, "doc_id", TextOps.tokenize(col("text"))),
+        numHashes = 16, rowsPerBand = 4)
+      .as[(Long, Int, String)].collect().toSet
+    val inRow = docs
+      .select(col("doc_id"),
+        array_distinct(graft.text.Analysis.ngrams(
+          TextOps.tokenize(col("text")), 3)).as("__sh"))
+      .select(col("doc_id"),
+        explode(Dedup.bandSignaturesInRow(col("__sh"), 16, 4)).as("bs"))
+      .select(col("doc_id"), col("bs.b"), col("bs.sig"))
+      .as[(Long, Int, String)].collect().toSet
+    assert(inRow == agg)
+    assert(!inRow.exists(_._1 == 4L)) // shingle-less doc absent in both
+    // exact duplicates share every band signature
+    assert(inRow.filter(_._1 == 1L).map(t => (t._2, t._3)) ==
+      inRow.filter(_._1 == 5L).map(t => (t._2, t._3)))
+  }
+
+  test("streaming near-dup candidates converge to the batch LSH pairs") {
+    import spark.implicits._
+    import graft.streaming.CorpusStreams
+    import graft.streaming.CorpusStreams.{CandPair, DocInput}
+    import graft.operators.Dedup
+    import graft.text.TextOps
+    val horizon = 60L * 60000L // 1 hour
+    val dup = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      DocInput(1L, ts(0), dup),
+      DocInput(2L, ts(10), "unrelated content with its own words"),
+      DocInput(3L, ts(30), dup),      // pairs with 1 (30 min apart)
+      DocInput(4L, ts(80), dup))      // pairs with 3 (50 min) but NOT
+                                      // with 1 (80 min > horizon)
+    val mem = MemoryStream[DocInput](spark)
+    val cands = CorpusStreams.streamingNearDupCands(mem.toDS(), horizon)
+    val q = cands.writeStream.format("memory")
+      .queryName("neardup_out").outputMode("append").start()
+    try {
+      mem.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(docs.drop(2): _*)
+      q.processAllAvailable()
+      mem.addData(DocInput(99L, ts(10000), "watermark advancer text"))
+      q.processAllAvailable()
+      val got = spark.table("neardup_out").as[CandPair]
+        .collect().map(p => (p.a, p.b)).toSet // fold cross-band dups
+      // batch face on the same rows: bucket-join candidates within
+      // the event-time horizon
+      val df = docs.map(d => (d.doc_id, d.ts.getTime, d.text))
+        .toDF("doc_id", "t", "text")
+      val sh = Dedup.shingles(df, "doc_id", TextOps.tokenize(col("text")))
+      val t = df.select(col("doc_id"), col("t"))
+      val batch = Dedup.lshCandidates(
+          Dedup.lshBandSignatures(sh, 16, 4))
+        .join(t.select(col("doc_id").as("a"), col("t").as("ta")), "a")
+        .join(t.select(col("doc_id").as("b"), col("t").as("tb")), "b")
+        .filter(abs(col("ta") - col("tb")) <= horizon)
+        .select(col("a"), col("b")).as[(Long, Long)].collect().toSet
+      assert(got == batch)
+      assert(got == Set((1L, 3L), (3L, 4L)))
+    } finally q.stop()
+  }
+
   test("streaming dedup: duplicates dropped across micro-batches") {
     import spark.implicits._
     val mem = MemoryStream[(Timestamp, String)](spark)
