@@ -123,4 +123,38 @@ class RocksDbStreamingSpec extends AnyFunSuite {
       } finally q.stop()
     }
   }
+
+  test("ingest-time near-dup candidates on RocksDB: pairs emitted, buckets evicted") {
+    withRocksDb {
+      import spark.implicits._
+      import graft.streaming.CorpusStreams
+      import graft.streaming.CorpusStreams.{CandPair, DocInput}
+      val dup = "alpha beta gamma delta epsilon zeta eta theta"
+      val mem = MemoryStream[DocInput](spark)
+      val q = CorpusStreams
+        .streamingNearDupCands(mem.toDS(), horizonMs = 60L * 60000L)
+        .writeStream.format("memory").queryName("rocks_neardup")
+        .option("checkpointLocation", ckpt())
+        .outputMode("append").start()
+      try {
+        mem.addData(DocInput(1L, ts(0), dup),
+          DocInput(2L, ts(5), "unrelated words entirely different"))
+        q.processAllAvailable()
+        mem.addData(DocInput(3L, ts(30), dup)) // cross-batch pair w/ 1
+        q.processAllAvailable()
+        val pairs = spark.table("rocks_neardup").as[CandPair]
+          .collect().map(p => (p.a, p.b)).toSet
+        assert(pairs == Set((1L, 3L)))
+        // advance the watermark far past every bucket's horizon —
+        // all per-bucket state must evict
+        mem.addData(DocInput(99L, ts(10000), "watermark advancer"))
+        q.processAllAvailable()
+        mem.addData(DocInput(98L, ts(10001), "second advancer"))
+        q.processAllAvailable()
+        val left = q.lastProgress.stateOperators.head.numRowsTotal
+        // only the advancers' own fresh buckets may remain
+        assert(left <= 8, s"expired buckets not evicted: $left")
+      } finally q.stop()
+    }
+  }
 }
