@@ -242,6 +242,18 @@ object DedupQueries {
         pqCbs, k = 10)
     }),
 
+    // IVF-PQ composition (IVFADC): e08's coarse cells restrict the
+    // candidates, e11's PQ asymmetric distance ranks them — the
+    // vector-store architecture, fully literal-folded and so fully
+    // oracle-checkable. Corpus payload per vector: one cell id + 4
+    // code bytes.
+    "e14_ivfpq_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 10),
+        Similarity.randomPlanes(8, 64, seed = 7L), pqCbs,
+        k = 10, nProbe = 4)
+    }),
+
     // Per-label embedding centroids (map-side-combined dim-keyed agg).
     "e06_label_centroids" -> ((s, d) =>
       Similarity.labelCentroids(Tables.embeddings(s, d))),
@@ -762,6 +774,63 @@ object DedupQueries {
     "st08_stream_neardup_cands" ->
       s"""WITH ${shingleCte()}, $minhashCandsCte
           SELECT a, b FROM cands WHERE b - a <= 60""",
+    // e08's cell CTEs ∘ e11's LUT CTEs — candidates restricted to
+    // probed cells, ranked by the same ADC pivot sum
+    "e14_ivfpq_topk" ->
+      s"""WITH $pqCodesCtes,
+          ctr AS ($centroidTableSql),
+          c AS (
+            SELECT vec_id AS n_id, embedding AS n_vec FROM embeddings),
+          cc AS (
+            SELECT n_id, cell FROM (
+              SELECT n_id, ctr.cell, CAST(row_number() OVER (
+                PARTITION BY n_id
+                ORDER BY ${sqDistSql("n_vec", "cvec")}, ctr.cell)
+                AS INTEGER) AS rn
+              FROM c, ctr)
+            WHERE rn = 1),
+          q AS (
+            SELECT vec_id AS q_id, embedding AS q_vec
+            FROM embeddings WHERE vec_id < 10),
+          qc AS (
+            SELECT q_id, cell FROM (
+              SELECT q_id, ctr.cell, CAST(row_number() OVER (
+                PARTITION BY q_id
+                ORDER BY ${sqDistSql("q_vec", "cvec")}, ctr.cell)
+                AS INTEGER) AS rn
+              FROM q, ctr)
+            WHERE rn <= 4),
+          cand AS (
+            SELECT q_id, n_id FROM cc JOIN qc USING (cell)
+            WHERE n_id <> q_id),
+          qsub AS (
+            SELECT q_id, CAST(m.range AS INTEGER) AS m,
+                   list_slice(q_vec,
+                     CAST(m.range * 16 + 1 AS INTEGER),
+                     CAST(m.range * 16 + 16 AS INTEGER)) AS sv
+            FROM q, range(4) m),
+          lut AS (
+            SELECT q_id, qsub.m, cb.k,
+                   ${sqDistSql("sv", "cvec")} AS dist
+            FROM qsub JOIN cb ON qsub.m = cb.m),
+          terms AS (
+            SELECT l.q_id, n.vec_id AS n_id, l.m, l.dist
+            FROM codes n
+            JOIN lut l ON l.m = n.m AND l.k = n.code
+            JOIN cand ON cand.n_id = n.vec_id AND cand.q_id = l.q_id),
+          scored AS (
+            SELECT q_id, n_id,
+                   max(CASE WHEN m = 0 THEN dist END) +
+                   max(CASE WHEN m = 1 THEN dist END) +
+                   max(CASE WHEN m = 2 THEN dist END) +
+                   max(CASE WHEN m = 3 THEN dist END) AS adist
+            FROM terms GROUP BY 1, 2),
+          ranked AS (
+            SELECT q_id, n_id, adist, CAST(row_number() OVER (
+              PARTITION BY q_id ORDER BY adist ASC, n_id ASC)
+              AS INTEGER) AS rn
+            FROM scored)
+          SELECT q_id, n_id, adist, rn FROM ranked WHERE rn <= 10""",
     // sign bit i of dim i+1; bit 63 enters as BIGINT min so the
     // two's-complement value matches Spark's bitwiseOR fold exactly,
     // and popcount(xor) is engine-identical on the full 64-bit

@@ -213,6 +213,38 @@ class Round6OpsSpec extends AnyFunSuite {
       (1L, 100L, 0, 1), (1L, 101L, 1, 2), (1L, 102L, 64, 3)))
   }
 
+  test("ivfPqTopK: probing all cells IS plain ADC; partial probe keeps exact ADC values") {
+    import spark.implicits._
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+    val ctr = Similarity.randomPlanes(8, 64, seed = 7L)
+    val cbs = Similarity.seededCodebooks(numSub = 4, k = 16, dsub = 16)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("q_id"), col("n_id"), col("adist"), col("rn"))
+        .as[(Long, Long, Double, Int)].collect().toSet
+    // nProbe = numCells → the cell filter admits everything, so the
+    // composition must reproduce the flat ADC ranking bit-for-bit
+    val full = rows(Similarity.ivfPqTopK(emb, queries, ctr, cbs,
+      k = 10, nProbe = 8))
+    val adc = rows(Similarity.pqAdcTopK(emb, queries, cbs, k = 10))
+    assert(full == adc)
+    // partial probe: a candidate subset, but every surviving pair
+    // carries the IDENTICAL adist (same literal LUT math)
+    val adcAll = Similarity.pqAdcTopK(emb, queries, cbs, k = 1000000)
+      .select(col("q_id"), col("n_id"), col("adist"))
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val partial = Similarity.ivfPqTopK(emb, queries, ctr, cbs,
+        k = 10, nProbe = 2)
+      .select(col("q_id"), col("n_id"), col("adist"))
+      .as[(Long, Long, Double)].collect()
+    assert(partial.nonEmpty)
+    partial.foreach { case (q, n, d) =>
+      assert(adcAll((q, n)) == d, s"adist drifted for ($q,$n)")
+    }
+  }
+
   test("randomProject: JL norm preservation in expectation + exact parity") {
     import spark.implicits._
     val rng = new scala.util.Random(11)
