@@ -563,6 +563,68 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("adist"), col("rn"))
   }
 
+  /** Residual-encoding IVFADC — the paper-faithful refinement of
+    * [[ivfPqTopK]]: PQ codes quantize `vec − centroid(cell)` instead
+    * of the raw vector, so the codebooks only need to span the
+    * (much tighter) within-cell residual distribution — the precision
+    * win that makes coarse+fine quantization compose. The price is on
+    * the query side: the LUT is per (query, PROBED CELL) — nProbe ×
+    * numSub × k exact subvector distances instead of one LUT per
+    * query — still broadcast-side work that never touches the corpus.
+    * Corpus payload per vector stays (cell, numSub code bytes).
+    *
+    * Residuals are bound to their own projected columns before the
+    * 64-way encode/LUT reads (the token-binding rule), and every
+    * arithmetic step (subtract, slice, sequential sqdist) is
+    * IEEE-exact and fixed-order, so the full search stage remains
+    * DuckDB-oracle-checkable like e14.
+    */
+  def ivfPqResidualTopK(corpus: DataFrame, queries: DataFrame,
+                        centroids: Array[Array[Double]],
+                        codebooks: Codebooks, k: Int, nProbe: Int = 4,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    val numSub = codebooks.length
+    val ctrLit = typedLit(centroids.map(_.toSeq).toSeq)
+    def residual(vec: Column, cell: Column): Column =
+      zip_with(vec, element_at(ctrLit, cell + 1),
+        (x, c) => x.cast("double") - c)
+    val codes = corpus
+      .select(col(idCol).as("n_id"), col(vecCol).as("__v"))
+      .select(col("n_id"), col("__v"),
+        element_at(nearestCells(col("__v"), centroids, 1), 1).as("cell"))
+      .select(col("n_id"), col("cell"),
+        residual(col("__v"), col("cell")).as("__rv"))
+      .select(col("n_id"), col("cell"),
+        pqEncode(col("__rv"), codebooks).as("codes"))
+    val qr = queries
+      .select(col(idCol).as("q_id"), col(vecCol).as("__qv"))
+      .select(col("q_id"), col("__qv"),
+        explode(nearestCells(col("__qv"), centroids, nProbe)).as("cell"))
+      .select(col("q_id"), col("cell"),
+        residual(col("__qv"), col("cell")).as("__rq"))
+    val lut = array(codebooks.zipWithIndex.map { case (cb, m) =>
+      val dsub = cb(0).length
+      array(cb.map(ctr =>
+        sqDistLit(slice(col("__rq"), m * dsub + 1, dsub), ctr)): _*)
+    }: _*)
+    val q = broadcast(qr.select(col("q_id"), col("cell"),
+      lut.as("lut")))
+    val adist = (0 until numSub)
+      .map(m => element_at(element_at(col("lut"), m + 1),
+        element_at(col("codes"), m + 1) + 1))
+      .reduce(_ + _)
+    val scored = codes.join(q, Seq("cell"))
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"), adist.as("adist"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("adist").asc, col("n_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("n_id"), col("adist"), col("rn"))
+  }
+
   def cosineDupPairsExact(corpus: DataFrame, threshold: Double,
                           idCol: String = "vec_id",
                           vecCol: String = "embedding"): DataFrame = {

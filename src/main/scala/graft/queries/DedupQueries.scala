@@ -254,6 +254,16 @@ object DedupQueries {
         k = 10, nProbe = 4)
     }),
 
+    // Residual-encoding IVFADC: PQ codes quantize vec − centroid
+    // (cell), LUTs go per (query, probed cell) — the paper-faithful
+    // refinement, still fully literal-folded and oracle-checked.
+    "e15_ivfpq_residual" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfPqResidualTopK(emb, emb.filter(col("vec_id") < 10),
+        Similarity.randomPlanes(8, 64, seed = 7L), pqCbs,
+        k = 10, nProbe = 4)
+    }),
+
     // Per-label embedding centroids (map-side-combined dim-keyed agg).
     "e06_label_centroids" -> ((s, d) =>
       Similarity.labelCentroids(Tables.embeddings(s, d))),
@@ -389,6 +399,14 @@ object DedupQueries {
     (0 until numTables).map(t =>
       bucketSql(vec, Similarity.randomPlanes(numPlanes, 64, seed + 1000L * t)))
       .mkString("[", ", ", "]")
+
+  /** Element-wise `vec − ctr` as a DOUBLE[] — mirrors the zip_with
+    * residual in [[Similarity.ivfPqResidualTopK]] (same IEEE
+    * subtraction per element).
+    */
+  private def residualSql(vec: String, ctr: String): String =
+    s"""list_transform(list_zip($vec, $ctr),
+        x -> CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))"""
 
   /** Sequential-order squared L2 distance to a DOUBLE[] column —
     * mirrors [[Similarity.sqDistLit]]'s `(x-y)·(x-y)` accumulate.
@@ -818,6 +836,84 @@ object DedupQueries {
             FROM codes n
             JOIN lut l ON l.m = n.m AND l.k = n.code
             JOIN cand ON cand.n_id = n.vec_id AND cand.q_id = l.q_id),
+          scored AS (
+            SELECT q_id, n_id,
+                   max(CASE WHEN m = 0 THEN dist END) +
+                   max(CASE WHEN m = 1 THEN dist END) +
+                   max(CASE WHEN m = 2 THEN dist END) +
+                   max(CASE WHEN m = 3 THEN dist END) AS adist
+            FROM terms GROUP BY 1, 2),
+          ranked AS (
+            SELECT q_id, n_id, adist, CAST(row_number() OVER (
+              PARTITION BY q_id ORDER BY adist ASC, n_id ASC)
+              AS INTEGER) AS rn
+            FROM scored)
+          SELECT q_id, n_id, adist, rn FROM ranked WHERE rn <= 10""",
+    // e14's shape with residual encode: corpus codes argmin over
+    // (vec − cell centroid) slices, LUTs per (query, probed cell)
+    "e15_ivfpq_residual" ->
+      s"""WITH cb AS ($pqCodebookTableSql),
+          ctr AS ($centroidTableSql),
+          c AS (
+            SELECT vec_id AS n_id, embedding AS n_vec FROM embeddings),
+          cc AS (
+            SELECT n_id, cell FROM (
+              SELECT n_id, ctr.cell, CAST(row_number() OVER (
+                PARTITION BY n_id
+                ORDER BY ${sqDistSql("n_vec", "cvec")}, ctr.cell)
+                AS INTEGER) AS rn
+              FROM c, ctr)
+            WHERE rn = 1),
+          crv AS (
+            SELECT cc.n_id, cc.cell,
+                   ${residualSql("n_vec", "cvec")} AS rvec
+            FROM cc JOIN c USING (n_id) JOIN ctr USING (cell)),
+          csub AS (
+            SELECT n_id, cell, CAST(m.range AS INTEGER) AS m,
+                   list_slice(rvec,
+                     CAST(m.range * 16 + 1 AS INTEGER),
+                     CAST(m.range * 16 + 16 AS INTEGER)) AS sv
+            FROM crv, range(4) m),
+          codes AS (
+            SELECT n_id, cell, m, k AS code FROM (
+              SELECT csub.n_id, csub.cell, csub.m, cb.k,
+                     CAST(row_number() OVER (
+                       PARTITION BY csub.n_id, csub.m
+                       ORDER BY ${sqDistSql("sv", "cvec")}, cb.k)
+                       AS INTEGER) AS rn
+              FROM csub JOIN cb ON csub.m = cb.m)
+            WHERE rn = 1),
+          q AS (
+            SELECT vec_id AS q_id, embedding AS q_vec
+            FROM embeddings WHERE vec_id < 10),
+          qc AS (
+            SELECT q_id, cell FROM (
+              SELECT q_id, ctr.cell, CAST(row_number() OVER (
+                PARTITION BY q_id
+                ORDER BY ${sqDistSql("q_vec", "cvec")}, ctr.cell)
+                AS INTEGER) AS rn
+              FROM q, ctr)
+            WHERE rn <= 4),
+          qrv AS (
+            SELECT qc.q_id, qc.cell,
+                   ${residualSql("q_vec", "cvec")} AS rq
+            FROM qc JOIN q USING (q_id) JOIN ctr USING (cell)),
+          qsub AS (
+            SELECT q_id, cell, CAST(m.range AS INTEGER) AS m,
+                   list_slice(rq,
+                     CAST(m.range * 16 + 1 AS INTEGER),
+                     CAST(m.range * 16 + 16 AS INTEGER)) AS sv
+            FROM qrv, range(4) m),
+          lut AS (
+            SELECT q_id, cell, qsub.m, cb.k,
+                   ${sqDistSql("sv", "cvec")} AS dist
+            FROM qsub JOIN cb ON qsub.m = cb.m),
+          terms AS (
+            SELECT l.q_id, n.n_id, l.m, l.dist
+            FROM codes n
+            JOIN lut l ON l.cell = n.cell AND l.m = n.m
+                      AND l.k = n.code
+            WHERE n.n_id <> l.q_id),
           scored AS (
             SELECT q_id, n_id,
                    max(CASE WHEN m = 0 THEN dist END) +

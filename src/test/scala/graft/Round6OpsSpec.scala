@@ -245,6 +245,25 @@ class Round6OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfPqResidualTopK: a single zero centroid reduces to flat ADC") {
+    import spark.implicits._
+    // with one all-zero cell the residual IS the raw vector, every
+    // query probes the one cell, and the composition must reproduce
+    // pqAdcTopK bit-for-bit — the structural identity that pins the
+    // residual plumbing (subtract, per-cell LUT, code join)
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+    val zeroCtr = Array(Array.fill(64)(0.0))
+    val cbs = Similarity.seededCodebooks(numSub = 4, k = 16, dsub = 16)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double, Int)].collect().toSet
+    val res = rows(Similarity.ivfPqResidualTopK(emb, queries, zeroCtr,
+      cbs, k = 10, nProbe = 1))
+    val adc = rows(Similarity.pqAdcTopK(emb, queries, cbs, k = 10))
+    assert(res == adc)
+  }
+
   test("randomProject: JL norm preservation in expectation + exact parity") {
     import spark.implicits._
     val rng = new scala.util.Random(11)
