@@ -62,6 +62,32 @@ object Similarity {
   def cosineFromNorms(a: Column, b: Column, na: Column,
                       nb: Column): Column = dot(a, b) / (na * nb)
 
+  /** Per-query bounded top-k via [[graft.expressions.TopKAgg]] — the
+    * two-stage ranking every scan-side top-k here shares. A
+    * `row_number() over (partition by q_id)` window would shuffle the
+    * ENTIRE scored set into ≤ |queries| reducers (the round-6 audit's
+    * one scale-killer: with 100 queries, at most 100 active reducers
+    * no matter the cluster); the bounded heap aggregates map-side, so
+    * only |queries| × k rows per scan partition cross the exchange and
+    * the final merge is |queries| tiny heap unions. Ordering (score
+    * asc/desc, ties by smaller n_id) and therefore output hashes are
+    * identical to the window form — pinned by the e01/e13 oracle rows
+    * and PlanAuditSpec.
+    */
+  private def topKPerQuery(scored: DataFrame, scoreCol: String,
+                           scoreAsc: Boolean, k: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge._
+    val scoreType = scored.schema(scoreCol).dataType
+    val agg = column(graft.expressions.TopKAgg(
+      expression(col(scoreCol)), expression(col("n_id")), k, scoreAsc)
+      .toAggregateExpression())
+    scored.groupBy(col("q_id")).agg(agg.as("tk"))
+      .select(col("q_id"), posexplode(col("tk")).as(Seq("p", "e")))
+      .select(col("q_id"), col("e.id").as("n_id"),
+        col("e.score").cast(scoreType).as(scoreCol),
+        (col("p") + 1).as("rn"))
+  }
+
   /** Brute-force exact top-k cosine neighbors for each query vector.
     *
     * @param corpus  (id, vec) big side — scanned once, never shuffled
@@ -79,12 +105,7 @@ object Similarity {
       .select(col("q_id"), col("n_id"),
         cosineFromNorms(col("q_vec"), col("n_vec"),
           col("q_nrm"), col("n_nrm")).as("cos"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("n_id").asc)
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("q_id"), col("n_id"), col("cos"), col("rn"))
+    topKPerQuery(scored, "cos", scoreAsc = false, k)
   }
 
   /** Sign-pattern bucket id from `planes` fixed hyperplanes.
@@ -149,12 +170,7 @@ object Similarity {
       .select(col("q_id"), col("n_id"),
         cosineFromNorms(col("q_vec"), col("n_vec"),
           col("q_nrm"), col("n_nrm")).as("cos"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("n_id").asc)
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("q_id"), col("n_id"), col("cos"), col("rn"))
+    topKPerQuery(scored, "cos", scoreAsc = false, k)
   }
 
   /** IVF (inverted-file) approximate top-k: a k-means coarse
@@ -243,12 +259,7 @@ object Similarity {
       .select(col("q_id"), col("n_id"),
         cosineFromNorms(col("q_vec"), col("n_vec"),
           col("q_nrm"), col("n_nrm")).as("cos"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("n_id").asc)
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("q_id"), col("n_id"), col("cos"), col("rn"))
+    topKPerQuery(scored, "cos", scoreAsc = false, k)
   }
 
   /** Embedding-cosine near-duplicate pairs above a threshold —
@@ -305,9 +316,15 @@ object Similarity {
     */
   def signSketch(vec: Column, dim: Int = 64): Column = {
     require(dim >= 1 && dim <= 64, s"signSketch needs 1..64 dims, got $dim")
-    (0 until dim).map(i =>
+    val bits = (0 until dim).map(i =>
       when(element_at(vec, i + 1) >= 0, lit(1L << i)).otherwise(lit(0L)))
       .reduce((a, b) => a.bitwiseOR(b))
+    // A vector shorter than `dim` would read nulls past the end and
+    // silently sketch those bits as 0 (indistinguishable from a
+    // negative dim) — fail loudly instead of ranking wrong.
+    when(size(vec) >= dim, bits).otherwise(raise_error(format_string(
+      s"graft signSketch: vector has %s dims, needs >= $dim",
+      size(vec).cast("string"))))
   }
 
   /** Approximate top-k by Hamming distance between sign sketches
@@ -320,22 +337,18 @@ object Similarity {
     * with [[cosine]] when exactness matters.
     */
   def hammingTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                  dim: Int = 64,
                   idCol: String = "vec_id",
                   vecCol: String = "embedding"): DataFrame = {
     val c = corpus.select(col(idCol).as("n_id"),
-      signSketch(col(vecCol)).as("n_sk"))
+      signSketch(col(vecCol), dim).as("n_sk"))
     val q = broadcast(queries.select(col(idCol).as("q_id"),
-      signSketch(col(vecCol)).as("q_sk")))
+      signSketch(col(vecCol), dim).as("q_sk")))
     val scored = c.join(q, col("n_id") =!= col("q_id"))
       .select(col("q_id"), col("n_id"),
         call_function("bit_count",
           col("n_sk").bitwiseXOR(col("q_sk"))).as("hamming"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id"))
-      .orderBy(col("hamming").asc, col("n_id").asc)
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("q_id"), col("n_id"), col("hamming"), col("rn"))
+    topKPerQuery(scored, "hamming", scoreAsc = true, k)
   }
 
   /** Seeded Rademacher (±1) sign matrix for [[randomProject]] —
@@ -505,12 +518,7 @@ object Similarity {
       .reduce(_ + _)
     val scored = codes.join(q, col("n_id") =!= col("q_id"))
       .select(col("q_id"), col("n_id"), adist.as("adist"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id"))
-      .orderBy(col("adist").asc, col("n_id").asc)
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("q_id"), col("n_id"), col("adist"), col("rn"))
+    topKPerQuery(scored, "adist", scoreAsc = true, k)
   }
 
   /** IVF-PQ (IVFADC, Jégou et al. 2011, "Product Quantization for
@@ -555,12 +563,7 @@ object Similarity {
     val scored = codes.join(q, Seq("cell"))
       .filter(col("n_id") =!= col("q_id"))
       .select(col("q_id"), col("n_id"), adist.as("adist"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id"))
-      .orderBy(col("adist").asc, col("n_id").asc)
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("q_id"), col("n_id"), col("adist"), col("rn"))
+    topKPerQuery(scored, "adist", scoreAsc = true, k)
   }
 
   /** Residual-encoding IVFADC — the paper-faithful refinement of
@@ -617,12 +620,7 @@ object Similarity {
     val scored = codes.join(q, Seq("cell"))
       .filter(col("n_id") =!= col("q_id"))
       .select(col("q_id"), col("n_id"), adist.as("adist"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id"))
-      .orderBy(col("adist").asc, col("n_id").asc)
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("q_id"), col("n_id"), col("adist"), col("rn"))
+    topKPerQuery(scored, "adist", scoreAsc = true, k)
   }
 
   def cosineDupPairsExact(corpus: DataFrame, threshold: Double,

@@ -54,6 +54,19 @@ trait DoubleArrayInputTypes
       org.apache.spark.sql.types.DoubleType))
 }
 
+/** Declared `(double, bigint)` input types for score+id aggregates —
+  * same reasoning as [[StringInputTypes]]. ImplicitCastInputTypes
+  * lets an int score (e.g. a Hamming distance) arrive through an
+  * exact widening cast.
+  */
+trait ScoreIdInputTypes
+    extends org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  this: Expression =>
+  override def inputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] =
+    Seq(org.apache.spark.sql.types.DoubleType,
+      org.apache.spark.sql.types.LongType)
+}
+
 /** Declared `array<bigint>` input types — same reasoning as
   * [[StringInputTypes]] (the `AbstractDataType` return type is
   * `private[sql]`, so the override lives in this package tree).

@@ -85,6 +85,25 @@ class PlanAuditSpec extends AnyFunSuite {
       s"f05 shuffled more than once:\n$fh")
   }
 
+  test("scan-side ANN top-k is the bounded heap aggregate, not a q_id window") {
+    // e01/e13 (and the whole PQ family) rank with graft_topk: partial
+    // ObjectHashAggregate on the scan side bounds the exchange to
+    // |queries| × k rows per partition. A `Window` node here means the
+    // corpus-sized shuffle into ≤|queries| reducers is back — the
+    // round-6 audit's one scale-killer.
+    for (name <- Seq("e01_knn_brute", "e13_hamming_topk",
+        "e11_pq_adc_topk", "e14_ivfpq_topk", "e15_ivfpq_residual")) {
+      val plan = PlanSummary.finalPlanString(
+        SparkEntry.queries(name)(spark, sf))
+      assert(!plan.contains("Window"),
+        s"$name regressed to a window top-k:\n$plan")
+      assert(plan.contains("graft_topk"),
+        s"$name lost the bounded heap aggregate:\n$plan")
+      assert(plan.contains("ObjectHashAggregate"),
+        s"$name lost map-side partial aggregation:\n$plan")
+    }
+  }
+
   test("finalPlanString reads the post-AQE plan, not the initial one") {
     val df = SparkEntry.queries("q01_agg_pricing")(spark, sf)
     // before execution the AQE string has no codegen markers — the
