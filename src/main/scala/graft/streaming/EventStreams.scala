@@ -57,6 +57,19 @@ object EventStreams {
     * evicted via event-time timeout (watermark-driven — bounded state
     * at any scale). The batch oracle for the same semantics is
     * [[sessionizeBatch]].
+    *
+    * Convergence discipline: micro-batch rows and the open-session
+    * state are merged as time INTERVALS (a row is a degenerate
+    * interval), sorted by start, and clustered by the gap rule — the
+    * standard interval-clustering identity with batch
+    * gaps-and-islands. A naive `t - s.end <= gapMs` check against the
+    * open session is vacuously true for any in-watermark event
+    * EARLIER than the session (t ≤ s.end makes the difference
+    * negative), which would glue a straggler belonging to its own
+    * earlier session onto the open one; interval clustering instead
+    * emits the earlier session separately and still bridges
+    * straggler-chains into the open session when the gap rule truly
+    * connects them — exactly what the batch face computes.
     */
   def sessionizeStream(events: Dataset[SessionInput],
                        gapMs: Long): Dataset[UserSession] = {
@@ -74,26 +87,30 @@ object EventStreams {
             Iterator.single(UserSession(user, new Timestamp(s.start),
               new Timestamp(s.end), s.n, s.sum))
           } else {
-            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            val intervals = (rows.map(r =>
+                SessionState(r.ts.getTime, r.ts.getTime, 1, r.value)).toSeq
+              ++ state.getOption).sortBy(s => (s.start, s.end))
             var out = List.empty[UserSession]
-            var cur = state.getOption
-            sorted.foreach { r =>
-              val t = r.ts.getTime
+            var cur: Option[SessionState] = None
+            intervals.foreach { iv =>
               cur match {
-                case Some(s) if t - s.end <= gapMs =>
-                  cur = Some(s.copy(end = t, n = s.n + 1,
-                    sum = s.sum + r.value))
+                case Some(s) if iv.start - s.end <= gapMs =>
+                  cur = Some(SessionState(s.start,
+                    math.max(s.end, iv.end), s.n + iv.n, s.sum + iv.sum))
                 case Some(s) =>
                   out ::= UserSession(user, new Timestamp(s.start),
                     new Timestamp(s.end), s.n, s.sum)
-                  cur = Some(SessionState(t, t, 1, r.value))
+                  cur = Some(iv)
                 case None =>
-                  cur = Some(SessionState(t, t, 1, r.value))
+                  cur = Some(iv)
               }
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.end + gapMs)
+              // a timeout at/below the watermark throws — if the open
+              // session is already past due, close it next trigger
+              state.setTimeoutTimestamp(math.max(s.end + gapMs,
+                state.getCurrentWatermarkMs() + 1))
             }
             out.reverseIterator
           }
@@ -109,6 +126,24 @@ object EventStreams {
 
   private val DayMs = 86400000L
 
+  /** Both faces of the first-event-per-day dedup derive the day as a
+    * UTC calendar day: the stream keys on `floorDiv(epochMs, DayMs)`
+    * (epoch is UTC by definition; floorDiv, not `/`, so pre-1970
+    * timestamps floor instead of truncating toward zero) and the
+    * batch face uses `date_trunc('day', ts)`, which truncates in
+    * `spark.sql.session.timeZone`. The two agree ONLY under a UTC
+    * session — assert it rather than silently diverge.
+    */
+  private def requireUtcSession(spark: org.apache.spark.sql.SparkSession,
+                                who: String): Unit = {
+    val tz = spark.conf.get("spark.sql.session.timeZone",
+      java.util.TimeZone.getDefault.getID)
+    require(java.time.ZoneId.of(tz).normalized() ==
+        java.time.ZoneOffset.UTC.normalized(),
+      s"$who derives UTC days; set spark.sql.session.timeZone=UTC " +
+        s"(session has '$tz')")
+  }
+
   /** Streaming dedup / canonicalization: each (user, event type, UTC
     * day) keys exactly one output row — its EARLIEST event (ties by
     * event id) — emitted once the watermark passes the day, i.e. once
@@ -123,9 +158,11 @@ object EventStreams {
   def firstEventPerDayStream(events: Dataset[DedupInput],
                              watermark: String = "2 hours"): Dataset[FirstEvent] = {
     import events.sparkSession.implicits._
+    requireUtcSession(events.sparkSession, "firstEventPerDayStream")
     events
       .withWatermark("ts", watermark)
-      .groupByKey(r => (r.user_id, r.event_type, r.ts.getTime / DayMs))
+      .groupByKey(r =>
+        (r.user_id, r.event_type, Math.floorDiv(r.ts.getTime, DayMs)))
       .flatMapGroupsWithState[FirstSeen, FirstEvent](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (key: (Long, String, Long), rows: Iterator[DedupInput],
@@ -159,12 +196,14 @@ object EventStreams {
     * sort, the same argmax shape as
     * [[graft.operators.Dedup.resolveClusters]].
     */
-  def firstEventPerDayBatch(events: DataFrame): DataFrame =
+  def firstEventPerDayBatch(events: DataFrame): DataFrame = {
+    requireUtcSession(events.sparkSession, "firstEventPerDayBatch")
     events.groupBy(col("user_id"), col("event_type"),
         date_trunc("day", col("ts")).as("day"))
       .agg(min(struct(col("ts"), col("event_id"))).as("f"))
       .select(col("user_id"), col("event_type"), col("day"),
         col("f.ts").as("first_ts"), col("f.event_id").as("first_event_id"))
+  }
 
   /** Stream-static enrichment join + windowed aggregation: the event
     * stream joined to a static dimension table (user → market
@@ -321,7 +360,11 @@ object EventStreams {
     * session's own events in state (bounded: a session's rows, capped
     * by the gap rule) so late-but-in-watermark arrivals inside an
     * open session still land in correct (t, event_id) order — the
-    * final sort happens at close, not at arrival. Batch oracle:
+    * final sort happens at close, not at arrival. Same
+    * interval-clustering merge as [[sessionizeStream]]: an
+    * in-watermark straggler more than `gapMs` BEFORE the open session
+    * becomes its own (earlier) emitted session instead of being glued
+    * onto the open one, matching the batch face. Batch oracle:
     * [[sessionPathRows]].
     */
   def sessionPathsStream(events: Dataset[PathInput],
@@ -341,28 +384,28 @@ object EventStreams {
             state.remove()
             Iterator.single(SessionPathRow(user, s.start, pathOf(s)))
           } else {
-            val sorted = rows.toSeq
-              .sortBy(r => (r.ts.getTime, r.event_id))
+            val intervals = (rows.map { r =>
+                val t = r.ts.getTime
+                PathState(t, t, List(PathEvent(t, r.event_id, r.event_type)))
+              }.toSeq ++ state.getOption).sortBy(s => (s.start, s.end))
             var out = List.empty[SessionPathRow]
-            var cur = state.getOption
-            sorted.foreach { r =>
-              val t = r.ts.getTime
-              val ev = PathEvent(t, r.event_id, r.event_type)
+            var cur: Option[PathState] = None
+            intervals.foreach { iv =>
               cur match {
-                case Some(s) if t - s.end <= gapMs =>
-                  cur = Some(s.copy(end = math.max(s.end, t),
-                    start = math.min(s.start, t),
-                    events = ev :: s.events))
+                case Some(s) if iv.start - s.end <= gapMs =>
+                  cur = Some(PathState(s.start, math.max(s.end, iv.end),
+                    iv.events ::: s.events))
                 case Some(s) =>
                   out ::= SessionPathRow(user, s.start, pathOf(s))
-                  cur = Some(PathState(t, t, List(ev)))
+                  cur = Some(iv)
                 case None =>
-                  cur = Some(PathState(t, t, List(ev)))
+                  cur = Some(iv)
               }
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.end + gapMs)
+              state.setTimeoutTimestamp(math.max(s.end + gapMs,
+                state.getCurrentWatermarkMs() + 1))
             }
             out.reverseIterator
           }

@@ -116,6 +116,97 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("a straggler more than gap BEFORE the open session becomes its own " +
+      "session; straggler chains still bridge in") {
+    import spark.implicits._
+    import EventStreams.{PathInput, SessionPathRow}
+    val mem = MemoryStream[PathInput](spark)
+    val paths = EventStreams.sessionPathsStream(mem.toDS(),
+      gapMs = 30L * 60000L)
+    val q = paths.writeStream.format("memory")
+      .queryName("straggler_out").outputMode("append").start()
+    val all = Seq(
+      PathInput(1L, ts(180), 1L, "view"), PathInput(1L, ts(185), 2L, "click"),
+      // straggler: in-watermark but 80 min before the open session —
+      // the naive `t - end <= gap` check is vacuously true for it and
+      // used to glue it onto the open session; batch makes it its own
+      PathInput(1L, ts(100), 3L, "signup"),
+      // straggler CHAIN whose head is in-gap of the open session: the
+      // whole chain must bridge into it (and extend its start)
+      PathInput(1L, ts(152), 4L, "view"), PathInput(1L, ts(178), 5L, "click"))
+    try {
+      mem.addData(all.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(all.drop(2): _*)
+      q.processAllAvailable()
+      mem.addData(PathInput(99L, ts(10000), 990L, "view")) // advance wm
+      q.processAllAvailable()
+
+      val got = spark.table("straggler_out").as[SessionPathRow]
+        .collect().filter(_.user_id != 99L)
+        .map(r => (r.user_id, mins(r.session_start_ms), r.path)).toSet
+      val batch = EventStreams.sessionPathRows(all.toDF(),
+          gapMs = 30L * 60000L)
+        .collect()
+        .map(r => (r.getLong(0), mins(r.getLong(1)), r.getString(2)))
+        .toSet
+      assert(got == batch)
+      assert(got == Set(
+        (1L, 100L, "signup"),
+        (1L, 152L, "view>click>view>click")))
+    } finally q.stop()
+  }
+
+  test("sessionize interval-merge handles disjoint stragglers like batch") {
+    import spark.implicits._
+    val mem = MemoryStream[SessionInput](spark)
+    val sessions = EventStreams.sessionizeStream(mem.toDS(),
+      gapMs = 30L * 60000L)
+    val q = sessions.writeStream.format("memory")
+      .queryName("straggler_sess_out").outputMode("append").start()
+    val all = Seq(
+      SessionInput(1L, ts(180), 1.0), SessionInput(1L, ts(185), 2.0),
+      SessionInput(1L, ts(100), 4.0)) // disjoint straggler
+    try {
+      mem.addData(all.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(all.drop(2): _*)
+      q.processAllAvailable()
+      mem.addData(SessionInput(99L, ts(10000), 0.0))
+      q.processAllAvailable()
+      val got = spark.table("straggler_sess_out").as[UserSession]
+        .collect().filter(_.user_id != 99L)
+        .map(s => (s.user_id, mins(s.session_start.getTime),
+          mins(s.session_end.getTime), s.n_events, s.sum_value)).toSet
+      val batch = EventStreams.sessionizeBatch(all.toDF(),
+          gapMs = 30L * 60000L)
+        .collect()
+        .map(r => (r.getLong(0), mins(r.getTimestamp(1).getTime),
+          mins(r.getTimestamp(2).getTime), r.getInt(3), r.getDouble(4)))
+        .toSet
+      assert(got == batch)
+      assert(got == Set((1L, 100L, 100L, 1, 4.0), (1L, 180L, 185L, 2, 3.0)))
+    } finally q.stop()
+  }
+
+  test("firstEventPerDay faces refuse a non-UTC session timezone") {
+    import spark.implicits._
+    import EventStreams.DedupInput
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      val df = Seq((1L, "view", ts(0), 1L))
+        .toDF("user_id", "event_type", "ts", "event_id")
+      intercept[IllegalArgumentException] {
+        EventStreams.firstEventPerDayBatch(df)
+      }
+      intercept[IllegalArgumentException] {
+        EventStreams.firstEventPerDayStream(
+          df.as[DedupInput])
+      }
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
   test("in-row band signatures are value-identical to the aggregation form") {
     import spark.implicits._
     import graft.operators.Dedup
