@@ -119,6 +119,8 @@ object Similarity {
     }.reduce((a, b) => a.bitwiseOR(b))
 
   def randomPlanes(numPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    graft.core.PlanLiterals.requireDoubles(
+      numPlanes.toLong * dim, "randomPlanes")
     val rng = new scala.util.Random(seed)
     Array.fill(numPlanes)(Array.fill(dim)(rng.nextGaussian()))
   }
@@ -223,6 +225,8 @@ object Similarity {
     */
   def nearestCells(vec: Column, centroids: Array[Array[Double]],
                    nProbe: Int): Column = {
+    graft.core.PlanLiterals.requireDoubles(
+      centroids.map(_.length.toLong).sum, "nearestCells centroids")
     val dists = centroids.zipWithIndex.map { case (ctr, i) =>
       struct(sqDistLit(vec, ctr).as("dist"), lit(i).as("cell"))
     }
@@ -357,6 +361,8 @@ object Similarity {
     */
   def rademacherSigns(outDim: Int, inDim: Int,
                       seed: Long = 7L): Array[Array[Double]] = {
+    graft.core.PlanLiterals.requireDoubles(
+      outDim.toLong * inDim, "rademacherSigns")
     val rng = new scala.util.Random(seed)
     Array.fill(outDim)(
       Array.fill(inDim)(if (rng.nextBoolean()) 1.0 else -1.0))
@@ -471,11 +477,15 @@ object Similarity {
     * against literal codebooks — the encode rides the scan, nothing
     * shuffles.
     */
-  def pqEncode(vec: Column, codebooks: Codebooks): Column =
+  def pqEncode(vec: Column, codebooks: Codebooks): Column = {
+    graft.core.PlanLiterals.requireDoubles(
+      codebooks.map(cb => cb.length.toLong * cb(0).length).sum,
+      "pqEncode codebooks")
     array(codebooks.zipWithIndex.map { case (cb, m) =>
       val dsub = cb(0).length
       element_at(nearestCells(slice(vec, m * dsub + 1, dsub), cb, 1), 1)
     }: _*)
+  }
 
   /** PQ decode: concatenated centroids of each code — the lossy
     * reconstruction whose error [[pqTrain]] minimizes.

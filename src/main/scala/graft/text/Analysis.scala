@@ -71,6 +71,7 @@ object Analysis {
     */
   def unigramAvgLogProb(tokens: Column, model: Map[String, Double],
       floorLp: Double): Column = {
+    graft.core.PlanLiterals.requireMapTerms(model.size, "unigramAvgLogProb")
     val m = typedLit(model)
     val s = aggregate(
       transform(tokens, t => coalesce(try_element_at(m, t), lit(floorLp))),
