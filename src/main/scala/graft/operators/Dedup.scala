@@ -241,17 +241,18 @@ object Dedup {
       .select(col("doc_id"), col("bs.b").as("b"), col("bs.sig").as("sig"))
   }
 
-  /** [[lshBandSignatures]] with the production hash profile: xxhash64
-    * permutations (`xxhash64(h, shingle)`) and xxhash64 band
-    * signatures instead of chunked/concatenated md5. Identical LSH
-    * structure and cost shape — one |sh| shuffle — but one 64-bit
-    * hash per (shingle, permutation) instead of a cryptographic
-    * digest per 4, and long-typed signatures instead of 32-hex
-    * strings (smaller shuffle rows too). NOT DuckDB-mirrorable
-    * (xxhash64 has no DuckDB equivalent), which is the only reason
-    * the md5 profile exists: d03 proves the operator's semantics
-    * against the oracle; this profile is what a production deployment
-    * runs. The two profiles bucket near-threshold pairs differently
+  /** [[lshBandSignatures]] with the production hash profile: FNV-1a-64
+    * permutations (`graft_fnv64('<h>|' || shingle)`) and FNV-1a band
+    * signatures over the '|'-joined minima instead of
+    * chunked/concatenated md5. Identical LSH structure and cost
+    * shape — one |sh| shuffle — but one multiply-per-character hash
+    * per (shingle, permutation) instead of a cryptographic digest per
+    * 4, and long-typed signatures instead of 32-hex strings (smaller
+    * shuffle rows too). Unlike the round-6 xxhash64 basis, FNV-1a is
+    * pure mod-2^64 arithmetic the DuckDB oracle reproduces exactly
+    * (see [[graft.expressions.Fnv64]]), so the production profile is
+    * itself oracle-checked end-to-end (d05) rather than rows-only.
+    * The two profiles still bucket near-threshold pairs differently
     * (any single hash family's band collisions are probabilistic at
     * low jaccard); DedupSimilaritySpec asserts the production
     * contract — no false positives, no missed high-jaccard pair.
@@ -260,14 +261,18 @@ object Dedup {
                             rowsPerBand: Int): DataFrame = {
     require(numHashes % rowsPerBand == 0,
       "numHashes must be a multiple of rowsPerBand")
+    def fnv(c: Column): Column =
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.expressions.Fnv64(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(c)))
     val minCols = (0 until numHashes).map(h =>
-      min(xxhash64(lit(h), col("shingle"))).as(s"m$h"))
+      min(fnv(concat(lit(s"$h|"), col("shingle")))).as(s"m$h"))
     val grouped = sh.groupBy(col("doc_id"))
       .agg(minCols.head, minCols.tail: _*)
     val bands = (0 until numHashes / rowsPerBand).map { b =>
       struct(lit(b).as("b"),
-        xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand)
-          .map(h => col(s"m$h")): _*).as("sig"))
+        fnv(concat_ws("|", (b * rowsPerBand until (b + 1) * rowsPerBand)
+          .map(h => col(s"m$h").cast("string")): _*)).as("sig"))
     }
     grouped.select(col("doc_id"), explode(array(bands: _*)).as("bs"))
       .select(col("doc_id"), col("bs.b").as("b"), col("bs.sig").as("sig"))
@@ -320,7 +325,7 @@ object Dedup {
     verifyJaccard(sh, cands, threshold)
   }
 
-  /** [[minhashLshPairs]] on the xxhash64 production profile — same
+  /** [[minhashLshPairs]] on the FNV-1a production profile — same
     * candidate→verify pipeline, cheaper hashing. Verification is
     * exact Jaccard either way, so the two profiles can differ only in
     * near-threshold recall via bucket collisions (spec: no false

@@ -63,17 +63,18 @@ object DedupQueries {
         threshold = 0.5)
     }),
 
-    // MinHash-LSH production hash profile: xxhash64 permutations +
-    // long band signatures — same pipeline as d03 with ~1/4 the hash
-    // cost and narrower shuffle rows. Rows-only by necessity (DuckDB
-    // has no xxhash64): d03's md5 profile proves the operator against
-    // the oracle; this is the one a deployment runs, benched here so
-    // the d03-vs-d05 gap is auditable in BENCH_r*.json. Spec contract
-    // (DedupSimilaritySpec): no false positives vs exact Jaccard,
-    // recall ≥ 0.9 on this corpus's high-jaccard pairs, and full
-    // recall on a planted fixture with clean statistics — per-pair
-    // band collisions are probabilistic in ANY single hash family,
-    // and this corpus's 31-word vocabulary correlates the luck.
+    // MinHash-LSH production hash profile: FNV-1a-64 permutations +
+    // long band signatures — same pipeline as d03 at a fraction of
+    // the hash cost and with narrower shuffle rows. FNV-1a is pure
+    // mod-2^64 arithmetic, so unlike round 6's xxhash64 basis the
+    // oracle mirrors the ENTIRE pipeline (HUGEINT modular multiply in
+    // SQL) and d05 is hash-checked end-to-end, not rows-only. Spec
+    // contract on top (DedupSimilaritySpec): no false positives vs
+    // exact Jaccard, recall ≥ 0.9 on this corpus's high-jaccard
+    // pairs, and full recall on a planted fixture with clean
+    // statistics — per-pair band collisions are probabilistic in ANY
+    // single hash family, and this corpus's 31-word vocabulary
+    // correlates the luck.
     "d05_minhash_lsh_fast" -> ((s, d) => {
       val sh = Dedup.shingles(Tables.documents(s, d), "doc_id",
         docTokens(s))
@@ -344,6 +345,100 @@ object DedupQueries {
          JOIN sizes sa ON a = sa.doc_id
          JOIN sizes sb ON b = sb.doc_id)"""
 
+  /** FNV-1a-64 over a VARCHAR column's code points, as the SIGNED
+    * BIGINT Spark's long reinterprets to — mirrors
+    * [[graft.expressions.Fnv64]] exactly. The state rides a HUGEINT
+    * in [0, 2^64); per character: xor the code point into the low 21
+    * bits (code points < 2^21, and BIGINT xor needs the split since
+    * HUGEINT has no xor), then multiply by the FNV prime 2^40 + 435
+    * as two in-range terms — `g*435 + (g mod 2^24)·2^40` — folded
+    * back mod 2^64.
+    */
+  /** Raw FNV-1a-64 over a VARCHAR column's code points, as a HUGEINT
+    * in [0, 2^64) — the reduction loop of
+    * [[graft.expressions.Fnv64Impl.fnv1a64]]. Per character: xor the
+    * code point into the low 21 bits (code points < 2^21; BIGINT xor
+    * on the low split, since HUGEINT has no xor), then multiply by
+    * the FNV prime 2^40 + 435 as two in-range terms folded back
+    * mod 2^64.
+    */
+  private def fnvRawSql(s: String): String = {
+    val g = "(h - h % 2097152 + " +
+      "xor(CAST(h % 2097152 AS BIGINT), CAST(c AS BIGINT)))"
+    s"""list_reduce(
+       list_prepend(CAST('14695981039346656037' AS HUGEINT),
+         list_transform(range(1, length($s)+1),
+           i -> CAST(unicode($s[i:i]) AS HUGEINT))),
+       (h, c) -> ($g * 435 + $g % 16777216 * 1099511627776)
+                 % CAST('18446744073709551616' AS HUGEINT))"""
+  }
+
+  /** `k xor (k >> 33)` on a HUGEINT-in-[0,2^64) COLUMN, via 32-bit
+    * limbs (each fits BIGINT xor). */
+  private def xorShift33Sql(k: String): String =
+    s"""(xor(CAST($k // 4294967296 AS BIGINT),
+             CAST($k // 8589934592 // 4294967296 AS BIGINT))
+           * CAST(4294967296 AS HUGEINT)
+         + xor(CAST($k % 4294967296 AS BIGINT),
+               CAST($k // 8589934592 % 4294967296 AS BIGINT)))"""
+
+  /** `k * (chi·2^32 + clo) mod 2^64` via widening limb products —
+    * every intermediate < 2^66, far inside HUGEINT. */
+  private def mul64Sql(k: String, clo: Long, chi: Long): String =
+    s"""(($k % 4294967296 * $clo
+         + ($k % 4294967296 * $chi + $k // 4294967296 * $clo)
+           % 4294967296 * 4294967296)
+        % CAST('18446744073709551616' AS HUGEINT))"""
+
+  /** Staged CTE chain computing the full
+    * `signed(fmix64(fnv1a64(fs)))` of [[graft.expressions.Fnv64]] —
+    * one CTE per fmix step so each expression references a COLUMN
+    * (inlining the whole cascade would blow the SQL up
+    * exponentially). Output CTE `<p>5` carries `$keep, v` with v the
+    * signed BIGINT Spark's long reinterprets to.
+    */
+  private def fnvStagesSql(p: String, src: String, keep: String): String = {
+    // fmix64 multiplier limbs: 0xff51afd7ed558ccd, 0xc4ceb9fe1a85ec53
+    val (c1lo, c1hi) = (0xed558ccdL, 0xff51afd7L)
+    val (c2lo, c2hi) = (0x1a85ec53L, 0xc4ceb9feL)
+    s"""${p}0 AS (SELECT $keep, ${fnvRawSql("fs")} AS k FROM $src),
+       ${p}1 AS (SELECT $keep, ${xorShift33Sql("k")} AS k FROM ${p}0),
+       ${p}2 AS (SELECT $keep, ${mul64Sql("k", c1lo, c1hi)} AS k FROM ${p}1),
+       ${p}3 AS (SELECT $keep, ${xorShift33Sql("k")} AS k FROM ${p}2),
+       ${p}4 AS (SELECT $keep, ${mul64Sql("k", c2lo, c2hi)} AS k FROM ${p}3),
+       ${p}5 AS (SELECT $keep,
+         CAST(CASE WHEN ${xorShift33Sql("k")}
+                >= CAST('9223372036854775808' AS HUGEINT)
+           THEN ${xorShift33Sql("k")}
+                - CAST('18446744073709551616' AS HUGEINT)
+           ELSE ${xorShift33Sql("k")} END AS BIGINT) AS v FROM ${p}4)"""
+  }
+
+  /** The d05 fast-profile candidates, mirrored from
+    * [[Dedup.lshBandSignaturesFast]]: per-permutation min of
+    * `fnv('<h>|' || shingle)` as signed longs, band signature =
+    * fnv over the '|'-joined minima (16 hashes × 4 rows/band).
+    */
+  private val fnvCandsCte: String =
+    s"""pstr AS (
+         SELECT doc_id, h.range AS h,
+                CAST(h.range AS VARCHAR) || '|' || shingle AS fs
+         FROM sh, range(16) h),
+       ${fnvStagesSql("ph", "pstr", "doc_id, h")},
+       minh AS (
+         SELECT doc_id, h, min(v) AS m FROM ph5 GROUP BY 1, 2),
+       bstr AS (
+         SELECT doc_id, CAST(h // 4 AS INTEGER) AS b,
+                string_agg(CAST(m AS VARCHAR), '|' ORDER BY h) AS fs
+         FROM minh GROUP BY doc_id, h // 4),
+       ${fnvStagesSql("bh", "bstr", "doc_id, b")},
+       bands AS (
+         SELECT doc_id, b, v AS sig FROM bh5),
+       cands AS (
+         SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         FROM bands x JOIN bands y
+           ON x.b = y.b AND x.sig = y.sig AND x.doc_id < y.doc_id)"""
+
   /** MinHash → band-signature → bucket-join candidates, mirrored from
     * [[Dedup.lshBandSignatures]]/[[Dedup.lshCandidates]] (16 hashes ×
     * 4 rows/band). Shared by d03 (pairs) and d06 (clusters). */
@@ -519,6 +614,14 @@ object DedupQueries {
           WHERE CAST(i AS DOUBLE) / sa.n >= 0.6""",
     "d03_minhash_lsh_pairs" ->
       s"""WITH ${shingleCte()}, $jaccardCte, $minhashCandsCte
+          SELECT jac.a, jac.b, jac.jaccard
+          FROM jac JOIN cands ON jac.a = cands.a AND jac.b = cands.b
+          WHERE jac.jaccard >= 0.5""",
+    // the FNV-1a production profile, mirrored hash-for-hash (the
+    // round-6 xxhash64 basis had no DuckDB equivalent and kept this
+    // entry rows-only)
+    "d05_minhash_lsh_fast" ->
+      s"""WITH ${shingleCte()}, $jaccardCte, $fnvCandsCte
           SELECT jac.a, jac.b, jac.jaccard
           FROM jac JOIN cands ON jac.a = cands.a AND jac.b = cands.b
           WHERE jac.jaccard >= 0.5""",

@@ -213,18 +213,38 @@ object RelationalQueries {
 
     // Sketch aggregates: HyperLogLog++ distinct and approximate
     // quantiles — the constant-memory substitutes for exact
-    // distinct/percentile at 100 TB (rows-only; error bounds vs exact
-    // asserted in ApproxSpec).
+    // distinct/percentile at 100 TB. The estimates themselves are not
+    // DuckDB-reproducible, so the query emits each estimate's
+    // published-error-bound check AGAINST THE EXACT ANSWER computed
+    // in the same pass: the oracle hash-checks the exact side and
+    // expects every bound check true — an out-of-bound sketch turns a
+    // row false and fails the gate (closes the round-6 rows-only gap;
+    // tighter per-estimate bands also in ApproxSpec).
     "q17_approx_stats" -> ((s, d) => {
       import s.implicits._
+      // HLL++ default rsd = 0.05 → 3σ relative band of 0.15; the
+      // percentile sketch at accuracy 10000 bounds RANK error by 1e-4,
+      // checked against exact percentiles 10× out (rank ±1e-3) so the
+      // value comparison absorbs interpolation edge effects.
+      val eps = 0.001
       Tables.lineitem(s, d)
         .groupBy($"l_returnflag")
         .agg(
-          approx_count_distinct($"l_orderkey").as("approx_orders"),
+          approx_count_distinct($"l_orderkey").as("hll"),
+          count_distinct($"l_orderkey").as("exact_orders"),
           percentile_approx($"l_quantity", lit(0.5), lit(10000))
-            .as("p50_qty"),
+            .as("p50"),
+          percentile($"l_quantity", lit(0.5 - eps)).as("p50_lo"),
+          percentile($"l_quantity", lit(0.5 + eps)).as("p50_hi"),
           percentile_approx($"l_extendedprice", lit(0.95), lit(10000))
-            .as("p95_price"))
+            .as("p95"),
+          percentile($"l_extendedprice", lit(0.95 - eps)).as("p95_lo"),
+          percentile($"l_extendedprice", lit(0.95 + eps)).as("p95_hi"))
+        .select($"l_returnflag".as("flag"), $"exact_orders",
+          (abs($"hll" - $"exact_orders") <= $"exact_orders" * 0.15)
+            .as("hll_ok"),
+          ($"p50" >= $"p50_lo" && $"p50" <= $"p50_hi").as("p50_ok"),
+          ($"p95" >= $"p95_lo" && $"p95" <= $"p95_hi").as("p95_ok"))
     }),
 
     // Semi-structured JSON column: per-type aggregates over a field
@@ -439,6 +459,13 @@ object RelationalQueries {
          round(avg(CAST(props->>'k' AS BIGINT)), 6) AS avg_k,
          max(CAST(props->>'k' AS BIGINT)) AS max_k
          FROM events GROUP BY event_type""",
+    // the sketch estimates are engine-local; the oracle pins the EXACT
+    // side and requires every published-error-bound check to hold
+    "q17_approx_stats" ->
+      """SELECT l_returnflag AS flag,
+         CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+         TRUE AS hll_ok, TRUE AS p50_ok, TRUE AS p95_ok
+         FROM lineitem GROUP BY 1""",
     "sk01_salted_join" ->
       """SELECT o_orderpriority, count(*) AS n,
          round(sum(l_quantity), 2) AS sum_qty

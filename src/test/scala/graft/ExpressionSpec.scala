@@ -64,6 +64,34 @@ class ExpressionSpec extends AnyFunSuite {
     assert(r == "hypothesis")
   }
 
+  test("Fnv64: independently-computed goldens, codegen/interpreted " +
+      "parity, null handling") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.expressions.{Fnv64, Fnv64Impl}
+    import spark.implicits._
+    // goldens from an independent Python implementation of
+    // FNV-1a-64 + murmur fmix64 over code points
+    val goldens = Seq(
+      "hello world" -> 8965976371695117781L,
+      "0|the quick brown" -> -5170686978497017290L,
+      "" -> -1166397803181037274L)
+    goldens.foreach { case (s, exp) =>
+      assert(Fnv64Impl.fnv1a64(UTF8String.fromString(s)) == exp, s)
+      // interpreted eval path
+      assert(Fnv64(Literal(UTF8String.fromString(s), StringType))
+        .eval(null) == exp, s"interpreted: $s")
+    }
+    // codegen path through a DataFrame select
+    import org.apache.spark.sql.graftbridge.ColumnBridge._
+    val got = goldens.map(_._1).toDF("s")
+      .select(column(Fnv64(expression(col("s"))))).as[Long].collect()
+    assert(got.toSeq == goldens.map(_._2))
+    // null-intolerant
+    assert(Fnv64(Literal(null, StringType)).eval(null) == null)
+  }
+
   test("SimHash60 agrees with the composed-HOF form bit for bit") {
     import spark.implicits._
     import graft.operators.Dedup
