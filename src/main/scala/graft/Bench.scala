@@ -40,21 +40,29 @@ object Bench {
         }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    // ms precision is plenty for wall-clock timings and roughly halves
-    // the JSON line, so a bounded tail capture keeps every query
-    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
+    def fmt(v: Double, dec: Int): String =
+      s"%.${dec}f".formatLocal(java.util.Locale.ROOT, v)
+    def qJson(short: Boolean): String = results.map { case (k, v) =>
+      val key = if (short) k.takeWhile(_ != '_') else k
+      "\"" + key + "\":" + fmt(v, if (short) 2 else 3)
+    }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
-    // loss-proof copy: the driver's tail capture has truncated stdout
-    // before (BENCH_r04 lost c01–f03), so the full record also goes to a
-    // file that survives however stdout is clipped
+    def line(qs: String, extra: String): String =
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"$extra}"""
+    // The driver keeps only a ~2 KB stdout TAIL, and the full-name
+    // 106-query record is ~3 KB — r4 and r6 both lost the JSON line's
+    // head that way. Stdout therefore prints the record with short
+    // query ids (the unique prefix before the first '_', e.g. "m03")
+    // at centisecond precision — ~1.5 KB, inside the tail window —
+    // while the full-name record goes to target/bench.json, which
+    // survives however stdout is clipped.
+    val json = line(qJson(short = false), "")
     val out = java.nio.file.Paths.get("target", "bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
-    println(json)
+    println(line(qJson(short = true),
+      ""","keys":"short ids; full names in target/bench.json""""))
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -595,8 +595,20 @@ object Dedup {
     * (count match + empty except, both cheap on the contracted set).
     * Per-round `localCheckpoint` keeps lineage O(1) — use
     * `checkpoint` on a real cluster.
+    *
+    * Bounded local finish: once the (contracted) edge list is at most
+    * `localFinishEdges` rows it is union-found on the driver instead
+    * of paying 3 jobs + a shuffle barrage per remaining round — the
+    * GraphFrames/GraphX "finish small components locally" design. At
+    * the 2^20 default that is ≤16 MB on the driver, documented and
+    * bounded like the Splits prefix table; distributed rounds only run
+    * while the graph is genuinely bigger (the round-6 bench showed
+    * per-round fixed overhead dominating d09 end-to-end on small
+    * graphs: 3.6→6.2 s at sf0.1 for a 25-edge graph). Set it to 0 to
+    * force the pure distributed path (the specs do, for coverage).
     */
-  def dupClustersStar(pairs: DataFrame, maxIters: Int = 30): DataFrame = {
+  def dupClustersStar(pairs: DataFrame, maxIters: Int = 30,
+                      localFinishEdges: Long = 1L << 20): DataFrame = {
     // Materialize the canonical pair list ONCE: both `selfOnly` (only
     // consumed at the very end) and the contraction loop's seed edges
     // hang off it, and without this the entire upstream pair pipeline
@@ -616,28 +628,61 @@ object Dedup {
     var edges = canon
       .filter(col("u") =!= col("v")).distinct()
       .localCheckpoint()
+    var n = edges.count()
     var converged = false
     var iter = 0
-    while (!converged && iter < maxIters) {
+    while (!converged && n > localFinishEdges && iter < maxIters) {
       val next = smallStar(largeStar(edges)).localCheckpoint()
-      converged = next.count() == edges.count() &&
-        next.exceptAll(edges).isEmpty
+      val nNext = next.count()
+      converged = nNext == n && next.exceptAll(edges).isEmpty
       edges = next
+      n = nNext
       iter += 1
     }
-    require(converged,
+    require(converged || n <= localFinishEdges,
       s"dupClustersStar did not converge in $maxIters rounds — the " +
         "proven worst-case bound for alternating large-star/small-star " +
         "is O(log² n) rounds, so an extremely deep pathological " +
         "graph can legitimately need more; raise maxIters before " +
         "suspecting a bug")
-    // at the fixpoint the edge set is a star forest: u → root v
+    // at the fixpoint the edge set is a star forest: u → root v.
+    // If the loop exited via the local-finish bound instead, build the
+    // same star forest with a driver union-find on the ≤localFinishEdges
+    // rows (min id per component = the root, same contract).
+    val star =
+      if (converged) edges
+      else {
+        val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) {
+            val nxt = parent.getOrElse(c, c); parent(c) = r; c = nxt
+          }
+          r
+        }
+        es.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) {
+            // union by min id so every root IS its component's min
+            if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          }
+        }
+        val nodes = es.iterator.flatMap(e => Iterator(e._1, e._2))
+          .toArray.distinct
+        val spark = pairs.sparkSession
+        import spark.implicits._
+        nodes.iterator.map(nd => (nd, find(nd)))
+          .filter { case (nd, r) => nd != r }.toSeq.toDF("u", "v")
+      }
     val lone = selfOnly
-      .join(edges.select(col("u").as("n"))
-          .union(edges.select(col("v").as("n"))),
+      .join(star.select(col("u").as("n"))
+          .union(star.select(col("v").as("n"))),
         Seq("n"), "left_anti")
-    edges.select(col("u").as("doc_id"), col("v").as("cluster_id"))
-      .union(edges.select(col("v").as("doc_id"),
+    star.select(col("u").as("doc_id"), col("v").as("cluster_id"))
+      .union(star.select(col("v").as("doc_id"),
         col("v").as("cluster_id")).distinct())
       .union(lone.select(col("n").as("doc_id"), col("n").as("cluster_id")))
   }

@@ -319,6 +319,18 @@ object Similarity {
     * magnitude). In-row, codegen'd — the e07 shape.
     */
   def signSketch(vec: Column, dim: Int = 64): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge._
+    column(graft.expressions.SignSketch(expression(vec), dim))
+  }
+
+  /** The composed reference form of [[signSketch]] (parity pinned in
+    * Round6OpsSpec): 64 `when(element_at(...) >= 0)` terms OR-ed
+    * together, guarded against short vectors. NOT for hot paths — the
+    * interpreted chain costs ~10 µs per evaluation and Catalyst may
+    * re-site it inside a join's pair loop (the round-7 e13 profile:
+    * 24 s of a 25 s sf1 run).
+    */
+  private[graft] def signSketchComposed(vec: Column, dim: Int = 64): Column = {
     require(dim >= 1 && dim <= 64, s"signSketch needs 1..64 dims, got $dim")
     val bits = (0 until dim).map(i =>
       when(element_at(vec, i + 1) >= 0, lit(1L << i)).otherwise(lit(0L)))

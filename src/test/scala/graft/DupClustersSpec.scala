@@ -54,8 +54,11 @@ class DupClustersSpec extends AnyFunSuite {
 
   test("star contraction: diameter-199 chain converges in O(log n) rounds") {
     // label propagation would need 199 rounds here; star contraction
-    // lands well inside 15 (≈ log-squared bound, log₂ 200 ≈ 8)
-    val labels = Dedup.dupClustersStar(chain(200), maxIters = 15)
+    // lands well inside 15 (≈ log-squared bound, log₂ 200 ≈ 8).
+    // localFinishEdges = 0 forces the distributed rounds all the way
+    // to the fixpoint — this test exists to cover them.
+    val labels = Dedup.dupClustersStar(chain(200), maxIters = 15,
+        localFinishEdges = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels.keySet == (0L to 199L).toSet)
     assert(labels.values.toSet == Set(0L))
@@ -71,10 +74,33 @@ class DupClustersSpec extends AnyFunSuite {
         .filter(e => e._1 != e._2).toDF("a", "b")
       val prop = Dedup.dupClusters(edges)
         .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
-      val star = Dedup.dupClustersStar(edges)
+      // distributed rounds to the fixpoint…
+      val star = Dedup.dupClustersStar(edges, localFinishEdges = 0L)
         .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
       assert(star == prop, s"trial $trial diverged")
+      // …and the bounded driver union-find finish (default path for
+      // small contracted graphs) must land on the identical relation
+      val local = Dedup.dupClustersStar(edges)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(local == prop, s"trial $trial local finish diverged")
     }
+  }
+
+  test("local finish engages mid-contraction: big graph shrinks below " +
+      "the bound, result unchanged") {
+    import spark.implicits._
+    // 3 components of ~67 nodes each; 300 edges > bound 64, so at
+    // least one distributed round runs before the union-find finish
+    val rng = new scala.util.Random(7L)
+    val edges = (0 until 300).map { i =>
+      val c = i % 3
+      (c * 1000L + rng.nextInt(67), c * 1000L + rng.nextInt(67))
+    }.filter(e => e._1 != e._2).toDF("a", "b")
+    val prop = Dedup.dupClusters(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val mixed = Dedup.dupClustersStar(edges, localFinishEdges = 64L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(mixed == prop)
   }
 
   test("self-pair-only nodes come back as singletons from both algorithms") {

@@ -92,6 +92,28 @@ class ExpressionSpec extends AnyFunSuite {
     assert(Fnv64(Literal(null, StringType)).eval(null) == null)
   }
 
+  test("SignSketch native kernel ≡ composed when-chain; short vectors raise") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val rng = new scala.util.Random(0x5157L)
+    val rows = Seq.fill(300)(Seq.fill(64)(
+      (rng.nextGaussian() * (if (rng.nextInt(10) == 0) 0 else 1)).toFloat))
+    val df = rows.toDF("v")
+    val got = df.select(
+        Similarity.signSketch(col("v")).as("native"),
+        Similarity.signSketchComposed(col("v")).as("composed"))
+      .as[(Long, Long)].collect()
+    got.foreach { case (n, c) => assert(n == c) }
+    // short vector fails loudly on both forms
+    val shortV = Seq(Seq(1.0f, -1.0f)).toDF("v")
+    intercept[Exception] {
+      shortV.select(Similarity.signSketch(col("v"))).collect()
+    }
+    intercept[Exception] {
+      shortV.select(Similarity.signSketchComposed(col("v"))).collect()
+    }
+  }
+
   test("SimHash60 agrees with the composed-HOF form bit for bit") {
     import spark.implicits._
     import graft.operators.Dedup
