@@ -78,10 +78,22 @@ object TweetPipeline {
       case "lr"  => new LogisticRegression().setLabelCol("label")
         .setRegParam(1.25)                       // LogisticRegression.py:101
       case "nb"  => new NaiveBayes().setModelType("multinomial") // NaiveBayes.py:100
-      case "svc" => new LinearSVC().setMaxIter(100).setRegParam(1.2) // SVM.py:102
+      // SVM.py:102. Bench note (r6→r7): m03's apparent 9→14.4 s
+      // regression was run-to-run variance in spark.ml's internal
+      // OWLQN fit, not a plan change — r7 dedicated bench 7.46 s,
+      // warm 3-run spread 8.2–8.6 s (plus ~5 s on whichever m-query
+      // first pays featurization when the warmup is skipped).
+      case "svc" => new LinearSVC().setMaxIter(100).setRegParam(1.2)
       case "dt"  => new DecisionTreeClassifier() // Trees.py:101
       case "rf"  => new RandomForestClassifier() // Trees.py:102
-      case "gbt" => new GBTClassifier()          // Trees.py:103
+      // Trees.py:103 — defaults, deliberately: the reference runs
+      // GBTClassifier() bare, so maxIter=20 sequential boosting
+      // rounds over the ~2^18-dim sparse TF-IDF matrix is the
+      // reference-faithful config. The ~26 s bench cost is spark.ml
+      // ensemble internals (per-tree binning/split search), not a
+      // plan this engine owns; trimming maxIter/maxDepth would be
+      // benchmarking a different model than BASELINE.md's.
+      case "gbt" => new GBTClassifier()
       case other => throw new IllegalArgumentException(
         s"unknown algorithm: $other")
     }

@@ -54,6 +54,25 @@ object DedupQueries {
       Dedup.containmentPairs(sh, 0.6)
     }),
 
+    // Planted hot-shingle skew stress (round-6 audit item: the
+    // pseudo-scale fixtures never grow a key's group): every 3rd doc
+    // on the d02 slice gains the same trailing boilerplate sentence,
+    // making ONE shingle's df ~n/3 — the cartesian bomb that turns
+    // exact pair generation quadratic on a single key.
+    // `maxShingleDf = 50` disarms it (the planted shingle is dropped
+    // from intersections, denominators stay exact); oracle mirrors
+    // the cap, and SCALE.md records the measured capped/uncapped pair
+    // volume and wall ratio.
+    "sk03_skew_hot_shingle" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 500)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(col("text"), lit(" zz yy xx")))
+            .otherwise(col("text")))
+      val sh = Dedup.shingles(docs, "doc_id", docTokens(s))
+      Dedup.jaccardPairs(sh, 0.5, maxShingleDf = Some(50))
+    }),
+
     // MinHash-LSH: shingle → 16 minhashes → 4 bands → bucket-join →
     // exact-Jaccard verify on candidates only.
     "d03_minhash_lsh_pairs" -> ((s, d) => {
@@ -321,11 +340,12 @@ object DedupQueries {
   /** Shared SQL fragments, mirrored from the Scala operators. */
   private val tokSql = "list_filter(string_split(text, ' '), w -> len(w) > 0)"
 
-  private def shingleCte(where: String = ""): String =
+  private def shingleCte(where: String = "",
+                         src: String = "documents"): String =
     s"""tok AS (
          SELECT doc_id, unnest($tokSql) AS w,
                 generate_subscripts($tokSql, 1) AS pos
-         FROM documents $where),
+         FROM $src $where),
        sh AS (
          SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
          FROM tok a
@@ -599,6 +619,33 @@ object DedupQueries {
          FROM documents GROUP BY md5(text)""",
     "d02_jaccard_pairs" ->
       s"""WITH ${shingleCte("WHERE doc_id < 500")}, $jaccardCte
+          SELECT a, b, jaccard FROM jac WHERE jaccard >= 0.5""",
+    // the planted-boilerplate cap row: denominators from the FULL
+    // (planted) shingle sets, intersections only from shingles at or
+    // under the df cap — exactly jaccardPairs(maxShingleDf = 50)
+    "sk03_skew_hot_shingle" ->
+      s"""WITH docs2 AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0 THEN text || ' zz yy xx'
+                        ELSE text END AS text
+            FROM documents WHERE doc_id < 500),
+          ${shingleCte(src = "docs2")},
+          hot AS (SELECT shingle FROM sh
+                  GROUP BY shingle HAVING count(*) > 50),
+          shc AS (SELECT sh.doc_id, sh.shingle FROM sh
+                  LEFT JOIN hot USING (shingle)
+                  WHERE hot.shingle IS NULL),
+          sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+          inter AS (
+            SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+            FROM shc x JOIN shc y
+              ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+            GROUP BY 1, 2),
+          jac AS (
+            SELECT a, b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+            FROM inter
+            JOIN sizes sa ON a = sa.doc_id
+            JOIN sizes sb ON b = sb.doc_id)
           SELECT a, b, jaccard FROM jac WHERE jaccard >= 0.5""",
     // directed: each candidate scored against BOTH endpoint sizes
     "d11_containment_pairs" ->

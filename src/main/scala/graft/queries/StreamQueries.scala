@@ -34,6 +34,26 @@ object StreamQueries {
           unix_millis(col("session_end")).as("end_ms"),
           col("n_events"), col("sum_value"))),
 
+    // Planted heavy-hitter skew stress (round-6 audit item: the
+    // pseudo-scale fixtures never grow a key's group, so per-key skew
+    // was asserted, not measured): every 10th event is remapped to
+    // user 0, giving one user 10% of the corpus, then sessionized
+    // with st03's exact semantics. The gaps-and-islands window on the
+    // hot key is inherently single-partition work — what this row
+    // measures is that the engine's cost stays linear in the hot
+    // key's rows (one in-memory sort) instead of collapsing the whole
+    // stage; SCALE.md records the measured hot/uniform ratio.
+    "sk02_skew_sessionize" -> ((s, d) =>
+      EventStreams.sessionizeBatch(
+          Tables.events(s, d).withColumn("user_id",
+            when(pmod(col("event_id"), lit(10)) === 0, lit(0L))
+              .otherwise(col("user_id"))),
+          gapMs = 1800000L)
+        .select(col("user_id"),
+          unix_millis(col("session_start")).as("start_ms"),
+          unix_millis(col("session_end")).as("end_ms"),
+          col("n_events"), col("sum_value"))),
+
     // Stream-static enrichment join (events x customer dim) +
     // windowed per-segment aggregation.
     "st04_stream_enrich" -> ((s, d) =>
@@ -88,6 +108,32 @@ object StreamQueries {
            SELECT user_id, ts, value,
                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
            FROM events),
+         marked AS (
+           SELECT user_id, ts, value,
+                  CASE WHEN prev_ts IS NULL
+                       OR epoch_ms(ts) - epoch_ms(prev_ts) > 1800000
+                       THEN 1 ELSE 0 END AS new_session
+           FROM o),
+         numbered AS (
+           SELECT user_id, ts, value,
+                  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS UNBOUNDED PRECEDING) AS session_id
+           FROM marked)
+         SELECT user_id,
+                epoch_ms(min(ts)) AS start_ms,
+                epoch_ms(max(ts)) AS end_ms,
+                CAST(count(*) AS INTEGER) AS n_events,
+                round(sum(value), 6) AS sum_value
+         FROM numbered GROUP BY user_id, session_id""",
+    "sk02_skew_sessionize" ->
+      """WITH ev AS (
+           SELECT CASE WHEN event_id % 10 = 0 THEN 0
+                       ELSE user_id END AS user_id, ts, value
+           FROM events),
+         o AS (
+           SELECT user_id, ts, value,
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+           FROM ev),
          marked AS (
            SELECT user_id, ts, value,
                   CASE WHEN prev_ts IS NULL
