@@ -188,7 +188,28 @@ object TextQueries {
     // in-row positional filter against each doc's covered set.
     "t14_boilerplate_strip" -> ((s, d) =>
       graft.operators.Ngrams.stripHotNgrams(Tables.documents(s, d),
-        "doc_id", TextOps.tokenize(col("text")), n = 2, topK = HotBigrams))
+        "doc_id", TextOps.tokenize(col("text")), n = 2, topK = HotBigrams)),
+
+    // BM25 keyword retrieval: one stats pass (N, avgdl, per-term df)
+    // broadcast back, in-row scoring, TakeOrderedAndProject top-k —
+    // the corpus never sorts or shuffles. Terms pick one rare token
+    // ('dup', high IDF) and two common ones so the ranking exercises
+    // both the IDF and the length-normalization terms.
+    "t15_bm25_topk" -> ((s, d) =>
+      graft.operators.Bm25.topK(Tables.documents(s, d), "doc_id",
+        TextOps.tokenize(col("text")), Bm25Terms, k = Bm25K)),
+
+    // Heavy hitters via Misra–Gries candidates + exact verify: items
+    // (tokens) with frequency > n/k, k = 64, EXACT counts — the
+    // full-domain groupBy never happens. On this corpus's 31-word
+    // vocabulary the sketch stage is trivially lossless (31 < k−1);
+    // HeavyHittersSpec is where counter eviction and merge actually
+    // bite (100k-item domain, planted hot keys).
+    "t16_heavy_hitters" -> ((s, d) =>
+      graft.operators.HeavyHitters.topFrequent(
+        Tables.documents(s, d)
+          .select(explode(TextOps.tokenize(col("text"))).as("tok")),
+        "tok", k = HhK))
   )
 
   /** t13's profile size / t14's hot-set size — shared with oracles. */
@@ -197,6 +218,48 @@ object TextQueries {
 
   /** Unigram model size for t12 — shared with its oracle. */
   private val UnigramV = 20
+
+  /** t15's query terms and k — shared with its oracle. */
+  private val Bm25Terms = Seq("dup", "spark", "merge")
+  private val Bm25K = 20
+
+  /** t16's 1/k frequency threshold — shared with its oracle. */
+  private val HhK = 64
+
+  /** t15's oracle: the BM25 formula with IDENTICAL operation order
+    * and float literals (Scala `Double.toString` round-trips through
+    * DuckDB's correctly-rounded parse, the planeSqlArr discipline), so
+    * the scores hash-match bit-for-bit. k1/b fixed at the operator's
+    * defaults.
+    */
+  private def bm25OracleSql: String = {
+    val (k1, b) = (1.2, 0.75)
+    val tfCols = Bm25Terms.indices.map(i =>
+      s"CAST(len(list_filter(t, x -> x = ${sqlList(Seq(Bm25Terms(i)))
+        .stripPrefix("[").stripSuffix("]")})) AS DOUBLE) AS tf$i")
+      .mkString(", ")
+    val dfAggs = Bm25Terms.indices.map(i =>
+      s"""CAST(sum(CASE WHEN list_contains(t, ${sqlList(
+        Seq(Bm25Terms(i))).stripPrefix("[").stripSuffix("]")})
+          THEN 1 ELSE 0 END) AS DOUBLE) AS df$i""").mkString(", ")
+    val score = Bm25Terms.indices.map(i =>
+      s"""ln(1.0 + (n - df$i + 0.5) / (df$i + 0.5)) * tf$i * ${k1 + 1}
+          / (tf$i + $k1 * (${1 - b} + $b * dl / avgdl))""")
+      .mkString(" + ")
+    s"""WITH toks AS (
+          SELECT doc_id, $tokSql AS t FROM documents),
+        stats AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n, avg(len(t)) AS avgdl,
+                 $dfAggs
+          FROM toks),
+        perdoc AS (
+          SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl, $tfCols
+          FROM toks),
+        scored AS (
+          SELECT doc_id, $score AS score FROM perdoc, stats)
+        SELECT doc_id, score FROM scored WHERE score > 0
+        ORDER BY score DESC, doc_id LIMIT $Bm25K"""
+  }
 
   private val cleanSql =
     """ltrim(regexp_replace(regexp_replace(lower(text),
@@ -219,6 +282,16 @@ object TextQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "t15_bm25_topk" -> bm25OracleSql,
+    // exact-by-construction despite the sketch stage: MG guarantees
+    // the candidate superset, the verify pass restores exact counts
+    "t16_heavy_hitters" ->
+      s"""WITH w AS (
+            SELECT unnest($tokSql) AS item FROM documents),
+          tot AS (SELECT count(*) AS n FROM w)
+          SELECT item, count(*) AS n_occ
+          FROM w, tot GROUP BY item, n
+          HAVING count(*) * $HhK > n""",
     "t01_clean_counts" ->
       s"""SELECT doc_id, $cleanSql AS clean,
           CAST(length($cleanSql) AS INTEGER) AS n_chars,
