@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.text.Analysis
 
@@ -337,6 +337,57 @@ object Dedup {
     val cands = lshCandidates(lshBandSignaturesFast(sh, numHashes,
       rowsPerBand))
     verifyJaccard(sh, cands, threshold)
+  }
+
+  /** Persist a MinHash-LSH near-dup index for
+    * [[incrementalNearDups]]: the production-profile
+    * ([[lshBandSignaturesFast]]) band signatures plus the shingle
+    * rows and per-doc set sizes the exact-Jaccard verify needs.
+    * Build-once / dedupe-many: the corpus is shingled and hashed
+    * exactly once, and every incoming batch afterwards pays only its
+    * own shingling plus a candidates-bounded verify against the
+    * stored rows — the existing corpus is never re-hashed.
+    */
+  def writeNearDupIndex(sh: DataFrame, path: String,
+                        numHashes: Int = 16,
+                        rowsPerBand: Int = 4): Unit = {
+    lshBandSignaturesFast(sh, numHashes, rowsPerBand)
+      .write.mode("overwrite").parquet(s"$path/bands")
+    sh.write.mode("overwrite").parquet(s"$path/shingles")
+    sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$path/sizes")
+  }
+
+  /** Near-dup pairs between a NEW batch of shingled docs and a
+    * persisted [[writeNearDupIndex]] corpus index — exactly the
+    * [[minhashLshPairsFast]] relation restricted to batch×index
+    * pairs (the d12 oracle asserts that identity). Id spaces must be
+    * disjoint, batch ids below index ids, to keep the a<b pair
+    * convention. Scale shape: candidates come from the batch's band
+    * signatures equi-joined against the stored ones (the index side
+    * streams through a hash join — with a small batch Spark
+    * broadcasts the batch side and the index never shuffles), and
+    * verification touches only candidate docs' stored shingle rows.
+    */
+  def incrementalNearDups(spark: SparkSession, path: String,
+                          newSh: DataFrame, numHashes: Int = 16,
+                          rowsPerBand: Int = 4,
+                          threshold: Double = 0.5): DataFrame = {
+    val idxBands = spark.read.parquet(s"$path/bands")
+    val newBands = lshBandSignaturesFast(newSh, numHashes, rowsPerBand)
+    val cands = newBands.as("x").join(idxBands.as("y"),
+        col("x.b") === col("y.b") && col("x.sig") === col("y.sig"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    val idxSh = spark.read.parquet(s"$path/shingles")
+    val sizes = newSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .unionByName(spark.read.parquet(s"$path/sizes"))
+    val inter = cands
+      .join(newSh.as("nx"), col("a") === col("nx.doc_id"))
+      .join(idxSh.as("ny"), col("b") === col("ny.doc_id") &&
+        col("nx.shingle") === col("ny.shingle"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("i"))
+    scoreJaccard(inter, sizes, threshold)
   }
 
   /** Per-token 60-bit hashes (15 hex chars of md5 → fits a signed

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`Array[Float]`).
@@ -259,6 +259,57 @@ object Similarity {
           .as("cell")))
 
     val scored = cCells.join(qCells, Seq("cell"))
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"),
+        cosineFromNorms(col("q_vec"), col("n_vec"),
+          col("q_nrm"), col("n_nrm")).as("cos"))
+    topKPerQuery(scored, "cos", scoreAsc = false, k)
+  }
+
+  /** Persist an IVF index for [[ivfSearchIndexed]]: every corpus row
+    * stored with its coarse-cell assignment and precomputed float64
+    * norm, laid out `partitionBy("cell")` so a probe-time read
+    * touches only the probed cells' directories (directory-level
+    * partition pruning, not a post-scan filter). This is the
+    * build-once / query-many shape a production vector store needs:
+    * the assignment scan runs once, and every search afterwards
+    * reads ~nProbe/numCells of the data and never re-derives norms.
+    */
+  def ivfWriteIndex(corpus: DataFrame, centroids: Array[Array[Double]],
+                    path: String, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): Unit =
+    corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+        norm(col(vecCol)).as("n_nrm"))
+      .withColumn("cell",
+        element_at(nearestCells(col("n_vec"), centroids, 1), 1))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** IVF search against a persisted [[ivfWriteIndex]] index —
+    * result-identical to [[ivfSearch]] over the same corpus and
+    * centroids: same assignment expression, same scoring order over
+    * stored norms (parquet round-trips float64 exactly), same
+    * bounded-heap top-k. Pinned by spec and by e16 sharing e08's
+    * DuckDB oracle. The probed cell set is collected driver-side
+    * from the broadcast-small queries side (≤ numCells ids — a
+    * bounded, documented collect) and pushed into the scan as an IN
+    * predicate on the partition column, so only the probed
+    * directories are listed and read.
+    */
+  def ivfSearchIndexed(spark: SparkSession, path: String,
+                       queries: DataFrame,
+                       centroids: Array[Array[Double]], k: Int,
+                       nProbe: Int = 4, idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      norm(col(vecCol)).as("q_nrm"))
+    val qCells = broadcast(q.select(col("q_id"), col("q_vec"),
+      col("q_nrm"),
+      explode(nearestCells(col("q_vec"), centroids, nProbe)).as("cell")))
+    val probed = qCells.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val idx = spark.read.parquet(path)
+      .filter(col("cell").isin(probed: _*))
+    val scored = idx.join(qCells, Seq("cell"))
       .filter(col("n_id") =!= col("q_id"))
       .select(col("q_id"), col("n_id"),
         cosineFromNorms(col("q_vec"), col("n_vec"),

@@ -101,6 +101,22 @@ object DedupQueries {
         threshold = 0.5)
     }),
 
+    // Incremental near-dup against a PERSISTED signature index: docs
+    // ≥ 100 play the existing corpus (shingled + hashed once, written
+    // to disk), docs < 100 play the incoming batch; output is d05's
+    // relation restricted to batch×corpus pairs — the oracle computes
+    // exactly that restriction, so persistence round-trip + split
+    // candidate generation are both hash-verified.
+    "d12_incremental_neardup" -> ((s, d) => {
+      val sh = Dedup.shingles(Tables.documents(s, d), "doc_id",
+        docTokens(s))
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-lsh-idx-").toString
+      Dedup.writeNearDupIndex(sh.filter(col("doc_id") >= 100), path)
+      Dedup.incrementalNearDups(s, path,
+        sh.filter(col("doc_id") < 100), threshold = 0.5)
+    }),
+
     // Duplicate-cluster assignment: near-dup pairs (the d03 pipeline)
     // closed into connected components, each doc labeled with its
     // cluster's minimum id — the keep-one representative. DuckDB
@@ -229,6 +245,23 @@ object DedupQueries {
       val emb = Tables.embeddings(s, d)
       Similarity.ivfSearch(emb, emb.filter(col("vec_id") < 10),
         Similarity.randomPlanes(8, 64, seed = 7L), k = 10, nProbe = 4)
+    }),
+
+    // Persisted-index IVF: build the index once (cell-partitioned
+    // parquet with precomputed norms), then search it — the
+    // build-once / query-many vector-store shape. Probe-time the
+    // scan reads ONLY the probed cells' directories (partition
+    // pruning, pinned in PlanAuditSpec). Result-identical to e08
+    // (same centroids, assignment, scoring, heap top-k), so it
+    // shares e08's DuckDB oracle verbatim.
+    "e16_ivf_persisted" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val ctrs = Similarity.randomPlanes(8, 64, seed = 7L)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-ivf-idx-").toString
+      Similarity.ivfWriteIndex(emb, ctrs, path)
+      Similarity.ivfSearchIndexed(s, path,
+        emb.filter(col("vec_id") < 10), ctrs, k = 10, nProbe = 4)
     }),
 
     // SemDeDup search stage: fixed coarse cells (e08's seeded
@@ -612,6 +645,49 @@ object DedupQueries {
                CAST(ov.n_overlap AS DOUBLE) / sizes.n AS contamination
         FROM ov JOIN sizes ON ov.doc_id = sizes.doc_id"""
 
+  /** IVF search-stage oracle over the fixed seeded centroids —
+    * shared by e08 (in-flight index) and e16 (persisted index): both
+    * plans compute the same relation.
+    */
+  private def ivfScoringOracleSql: String =
+    s"""WITH c AS (
+          SELECT vec_id AS n_id, embedding AS n_vec FROM embeddings),
+        q AS (
+          SELECT vec_id AS q_id, embedding AS q_vec
+          FROM embeddings WHERE vec_id < 10),
+        ctr AS ($centroidTableSql),
+        cc AS (
+          SELECT n_id, cell FROM (
+            SELECT n_id, ctr.cell, CAST(row_number() OVER (
+              PARTITION BY n_id
+              ORDER BY ${sqDistSql("n_vec", "cvec")}, ctr.cell)
+              AS INTEGER) AS rn
+            FROM c, ctr)
+          WHERE rn = 1),
+        qc AS (
+          SELECT q_id, cell FROM (
+            SELECT q_id, ctr.cell, CAST(row_number() OVER (
+              PARTITION BY q_id
+              ORDER BY ${sqDistSql("q_vec", "cvec")}, ctr.cell)
+              AS INTEGER) AS rn
+            FROM q, ctr)
+          WHERE rn <= 4),
+        cand AS (
+          SELECT q_id, n_id FROM cc JOIN qc USING (cell)
+          WHERE n_id <> q_id),
+        scored AS (
+          SELECT cand.q_id, cand.n_id,
+                 ${dotSql("q_vec", "n_vec")} /
+                 (${normSql("q_vec")} * ${normSql("n_vec")}) AS cos
+          FROM cand
+          JOIN c ON cand.n_id = c.n_id
+          JOIN q ON cand.q_id = q.q_id),
+        ranked AS (
+          SELECT q_id, n_id, cos, CAST(row_number() OVER (
+            PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS INTEGER) AS rn
+          FROM scored)
+        SELECT q_id, n_id, cos, rn FROM ranked WHERE rn <= 10"""
+
   val oracleSql: Map[String, String] = Map(
     "d01_dedup_exact" ->
       """SELECT md5(text) AS content_hash, count(*) AS n_copies,
@@ -672,6 +748,14 @@ object DedupQueries {
           SELECT jac.a, jac.b, jac.jaccard
           FROM jac JOIN cands ON jac.a = cands.a AND jac.b = cands.b
           WHERE jac.jaccard >= 0.5""",
+    // d12 = d05 restricted to batch (<100) × corpus (≥100) pairs;
+    // band signatures are per-doc, so the split changes nothing else
+    "d12_incremental_neardup" ->
+      s"""WITH ${shingleCte()}, $jaccardCte, $fnvCandsCte
+          SELECT jac.a, jac.b, jac.jaccard
+          FROM jac JOIN cands ON jac.a = cands.a AND jac.b = cands.b
+          WHERE jac.jaccard >= 0.5
+            AND jac.a < 100 AND jac.b >= 100""",
     // Connected components via a recursive reachability CTE: root r
     // reaches node n ⇒ (n, r) ∈ reach; min(r) per node = the
     // component's minimum id (reachability is symmetric on the
@@ -776,44 +860,10 @@ object DedupQueries {
               PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS INTEGER) AS rn
             FROM scored)
           SELECT q_id, n_id, cos, rn FROM ranked WHERE rn <= 10""",
-    "e08_ivf_scoring" ->
-      s"""WITH c AS (
-            SELECT vec_id AS n_id, embedding AS n_vec FROM embeddings),
-          q AS (
-            SELECT vec_id AS q_id, embedding AS q_vec
-            FROM embeddings WHERE vec_id < 10),
-          ctr AS ($centroidTableSql),
-          cc AS (
-            SELECT n_id, cell FROM (
-              SELECT n_id, ctr.cell, CAST(row_number() OVER (
-                PARTITION BY n_id
-                ORDER BY ${sqDistSql("n_vec", "cvec")}, ctr.cell)
-                AS INTEGER) AS rn
-              FROM c, ctr)
-            WHERE rn = 1),
-          qc AS (
-            SELECT q_id, cell FROM (
-              SELECT q_id, ctr.cell, CAST(row_number() OVER (
-                PARTITION BY q_id
-                ORDER BY ${sqDistSql("q_vec", "cvec")}, ctr.cell)
-                AS INTEGER) AS rn
-              FROM q, ctr)
-            WHERE rn <= 4),
-          cand AS (
-            SELECT q_id, n_id FROM cc JOIN qc USING (cell)
-            WHERE n_id <> q_id),
-          scored AS (
-            SELECT cand.q_id, cand.n_id,
-                   ${dotSql("q_vec", "n_vec")} /
-                   (${normSql("q_vec")} * ${normSql("n_vec")}) AS cos
-            FROM cand
-            JOIN c ON cand.n_id = c.n_id
-            JOIN q ON cand.q_id = q.q_id),
-          ranked AS (
-            SELECT q_id, n_id, cos, CAST(row_number() OVER (
-              PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS INTEGER) AS rn
-            FROM scored)
-          SELECT q_id, n_id, cos, rn FROM ranked WHERE rn <= 10""",
+    "e08_ivf_scoring" -> ivfScoringOracleSql,
+    // e16 is result-identical to e08 by construction (persisted
+    // index, same centroids/assignment/scoring) — same oracle.
+    "e16_ivf_persisted" -> ivfScoringOracleSql,
     "e10_pq_encode" ->
       s"""WITH $pqCodesCtes
           SELECT vec_id, m, code FROM codes""",

@@ -140,8 +140,37 @@ object TemporalQueries {
             .as("view_to_click_ms"),
           coalesce(col("t_purchase") - col("t_click"), lit(-1L))
             .as("click_to_purchase_ms"))
-    })
+    }),
+
+    // Cohort retention matrix: users bucketed by first-active day
+    // (UTC epoch day — Math.floorDiv semantics; t is non-negative
+    // here and both engines floor identically), counted per
+    // day-offset they return. Shape that scales: one shuffle keyed on
+    // user_id collapses each user to their distinct-day set (bounded
+    // by the calendar, not the corpus — collect_set is ≤ span-days
+    // longs per user), the cohort/offset math is in-row on that set,
+    // and the final agg's partial (map-side) combine means the second
+    // exchange carries ≤ cohorts × offsets rows per partition. No
+    // window over raw events, no join back to the event stream.
+    "q26_retention_cohorts" -> ((s, d) => cohortRetention(ev(s, d)))
   )
+
+  /** Cohort retention matrix over `(user_id, t)` event rows: users
+    * bucketed by first-active UTC epoch day, counted per day-offset
+    * they return on. One row per (user, day) survives the first agg,
+    * so the final count is count-distinct-users without a DISTINCT.
+    */
+  def cohortRetention(events: DataFrame): DataFrame =
+    events.select(col("user_id"),
+        floor(col("t") / DayMs).cast("long").as("day"))
+      .groupBy(col("user_id"))
+      .agg(collect_set(col("day")).as("ds"))
+      .select(array_min(col("ds")).as("cohort_day"),
+        explode(col("ds")).as("day"))
+      .select(col("cohort_day"),
+        (col("day") - col("cohort_day")).as("day_offset"))
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("users"))
 
   private val evSql =
     "SELECT event_id, user_id, event_type, value, epoch_ms(ts) AS t FROM events"
@@ -216,6 +245,17 @@ object TemporalQueries {
               AS view_to_click_ms,
             CAST(coalesce(t_purchase - t_click, -1) AS BIGINT)
               AS click_to_purchase_ms
-          FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)"""
+          FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""",
+    "q26_retention_cohorts" ->
+      s"""WITH days AS (
+            SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day
+            FROM events),
+          coh AS (
+            SELECT user_id, min(day) AS cohort_day
+            FROM days GROUP BY 1)
+          SELECT c.cohort_day, d.day - c.cohort_day AS day_offset,
+                 count(*) AS users
+          FROM days d JOIN coh c USING (user_id)
+          GROUP BY 1, 2"""
   )
 }
