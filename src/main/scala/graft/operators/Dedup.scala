@@ -781,4 +781,111 @@ object Dedup {
       .filter(!col("kept")).select(col("doc_id"))
     docs.join(dropped, docs(idCol) === dropped("doc_id"), "left_anti")
   }
+
+  /** Dense global rank of every document under a cheap blocking key —
+    * the sort stage of sorted-neighborhood dedup (Hernández & Stolfo,
+    * SIGMOD '95 "The Merge/Purge Problem"). Returns (id, rank) with
+    * rank 0..n−1 ordered by (key, id) — the id tie-break makes the
+    * ranking (and everything downstream) deterministic.
+    *
+    * Scale shape: `sortBy` is Spark's range-partitioned distributed
+    * sort (sampled range boundaries, every partition sorts locally —
+    * the TeraSort shape, linear scale-out), and `zipWithIndex` derives
+    * global offsets from one per-partition count pass — NO single-
+    * reducer global window, which is what a naive
+    * `row_number() OVER (ORDER BY key)` would be. Only (key, id)
+    * pairs ride the sort, never document payloads.
+    */
+  def sortedNeighborhoodRanks(docs: DataFrame, idCol: String,
+                              sortKey: Column): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("id"),
+        sortKey.cast("string").as("k"))
+      .as[(Long, String)].rdd
+      .map { case (id, k) => ((k, id), id) }
+      .sortByKey()
+      .values.zipWithIndex()
+      .toDF("id", "rank")
+  }
+
+  /** Candidate pairs whose ranks differ by less than `window`,
+    * normalized to (a, b) = (min id, max id). Each rank joins its own
+    * and its predecessor rank-block of size `window`, so every pair
+    * within the sliding window is met exactly once and each block
+    * holds ≤ 2·window rows — the join fans out n/window well-spread
+    * keys instead of windowing over a global order. Candidate count
+    * is n·(window−1): linear in the corpus by construction.
+    */
+  def sortedNeighborhoodCands(ranked: DataFrame, window: Int): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    val blk = floor(col("rank") / window).cast("long")
+    val a = ranked.select(col("id").as("ida"), col("rank").as("ra"),
+      blk.as("blk"))
+    val b = ranked.select(col("id").as("idb"), col("rank").as("rb"),
+      explode(array(blk, blk - 1)).as("blk"))
+    a.join(b, "blk")
+      .filter(col("rb") > col("ra") && col("rb") - col("ra") < window)
+      .select(least(col("ida"), col("idb")).as("a"),
+        greatest(col("ida"), col("idb")).as("b"))
+  }
+
+  /** Full sorted-neighborhood near-dup pass: rank by `sortKey`,
+    * window the ranking into candidate pairs, exact-verify Jaccard on
+    * the candidates only. Complements MinHash-LSH (d03): SNM catches
+    * what the blocking key co-locates at O(n·window) candidates with
+    * zero hashing cost — the classic cheap first pass when near-dups
+    * share prefixes (crawl snapshots, versioned docs).
+    */
+  def sortedNeighborhoodPairs(docs: DataFrame, idCol: String,
+                              sortKey: Column, tokens: Column,
+                              window: Int, threshold: Double): DataFrame = {
+    val sh = shingles(docs, idCol, tokens)
+    val cands = sortedNeighborhoodCands(
+      sortedNeighborhoodRanks(docs, idCol, sortKey), window)
+    verifyJaccard(sh, cands, threshold)
+  }
+
+  /** Fuzzy self-join on a short key: all id pairs whose keys are
+    * within edit distance 1 (insert/delete/substitute), found via the
+    * FastSS deletion neighborhood (Bocek et al., 2007) — NO crossJoin
+    * and no all-pairs `levenshtein`. Each key expands in-row to
+    * itself plus its ≤`maxLen` single-character-deletion variants;
+    * two keys are within distance 1 iff they collide on a variant
+    * (equal → the key itself; substitution at i → both delete i;
+    * insert/delete → the longer one's deletion equals the shorter
+    * key), so an equi-join on the variant column is a COMPLETE
+    * candidate generator and the final `levenshtein` filter only
+    * confirms. Emits (a, b, dist), a < b.
+    *
+    * Scale shape: one in-row explode (≤ maxLen+1 variants per row,
+    * short strings), one equi-join on well-spread variant keys, exact
+    * verify on candidates only. Candidate volume is bounded by the
+    * true near-key pair count (every variant collision is a genuine
+    * distance ≤ 2 pair — deletion neighborhoods are hash-free, no
+    * false buckets), never |corpus|². The entity-resolution primitive
+    * for curation-time key matching (URLs, ids, titles) at corpus
+    * scale.
+    */
+  def fuzzyKeyJoin(df: DataFrame, idCol: String, key: Column,
+                   maxLen: Int): DataFrame = {
+    val keyed = df.select(col(idCol).cast("long").as("id"),
+      key.cast("string").as("k"))
+    val deletions = (1 to maxLen).map(i =>
+      when(length(col("k")) >= i,
+        concat(substring(col("k"), 1, i - 1),
+          substring(col("k"), i + 1, maxLen))))
+    val variants = keyed.select(col("id"), col("k"),
+      explode(array_distinct(array_compact(
+        array((col("k") +: deletions): _*)))).as("v"))
+    val cands = variants.as("x").join(variants.as("y"),
+        col("x.v") === col("y.v") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        col("x.k").as("ka"), col("y.k").as("kb"))
+      .distinct()
+    cands
+      .select(col("a"), col("b"),
+        levenshtein(col("ka"), col("kb")).as("dist"))
+      .filter(col("dist") <= 1)
+  }
 }

@@ -339,6 +339,53 @@ object Similarity {
       .groupBy(col("label"), col("dim"))
       .agg(round(avg(col("v").cast("double")), 6).as("centroid"))
 
+  /** Fixed-point grid for [[lloydStep]]'s order-independent sums:
+    * 2^24 steps per unit. |x|·2^24 stays far below 2^53, so the
+    * double multiply and floor are exact; per-element quantization
+    * bias < 2^-24 — orders of magnitude below k-means' own movement
+    * tolerance.
+    */
+  private val LloydQ = 16777216.0
+
+  /** One Lloyd (k-means) iteration against the current centroids:
+    * assign every vector to its nearest centroid (squared-L2, lowest
+    * cell on ties) and return each cell's member count and new mean,
+    * exploded to (cell, dim, n, centroid) rows.
+    *
+    * The mean is computed in FIXED POINT: every coordinate is floor-
+    * quantized to the 1/2^24 grid as a LONG before summation, so the
+    * per-(cell, dim) accumulation is integer arithmetic — order-
+    * independent, hence bit-reproducible under any partitioning, AQE
+    * re-plan, or speculative re-execution. A float64 mean would make
+    * the fit depend on partition order (reassociation), which at
+    * 1000 executors means no two runs converge identically; this is
+    * the determinism contract a 100 TB training-data pipeline needs
+    * for auditability. It also makes the step exactly mirrorable in
+    * an integer-sum SQL oracle — no rounding escape hatch.
+    *
+    * Scale shape: assignment is literal-folded in-row ([[nearestCells]]
+    * against ≤K centroid literals, codegen); the only exchange is one
+    * map-side-combining hash aggregation whose partial state is
+    * ≤ K·D running (sum, count) pairs per task — shuffle volume
+    * O(partitions·K·D), independent of corpus size. No window, no
+    * driver collect inside the step; iterating caller collects K·D
+    * rows per round (bounded by the [[graft.core.PlanLiterals]]
+    * contract on the next round's literals).
+    */
+  def lloydStep(emb: DataFrame, vecCol: Column,
+                centroids: Array[Array[Double]]): DataFrame =
+    emb.select(
+        element_at(nearestCells(vecCol, centroids, 1), 1).as("cell"),
+        vecCol.as("__v"))
+      .select(col("cell"), posexplode(col("__v")).as(Seq("dim", "x")))
+      .select(col("cell"), col("dim"),
+        floor(col("x").cast("double") * lit(LloydQ)).cast("long").as("q"))
+      .groupBy(col("cell"), col("dim"))
+      .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+      .select(col("cell"), col("dim"), col("n"),
+        (col("s").cast("double") / col("n").cast("double") / lit(LloydQ))
+          .as("centroid"))
+
   /** Symmetric per-vector int8 quantization — the embedding
     * compression step of a corpus-scale vector store (4 bytes/dim →
     * 1 byte/dim + one float scale; reconstruction x̂ = q/scale, error

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Similarity, Splits}
 import graft.text.TextOps
 
 /** Dedup + similarity-search operator pack (the training-data-pipeline
@@ -116,6 +116,55 @@ object DedupQueries {
       Dedup.incrementalNearDups(s, path,
         sh.filter(col("doc_id") < 100), threshold = 0.5)
     }),
+
+    // Sorted-neighborhood dedup (Hernández–Stolfo): rank the corpus
+    // by a space-stripped 16-char prefix (distributed TeraSort-shape
+    // sort + zipWithIndex — no global window), pair ranks within a
+    // 10-wide sliding window, exact-verify Jaccard on the candidates
+    // only. The complementary cheap first pass to d03's MinHash-LSH.
+    "d13_sorted_neighborhood" -> ((s, d) =>
+      Dedup.sortedNeighborhoodPairs(Tables.documents(s, d), "doc_id",
+        substring(translate(col("text"), " ", ""), 1, 16),
+        docTokens(s), window = 10, threshold = 0.5)),
+
+    // Cross-split near-dup leakage report: the d03 near-dup relation
+    // joined to sp01's deterministic split assignment on both ends,
+    // keeping pairs that STRADDLE splits — the train/test
+    // contamination check every eval pipeline needs (near-dups of
+    // test docs inside train inflate benchmarks). Splits are per-row
+    // hash expressions (no extra shuffle); the pair list is tiny next
+    // to the corpus, so both id joins broadcast at scale.
+    "d14_split_leakage" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val sh = Dedup.shingles(docs, "doc_id", docTokens(s))
+      val pairs = Dedup.minhashLshPairs(sh, numHashes = 16,
+        rowsPerBand = 4, threshold = 0.5)
+      val sp = docs.select(col("doc_id"),
+        Splits.splitName(
+          Splits.hashBucket(col("doc_id"), "graft-split", 100),
+          trainPct = 80, valPct = 10).as("split"))
+      pairs
+        .join(sp.select(col("doc_id").as("a"),
+          col("split").as("split_a")), Seq("a"))
+        .join(sp.select(col("doc_id").as("b"),
+          col("split").as("split_b")), Seq("b"))
+        .filter(col("split_a") =!= col("split_b"))
+        .select(col("a"), col("b"), col("jaccard"),
+          col("split_a"), col("split_b"))
+    }),
+
+    // Fuzzy key self-join (edit distance ≤ 1) via the FastSS deletion
+    // neighborhood — complete candidates from an equi-join on in-row
+    // deletion variants, exact levenshtein confirm on candidates
+    // only; no crossJoin, no all-pairs distance. The key is the
+    // 16-token acronym (first letter of each leading token), under
+    // which a one-word substitution is a one-char edit — both the
+    // dist-0 and dist-1 paths fire on this corpus.
+    "fj01_fuzzy_key_join" -> ((s, d) =>
+      Dedup.fuzzyKeyJoin(Tables.documents(s, d), "doc_id",
+        array_join(transform(slice(docTokens(s), 1, 16),
+          w => substring(w, 1, 1)), ""),
+        maxLen = 16)),
 
     // Duplicate-cluster assignment: near-dup pairs (the d03 pipeline)
     // closed into connected components, each doc labeled with its
@@ -263,6 +312,17 @@ object DedupQueries {
       Similarity.ivfSearchIndexed(s, path,
         emb.filter(col("vec_id") < 10), ctrs, k = 10, nProbe = 4)
     }),
+
+    // One k-means Lloyd iteration against the e08 seeded centroids,
+    // with FIXED-POINT (1/2^24-grid long-sum) means — the update is
+    // order-independent integer arithmetic, so it hash-matches the
+    // DuckDB oracle exactly and is bit-reproducible under any
+    // partitioning. Closes the oracle over the k-means FIT step that
+    // e05/e08 left spec-land (assignment + mean update both verified;
+    // only the multi-iteration convergence loop remains spec-only).
+    "e17_kmeans_lloyd" -> ((s, d) =>
+      Similarity.lloydStep(Tables.embeddings(s, d), col("embedding"),
+        Similarity.randomPlanes(8, 64, seed = 7L))),
 
     // SemDeDup search stage: fixed coarse cells (e08's seeded
     // centroids), cell-local cosine pairs ≥ 0.4, closed into semantic
@@ -756,6 +816,73 @@ object DedupQueries {
           FROM jac JOIN cands ON jac.a = cands.a AND jac.b = cands.b
           WHERE jac.jaccard >= 0.5
             AND jac.a < 100 AND jac.b >= 100""",
+    // d14 = d03's pair relation × sp01's split assignment (same
+    // "graft-split" salt + 15-hex-char md5 bucket as SplitQueries),
+    // filtered to straddling pairs
+    "d14_split_leakage" -> {
+      val b = "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)" +
+        " || '|graft-split'), 1, 15)) AS BIGINT) % 100"
+      s"""WITH ${shingleCte()}, $jaccardCte, $minhashCandsCte,
+          pairs AS (
+            SELECT jac.a, jac.b, jac.jaccard
+            FROM jac JOIN cands ON jac.a = cands.a AND jac.b = cands.b
+            WHERE jac.jaccard >= 0.5),
+          sp AS (
+            SELECT doc_id,
+                   CASE WHEN $b < 80 THEN 'train'
+                        WHEN $b < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents)
+          SELECT p.a, p.b, p.jaccard,
+                 sa.split AS split_a, sb.split AS split_b
+          FROM pairs p
+          JOIN sp sa ON p.a = sa.doc_id
+          JOIN sp sb ON p.b = sb.doc_id
+          WHERE sa.split <> sb.split"""
+    },
+    // fj01: the oracle replays the SAME deletion-neighborhood
+    // blocking in SQL (complete for distance ≤ 1), then the same
+    // exact levenshtein confirm
+    "fj01_fuzzy_key_join" ->
+      s"""WITH k AS (
+            SELECT doc_id, array_to_string(list_transform(
+              ($tokSql)[1:16], w -> w[1:1]), '') AS k
+            FROM documents),
+          v AS (
+            SELECT doc_id, k,
+                   unnest(list_distinct(list_append(
+                     list_transform(range(1, len(k) + 1),
+                       i -> substr(k, 1, i - 1) || substr(k, i + 1)),
+                     k))) AS v
+            FROM k),
+          cand AS (
+            SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+                   x.k AS ka, y.k AS kb
+            FROM v x JOIN v y
+              ON x.v = y.v AND x.doc_id < y.doc_id)
+          SELECT a, b, CAST(levenshtein(ka, kb) AS INTEGER) AS dist
+          FROM cand WHERE levenshtein(ka, kb) <= 1""",
+    // d13: the oracle ranks with a plain global window (fine at
+    // oracle scale; the Spark side uses the distributed sort), pairs
+    // ranks within the window, and restricts the same exact-Jaccard
+    // relation to those candidates
+    "d13_sorted_neighborhood" ->
+      s"""WITH ${shingleCte()}, $jaccardCte,
+          keyed AS (
+            SELECT doc_id, substr(replace(text, ' ', ''), 1, 16) AS k
+            FROM documents),
+          ranked AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY k, doc_id) - 1 AS r
+            FROM keyed),
+          cands AS (
+            SELECT least(x.doc_id, y.doc_id) AS a,
+                   greatest(x.doc_id, y.doc_id) AS b
+            FROM ranked x JOIN ranked y
+              ON y.r > x.r AND y.r - x.r < 10)
+          SELECT jac.a, jac.b, jac.jaccard
+          FROM jac JOIN cands ON jac.a = cands.a AND jac.b = cands.b
+          WHERE jac.jaccard >= 0.5""",
     // Connected components via a recursive reachability CTE: root r
     // reaches node n ⇒ (n, r) ∈ reach; min(r) per node = the
     // component's minimum id (reachability is symmetric on the
@@ -864,6 +991,31 @@ object DedupQueries {
     // e16 is result-identical to e08 by construction (persisted
     // index, same centroids/assignment/scoring) — same oracle.
     "e16_ivf_persisted" -> ivfScoringOracleSql,
+    // e17: same nearest-cell assignment CTE as e08; the mean is an
+    // INTEGER sum of 1/2^24-floor-quantized coordinates, divided in
+    // the same double order as the Spark plan — exact, no rounding
+    "e17_kmeans_lloyd" ->
+      s"""WITH ctr AS ($centroidTableSql),
+          cc AS (
+            SELECT vec_id, cell, embedding FROM (
+              SELECT vec_id, ctr.cell, embedding,
+                     CAST(row_number() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY ${sqDistSql("embedding", "cvec")},
+                                ctr.cell) AS INTEGER) AS rn
+              FROM embeddings, ctr)
+            WHERE rn = 1),
+          pts AS (
+            SELECT cell,
+                   CAST(generate_subscripts(embedding, 1) - 1
+                        AS INTEGER) AS dim,
+                   CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                        * 16777216.0) AS BIGINT) AS q
+            FROM cc)
+          SELECT cell, dim, CAST(count(*) AS BIGINT) AS n,
+                 CAST(CAST(sum(q) AS BIGINT) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) / 16777216.0 AS centroid
+          FROM pts GROUP BY cell, dim""",
     "e10_pq_encode" ->
       s"""WITH $pqCodesCtes
           SELECT vec_id, m, code FROM codes""",

@@ -79,6 +79,96 @@ class Round7OpsSpec extends AnyFunSuite {
       "fixture must contain at least one batch×index near-dup pair")
   }
 
+  test("lloydStep: hand-computed fixed-point means, lowest-cell ties") {
+    import spark.implicits._
+    val ctrs = Array(Array(0.0, 0.0), Array(10.0, 0.0))
+    val vecs = Seq(
+      (0L, Seq(1.0f, 2.0f)),    // → cell 0
+      (1L, Seq(3.0f, -2.0f)),   // → cell 0
+      (2L, Seq(9.0f, 4.0f)),    // → cell 1
+      (3L, Seq(5.0f, 0.0f))     // equidistant → lowest cell (0)
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.lloydStep(vecs, col("embedding"), ctrs)
+      .as[(Int, Int, Long, Double)].collect().toSet
+    // cell 0 means: dims exactly representable → exact thirds of sums
+    val q = 16777216.0
+    def fx(xs: Double*): Double =
+      xs.map(x => math.floor(x * q)).sum / xs.size / q
+    assert(got == Set(
+      (0, 0, 3L, fx(1.0, 3.0, 5.0)), (0, 1, 3L, fx(2.0, -2.0, 0.0)),
+      (1, 0, 1L, fx(9.0)), (1, 1, 1L, fx(4.0))))
+  }
+
+  test("lloydStep is bit-reproducible across partitionings") {
+    val ctrs = Similarity.randomPlanes(8, 64, seed = 7L)
+    def run(parts: Int): Set[Seq[Any]] =
+      Similarity.lloydStep(emb.repartition(parts), col("embedding"), ctrs)
+        .collect().map(_.toSeq).toSet
+    // float sums would reassociate across these; integer sums cannot
+    assert(run(1) == run(7))
+  }
+
+  test("sortedNeighborhood: dense ranks and window-bounded candidates") {
+    import spark.implicits._
+    val docs = Seq(
+      (10L, "aaa x"), (11L, "aab x"), (12L, "aac x"),
+      (13L, "zzz x"), (14L, "aaa y")   // ties on prefix rank by id
+    ).toDF("doc_id", "text")
+    val ranked = Dedup.sortedNeighborhoodRanks(docs, "doc_id",
+      substring(translate(col("text"), " ", ""), 1, 3))
+    val ranks = ranked.as[(Long, Long)].collect().toMap
+    // sort by (key, id): aaa→10, aaa→14, aab→11, aac→12, zzz→13
+    assert(ranks == Map(10L -> 0L, 14L -> 1L, 11L -> 2L,
+      12L -> 3L, 13L -> 4L))
+    val cands = Dedup.sortedNeighborhoodCands(ranked, window = 2)
+      .as[(Long, Long)].collect().toSet
+    // adjacent ranks only, normalized (a < b); 12–13 adjacent too
+    assert(cands == Set((10L, 14L), (11L, 14L), (11L, 12L), (12L, 13L)))
+  }
+
+  test("fuzzyKeyJoin: complete over sub/ins/del, excludes distance 2") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "abcd"),  // base
+      (2L, "abed"),  // substitution → dist 1
+      (3L, "abc"),   // deletion → dist 1
+      (4L, "abcde"), // insertion → dist 1
+      (5L, "abcd"),  // exact copy → dist 0
+      (6L, "zzzz")   // far → absent
+    ).toDF("doc_id", "k")
+    val got = Dedup.fuzzyKeyJoin(docs, "doc_id", col("k"), maxLen = 5)
+      .as[(Long, Long, Int)].collect().toSet
+    // distance-2 pairs (2–3, 2–4, 3–4) and "zzzz" must be absent
+    assert(got == Set(
+      (1L, 2L, 1), (1L, 3L, 1), (1L, 4L, 1), (1L, 5L, 0),
+      (2L, 5L, 1), (3L, 5L, 1), (4L, 5L, 1)))
+  }
+
+  test("d14 split-leakage pairs are exactly the split-straddling d03 pairs") {
+    import spark.implicits._
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val sh = Dedup.shingles(docs, "doc_id",
+      graft.text.TextOps.tokenize(col("text")))
+    val pairs = Dedup.minhashLshPairs(sh, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    val split = docs.select(col("doc_id"),
+        graft.operators.Splits.splitName(
+          graft.operators.Splits.hashBucket(col("doc_id"),
+            "graft-split", 100), 80, 10).as("s"))
+      .as[(Long, String)].collect().toMap
+    val want = pairs.collect {
+      case ((a, b), j) if split(a) != split(b) =>
+        (a, b, j, split(a), split(b))
+    }.toSet
+    val got = graft.SparkEntry.queries("d14_split_leakage")(
+        spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Double, String, String)].collect().toSet
+    assert(got == want)
+    assert(got.nonEmpty, "fixture must contain straddling near-dups")
+  }
+
   test("cohortRetention: hand-computed matrix on a planted fixture") {
     import spark.implicits._
     val DayMs = 86400000L
