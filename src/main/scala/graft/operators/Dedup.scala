@@ -858,14 +858,17 @@ object Dedup {
     * candidate generator and the final `levenshtein` filter only
     * confirms. Emits (a, b, dist), a < b.
     *
-    * Scale shape: one in-row explode (≤ maxLen+1 variants per row,
-    * short strings), one equi-join on well-spread variant keys, exact
-    * verify on candidates only. Candidate volume is bounded by the
-    * true near-key pair count (every variant collision is a genuine
-    * distance ≤ 2 pair — deletion neighborhoods are hash-free, no
-    * false buckets), never |corpus|². The entity-resolution primitive
-    * for curation-time key matching (URLs, ids, titles) at corpus
-    * scale.
+    * Scale shape: the variant join runs over DISTINCT key values, so
+    * duplicate keys (exact-dup groups — the common case in a crawl)
+    * cost ONE row in the join no matter the group size; variant-
+    * bucket fan-out is bounded by genuinely-colliding distinct keys
+    * (every collision is a true distance ≤ 2 key pair — deletion
+    * neighborhoods are hash-free, no false buckets), never
+    * |corpus|². Expanding key pairs back to id pairs is pure output
+    * materialization: Θ(Σ group²) rows is what the pair-listing
+    * CONTRACT asks for, not join work (a key owning a huge slice of
+    * the corpus should be exact-deduped (d01) before fuzzy matching,
+    * same as d02's hot-shingle discipline).
     */
   def fuzzyKeyJoin(df: DataFrame, idCol: String, key: Column,
                    maxLen: Int): DataFrame = {
@@ -875,17 +878,27 @@ object Dedup {
       when(length(col("k")) >= i,
         concat(substring(col("k"), 1, i - 1),
           substring(col("k"), i + 1, maxLen))))
-    val variants = keyed.select(col("id"), col("k"),
-      explode(array_distinct(array_compact(
+    val variants = keyed.select(col("k")).distinct()
+      .select(col("k"), explode(array_distinct(array_compact(
         array((col("k") +: deletions): _*)))).as("v"))
-    val cands = variants.as("x").join(variants.as("y"),
-        col("x.v") === col("y.v") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b"),
-        col("x.k").as("ka"), col("y.k").as("kb"))
+    val keyPairs = variants.as("x").join(variants.as("y"),
+        col("x.v") === col("y.v") && col("x.k") < col("y.k"))
+      .select(col("x.k").as("ka"), col("y.k").as("kb"))
       .distinct()
-    cands
-      .select(col("a"), col("b"),
+      .select(col("ka"), col("kb"),
         levenshtein(col("ka"), col("kb")).as("dist"))
       .filter(col("dist") <= 1)
+    val cross = keyPairs
+      .join(keyed.select(col("k").as("ka"), col("id").as("ia")),
+        Seq("ka"))
+      .join(keyed.select(col("k").as("kb"), col("id").as("ib")),
+        Seq("kb"))
+      .select(least(col("ia"), col("ib")).as("a"),
+        greatest(col("ia"), col("ib")).as("b"), col("dist"))
+    val same = keyed.as("x").join(keyed.as("y"),
+        col("x.k") === col("y.k") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        lit(0).as("dist"))
+    cross.union(same)
   }
 }
