@@ -68,6 +68,15 @@ object StreamQueries {
     "st05_stream_stream_join" -> ((s, d) =>
       EventStreams.attributedPurchases(Tables.events(s, d))),
 
+    // Stream-stream LEFT OUTER: st05 plus every unattributed view
+    // with a null purchase — the "abandoned browse" feed. In the
+    // stream form the watermark + time-range bound is what lets Spark
+    // emit the null-padded row once a view's join window has provably
+    // closed (and evict its state); batch face here for the oracle.
+    "st09_attribution_outer" -> ((s, d) =>
+      EventStreams.attributedPurchases(Tables.events(s, d),
+        joinType = "left_outer")),
+
     // Streaming dedup: earliest event per (user, type, UTC day),
     // finalized by watermark in the stream form; batch semantics here
     // for the oracle.
@@ -179,6 +188,18 @@ object StreamQueries {
            ON a.user_id = b.user_id
           AND a.event_type = 'view' AND b.event_type = 'purchase'
           AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE""",
+    // st09: same relation with the purchase side LEFT-JOINed (the
+    // purchase-side predicates must live in ON, not WHERE, to keep
+    // unmatched views)
+    "st09_attribution_outer" ->
+      """SELECT a.user_id, a.event_id AS view_id,
+         b.event_id AS purchase_id,
+         epoch_ms(b.ts) - epoch_ms(a.ts) AS lag_ms
+         FROM events a LEFT JOIN events b
+           ON a.user_id = b.user_id
+          AND b.event_type = 'purchase'
+          AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+         WHERE a.event_type = 'view'""",
     // st03's gaps-and-islands with an (t, event_id) total order, paths
     // via ordered string_agg, deterministic top-20 boundary
     "st07_session_paths" ->

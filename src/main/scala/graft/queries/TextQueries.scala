@@ -156,21 +156,30 @@ object TextQueries {
     // document purely in-row against the literal model map, OOV words
     // at a 0.5-count floor. V=20 < the corpus vocabulary, so the OOV
     // path is genuinely exercised.
-    "t12_unigram_logprob" -> ((s, d) => {
-      val toks = Tables.documents(s, d)
-        .select(col("doc_id"), TextOps.tokenize(col("text")).as("toks"))
-      val counts = toks.select(explode(col("toks")).as("word"))
-        .groupBy(col("word")).count()
-      val total = counts.agg(sum(col("count"))).head.getLong(0).toDouble
-      val model = counts
-        .orderBy(col("count").desc, col("word")).limit(UnigramV)
-        .collect()
-        .map(r => r.getString(0) -> math.log(r.getLong(1) / total))
-        .toMap
-      val floorLp = math.log(0.5 / total)
-      toks.select(col("doc_id"), size(col("toks")).as("n_tokens"),
-        Analysis.unigramAvgLogProb(col("toks"), model, floorLp)
-          .as("avg_logprob"))
+    "t12_unigram_logprob" -> ((s, d) =>
+      unigramScored(s, d).select(col("doc_id"), col("n_tokens"),
+        col("avg_logprob"))),
+
+    // CCNet-style per-language quality buckets (Wenzek et al., 2020):
+    // each language's docs split into head/middle/tail thirds by the
+    // t12 unigram-LM score (the cheap perplexity stand-in; higher =
+    // more fluent). Tertile thresholds are exact interpolated
+    // percentiles per language — the q23 verification baseline; the
+    // bounded-memory 100 TB swap is approx_percentile, same plan
+    // otherwise. Thresholds (|langs| rows) broadcast back; the corpus
+    // is touched by one scan + one broadcast join, no corpus shuffle.
+    "t17_ccnet_buckets" -> ((s, d) => {
+      val scored = unigramScored(s, d)
+      val th = scored.groupBy(col("lang")).agg(
+        round(expr(s"percentile(avg_logprob, ${1.0 / 3})"), 6)
+          .as("t_lo"),
+        round(expr(s"percentile(avg_logprob, ${2.0 / 3})"), 6)
+          .as("t_hi"))
+      scored.join(broadcast(th), Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("avg_logprob"),
+          when(col("avg_logprob") >= col("t_hi"), "head")
+            .when(col("avg_logprob") >= col("t_lo"), "middle")
+            .otherwise("tail").as("bucket"))
     }),
 
     // Corpus n-gram profile: top-K trigrams by document frequency
@@ -218,6 +227,30 @@ object TextQueries {
 
   /** Unigram model size for t12 — shared with its oracle. */
   private val UnigramV = 20
+
+  /** t12's unigram-LM scoring stage, shared with t17: top-V MLE model
+    * fit on the corpus (bounded driver collect, plan-literal
+    * contract), every doc scored in-row. Returns
+    * (doc_id, lang, n_tokens, avg_logprob).
+    */
+  private def unigramScored(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        TextOps.tokenize(col("text")).as("toks"))
+    val counts = toks.select(explode(col("toks")).as("word"))
+      .groupBy(col("word")).count()
+    val total = counts.agg(sum(col("count"))).head.getLong(0).toDouble
+    val model = counts
+      .orderBy(col("count").desc, col("word")).limit(UnigramV)
+      .collect()
+      .map(r => r.getString(0) -> math.log(r.getLong(1) / total))
+      .toMap
+    val floorLp = math.log(0.5 / total)
+    toks.select(col("doc_id"), col("lang"),
+      size(col("toks")).as("n_tokens"),
+      Analysis.unigramAvgLogProb(col("toks"), model, floorLp)
+        .as("avg_logprob"))
+  }
 
   /** t15's query terms and k — shared with its oracle. */
   private val Bm25Terms = Seq("dup", "spark", "merge")
@@ -428,6 +461,36 @@ object TextQueries {
           SELECT doc_id, CAST(count(*) AS INTEGER) AS n_tokens,
                  round(sum(lp) / count(*), 6) AS avg_logprob
           FROM sc GROUP BY doc_id""",
+    // t17 = t12's score + per-language quantile_cont tertiles (the
+    // q23 percentile-parity precedent) + the same CASE comparison
+    "t17_ccnet_buckets" ->
+      s"""WITH toks AS (SELECT doc_id, lang, $tokSql AS toks
+                        FROM documents),
+          u AS (SELECT doc_id, unnest(toks) AS word FROM toks),
+          c AS (SELECT word, count(*) AS cnt FROM u GROUP BY 1),
+          tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM c),
+          v AS (SELECT word, ln(cnt / (SELECT total FROM tot)) AS lp
+                FROM c ORDER BY cnt DESC, word LIMIT $UnigramV),
+          sc0 AS (SELECT u.doc_id,
+                    coalesce(v.lp, ln(0.5 / (SELECT total FROM tot)))
+                      AS lp
+                  FROM u LEFT JOIN v USING (word)),
+          sc AS (SELECT t.doc_id, t.lang,
+                   round(s.alp, 6) AS avg_logprob
+                 FROM toks t JOIN (
+                   SELECT doc_id, sum(lp) / count(*) AS alp
+                   FROM sc0 GROUP BY doc_id) s USING (doc_id)),
+          th AS (SELECT lang,
+                   round(quantile_cont(avg_logprob, ${1.0 / 3}), 6)
+                     AS t_lo,
+                   round(quantile_cont(avg_logprob, ${2.0 / 3}), 6)
+                     AS t_hi
+                 FROM sc GROUP BY lang)
+          SELECT sc.doc_id, sc.lang, sc.avg_logprob,
+                 CASE WHEN avg_logprob >= t_hi THEN 'head'
+                      WHEN avg_logprob >= t_lo THEN 'middle'
+                      ELSE 'tail' END AS bucket
+          FROM sc JOIN th USING (lang)""",
     // trigram profile via positional self-joins (the SQL mirror of
     // the in-row gram build); df over per-doc gram rows ≡ the Spark
     // two-level aggregate

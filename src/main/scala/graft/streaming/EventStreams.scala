@@ -240,7 +240,8 @@ object EventStreams {
     */
   def attributedPurchases(events: DataFrame,
                           within: String = "30 minutes",
-                          watermark: String = "2 hours"): DataFrame = {
+                          watermark: String = "2 hours",
+                          joinType: String = "inner"): DataFrame = {
     val views = events.filter(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
         col("event_id").as("view_id"))
@@ -252,7 +253,8 @@ object EventStreams {
     views.join(buys,
         col("v_user") === col("p_user") &&
           col("p_ts") > col("v_ts") &&
-          col("p_ts") <= col("v_ts") + expr(s"INTERVAL $within"))
+          col("p_ts") <= col("v_ts") + expr(s"INTERVAL $within"),
+        joinType)
       .select(col("v_user").as("user_id"), col("view_id"),
         col("purchase_id"),
         (unix_millis(col("p_ts")) - unix_millis(col("v_ts")))

@@ -368,6 +368,53 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER join converges to the batch answer") {
+    import spark.implicits._
+    // same fixture as the inner-join test: views 100/102 match,
+    // view 201 has no qualifying purchase → null-padded row
+    val ev = Seq(
+      (100L, 1L, ts(0), "view"), (101L, 1L, ts(10), "purchase"),
+      (102L, 1L, ts(25), "view"), (103L, 1L, ts(40), "purchase"),
+      (200L, 2L, ts(5), "purchase"), (201L, 2L, ts(50), "view"))
+    def df(xs: Seq[(Long, Long, Timestamp, String)]) =
+      xs.toDF("event_id", "user_id", "ts", "event_type")
+    val batch = EventStreams.attributedPurchases(df(ev),
+        joinType = "left_outer")
+      .as[(Long, Long, Option[Long], Option[Long])].collect().toSet
+    assert(batch == Set(
+      (1L, 100L, Some(101L), Some(10L * 60000L)),
+      (1L, 102L, Some(103L), Some(15L * 60000L)),
+      (2L, 201L, None, None)))
+
+    val mem = MemoryStream[(Long, Long, Timestamp, String)](spark)
+    val q = EventStreams.attributedPurchases(
+        mem.toDS().toDF("event_id", "user_id", "ts", "event_type"),
+        joinType = "left_outer")
+      .writeStream.format("memory")
+      .queryName("ssj_outer_out").outputMode("append").start()
+    try {
+      mem.addData(ev.take(3): _*)
+      q.processAllAvailable()
+      mem.addData(ev.drop(3): _*)
+      q.processAllAvailable()
+      // null-padded rows only surface once the GLOBAL watermark (min
+      // over BOTH sides' max event time, minus the 2 h delay) provably
+      // closes a view's 30-min window, and Spark emits them a
+      // micro-batch AFTER eviction — so heartbeat both streams, twice
+      // (the heartbeats are arranged to match nothing and their own
+      // windows never close, so they add no rows)
+      mem.addData((900L, 9L, ts(300), "view"),
+        (910L, 9L, ts(300), "purchase"))
+      q.processAllAvailable()
+      mem.addData((901L, 9L, ts(400), "view"),
+        (911L, 9L, ts(400), "purchase"))
+      q.processAllAvailable()
+      val got = spark.table("ssj_outer_out")
+        .as[(Long, Long, Option[Long], Option[Long])].collect().toSet
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("tumbling windowed agg: streaming result equals batch result") {
     import spark.implicits._
     val events = rows.map(r => (r.user_id, r.ts, "click", r.value))

@@ -169,6 +169,26 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(got.nonEmpty, "fixture must contain straddling near-dups")
   }
 
+  test("t17 CCNet buckets split each language into near-thirds") {
+    import spark.implicits._
+    val rows = graft.SparkEntry.queries("t17_ccnet_buckets")(
+        spark, "/root/testdata/sf0.001")
+      .groupBy(col("lang"), col("bucket")).count()
+      .as[(String, String, Long)].collect()
+    val byLang = rows.groupBy(_._1)
+    assert(byLang.nonEmpty)
+    byLang.foreach { case (lang, bs) =>
+      val total = bs.map(_._3).sum.toDouble
+      val share = bs.map(b => b._2 -> b._3 / total).toMap
+      Seq("head", "middle", "tail").foreach { b =>
+        // exact tertiles up to score ties at the boundary
+        assert(share.getOrElse(b, 0.0) > 0.2 &&
+          share.getOrElse(b, 0.0) < 0.47,
+          s"$lang/$b share ${share.getOrElse(b, 0.0)} not ~1/3")
+      }
+    }
+  }
+
   test("cohortRetention: hand-computed matrix on a planted fixture") {
     import spark.implicits._
     val DayMs = 86400000L
