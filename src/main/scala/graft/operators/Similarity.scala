@@ -386,6 +386,49 @@ object Similarity {
         (col("s").cast("double") / col("n").cast("double") / lit(LloydQ))
           .as("centroid"))
 
+  /** Squared L2 distance to the nearest of `centroids` — the
+    * per-point SSE term of a k-means fit (all in-row, literal-folded
+    * like [[nearestCells]]).
+    */
+  def sqDistToNearest(vec: Column, centroids: Array[Array[Double]]): Column =
+    array_min(array(centroids.map(c => sqDistLit(vec, c)): _*))
+
+  /** The centroids a [[lloydStep]] result denotes, collected to the
+    * driver as the next iteration's literals: non-empty cells only,
+    * renumbered densely 0..k'−1 in cell order (empty cells die, the
+    * standard Lloyd convention). Bounded: ≤ K·D rows.
+    */
+  def collectCentroids(step: DataFrame): Array[Array[Double]] =
+    step.select(col("cell"), col("dim"), col("centroid")).collect()
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map { case (_, rows) =>
+        rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
+      }.toArray
+
+  /** `iters` Lloyd iterations from `init`, returning the LAST step's
+    * (cell, dim, n, centroid) rows. Because every step is fixed-point
+    * ([[lloydStep]]), the whole trajectory is deterministic: the
+    * driver round-trip between iterations (collect K·D means → next
+    * step's plan literals) is exact, so an external engine replaying
+    * the same integer arithmetic lands on bit-identical centroids at
+    * EVERY iteration — which is what lets an iterated, data-dependent
+    * ML fit be hash-verified end-to-end instead of spec-banded. Cost
+    * per iteration: one corpus scan + one O(parts·K·D) aggregation;
+    * the scan could additionally be cached by callers iterating to
+    * convergence.
+    */
+  def lloydFit(emb: DataFrame, vecCol: Column,
+               init: Array[Array[Double]], iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    var ctrs = init
+    var last = lloydStep(emb, vecCol, ctrs)
+    for (_ <- 2 to iters) {
+      ctrs = collectCentroids(last)
+      last = lloydStep(emb, vecCol, ctrs)
+    }
+    last
+  }
+
   /** Symmetric per-vector int8 quantization — the embedding
     * compression step of a corpus-scale vector store (4 bytes/dim →
     * 1 byte/dim + one float scale; reconstruction x̂ = q/scale, error

@@ -77,6 +77,37 @@ object Splits {
       salt, 100) < rate
   }
 
+  /** Deterministic epoch upsampling — the "epochs per domain" step of
+    * pre-training data mixing (e.g. wiki 2.5 epochs, crawl 0.8): each
+    * row is replicated `floor(factor)` times, plus one more for the
+    * hash-chosen `frac(factor)` share of rows, so every group's
+    * expected multiplicity is exactly its factor and the realized
+    * sample is content-deterministic (reproducible on any
+    * partitioning, unlike `sample(withReplacement = true)`).
+    * Returns the input columns plus `copy` (0-based replica index).
+    *
+    * In-row: the repeat count is a literal-folded CASE + one hash
+    * compare, the replication a `posexplode` of a repeat array —
+    * rides the scan stage, no join, no shuffle. Factors are given in
+    * hundredths (250 = 2.5 epochs) to keep the arithmetic integral.
+    */
+  def epochUpsample(df: DataFrame, idCol: String, groupCol: String,
+      salt: String, factorsPct: Seq[(String, Int)],
+      defaultPct: Int): DataFrame = {
+    require((defaultPct +: factorsPct.map(_._2)).forall(_ >= 0))
+    val group = col(groupCol)
+    val f = factorsPct.foldLeft(lit(defaultPct)) { case (acc, (g, r)) =>
+      when(group === g, lit(r)).otherwise(acc)
+    }
+    val extra = (hashBucket(
+      concat(group.cast("string"), lit(":"), col(idCol).cast("string")),
+      salt, 100) < f % 100).cast("int")
+    val copies = (f / 100).cast("int") + extra
+    df.select(df.columns.map(col) :+
+      posexplode(array_repeat(lit(1), copies)).as(Seq("copy", "__one")): _*)
+      .drop("__one")
+  }
+
   /** Deterministic global shuffle rank — the training-order
     * assignment step: every row gets its position in the seeded
     * hash-priority order, reproducible on any partitioning (unlike

@@ -324,6 +324,17 @@ object DedupQueries {
       Similarity.lloydStep(Tables.embeddings(s, d), col("embedding"),
         Similarity.randomPlanes(8, 64, seed = 7L))),
 
+    // TWO Lloyd iterations — the iterated, data-dependent k-means fit
+    // hash-verified end-to-end (not spec-banded): fixed-point steps
+    // make the trajectory deterministic, so the oracle replays
+    // assignment → integer means → dense cell renumber → reassignment
+    // → means and lands on bit-identical centroids. The step that
+    // e05's "trained quantizer stays spec-land" discipline existed
+    // for is now itself in the oracle gate.
+    "e18_kmeans_fit2" -> ((s, d) =>
+      Similarity.lloydFit(Tables.embeddings(s, d), col("embedding"),
+        Similarity.randomPlanes(8, 64, seed = 7L), iters = 2)),
+
     // SemDeDup search stage: fixed coarse cells (e08's seeded
     // centroids), cell-local cosine pairs ≥ 0.4, closed into semantic
     // dup clusters. Same fixed-500 slice as e03/e04 — with literal
@@ -1016,6 +1027,59 @@ object DedupQueries {
                  CAST(CAST(sum(q) AS BIGINT) AS DOUBLE)
                    / CAST(count(*) AS DOUBLE) / 16777216.0 AS centroid
           FROM pts GROUP BY cell, dim""",
+    // e18: iteration 1 = e17's CTEs; the computed means regroup into
+    // DOUBLE[] centroids (dense renumber in cell order, list ordered
+    // by dim — the exact doubles the Spark side collects, since the
+    // integer sums and the division order are identical); iteration 2
+    // re-assigns against the computed table and re-averages
+    "e18_kmeans_fit2" ->
+      s"""WITH ctr AS ($centroidTableSql),
+          cc1 AS (
+            SELECT vec_id, cell, embedding FROM (
+              SELECT vec_id, ctr.cell, embedding,
+                     CAST(row_number() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY ${sqDistSql("embedding", "cvec")},
+                                ctr.cell) AS INTEGER) AS rn
+              FROM embeddings, ctr)
+            WHERE rn = 1),
+          p1 AS (
+            SELECT cell,
+                   CAST(generate_subscripts(embedding, 1) - 1
+                        AS INTEGER) AS dim,
+                   CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                        * 16777216.0) AS BIGINT) AS q
+            FROM cc1),
+          m1 AS (
+            SELECT cell, dim,
+                   CAST(CAST(sum(q) AS BIGINT) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE) / 16777216.0 AS c
+            FROM p1 GROUP BY cell, dim),
+          ctr1 AS (
+            SELECT CAST(dense_rank() OVER (ORDER BY cell) - 1
+                        AS INTEGER) AS cell,
+                   list(c ORDER BY dim) AS cvec
+            FROM m1 GROUP BY cell),
+          cc2 AS (
+            SELECT vec_id, cell, embedding FROM (
+              SELECT vec_id, ctr1.cell, embedding,
+                     CAST(row_number() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY ${sqDistSql("embedding", "cvec")},
+                                ctr1.cell) AS INTEGER) AS rn
+              FROM embeddings, ctr1)
+            WHERE rn = 1),
+          p2 AS (
+            SELECT cell,
+                   CAST(generate_subscripts(embedding, 1) - 1
+                        AS INTEGER) AS dim,
+                   CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                        * 16777216.0) AS BIGINT) AS q
+            FROM cc2)
+          SELECT cell, dim, CAST(count(*) AS BIGINT) AS n,
+                 CAST(CAST(sum(q) AS BIGINT) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) / 16777216.0 AS centroid
+          FROM p2 GROUP BY cell, dim""",
     "e10_pq_encode" ->
       s"""WITH $pqCodesCtes
           SELECT vec_id, m, code FROM codes""",

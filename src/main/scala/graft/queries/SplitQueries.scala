@@ -74,7 +74,16 @@ object SplitQueries {
             lit(1L).as("one")),
           "doc_id", "source", "one", Salt, budget = SampleK,
           buckets = 8)
-        .select(col("doc_id"), col("source")))
+        .select(col("doc_id"), col("source"))),
+
+    // Epoch upsampling ("epochs per domain"): src0 2.5 epochs, src1
+    // exactly 1, src2 0.3, everything else 0.8 — each doc replicated
+    // floor(f) times plus a content-hash-chosen extra for frac(f), so
+    // realized multiplicities are deterministic on any partitioning.
+    "sp07_epoch_upsample" -> ((s, d) =>
+      Splits.epochUpsample(
+        Tables.documents(s, d).select(col("doc_id"), col("source")),
+        "doc_id", "source", Salt, EpochFactors, defaultPct = 80))
   )
 
   /** sp06's per-source sample size — shared with its oracle. */
@@ -83,6 +92,13 @@ object SplitQueries {
   /** Mixing weights for sp03 — shared by the query and its oracle. */
   private val MixRates: Seq[(String, Int)] =
     Seq("src0" -> 80, "src1" -> 50, "src2" -> 10)
+
+  /** sp07's per-source epoch factors in hundredths — shared with its
+    * oracle. Exercises floor ≥ 2 + frac, exactly-1 (no hash draw),
+    * sub-1, and the default.
+    */
+  private val EpochFactors: Seq[(String, Int)] =
+    Seq("src0" -> 250, "src1" -> 100, "src2" -> 30)
 
   /** sp04's per-source whitespace-token budget — ~1/3 of a source's
     * total at sf0.01, so keeps and drops both occur in every source.
@@ -151,6 +167,24 @@ object SplitQueries {
                  row_number() OVER (ORDER BY rk, doc_id) - 1
                    AS shuffle_pos
           FROM r""",
+    // sp07: same factor CASE and hash draw; the replication mirrors
+    // posexplode as unnest(range(n)) — n = 0 drops the row both ways
+    "sp07_epoch_upsample" -> {
+      val fCase = EpochFactors
+        .map { case (g, r) => s"WHEN source = '$g' THEN $r" }
+        .mkString("CASE ", " ", " ELSE 80 END")
+      s"""WITH r AS (
+            SELECT doc_id, source,
+                   $fCase // 100
+                   + CASE WHEN ${bucketSql(
+                       "source || ':' || CAST(doc_id AS VARCHAR)")}
+                          < $fCase % 100
+                     THEN 1 ELSE 0 END AS n
+            FROM documents)
+          SELECT doc_id, source,
+                 CAST(unnest(range(n)) AS INTEGER) AS copy
+          FROM r"""
+    },
     // unit costs ⇒ the running-sum semantics reduce to per-source
     // row_number ≤ K in (rk, doc_id) priority order
     "sp06_per_source_sample" ->

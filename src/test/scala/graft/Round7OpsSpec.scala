@@ -189,6 +189,58 @@ class Round7OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("epochUpsample: exact per-doc multiplicities, partition-stable") {
+    import spark.implicits._
+    val docs = (0L until 200L).map(i => (i, s"src${i % 4}"))
+      .toDF("doc_id", "source")
+    val factors = Seq("src0" -> 250, "src1" -> 100, "src2" -> 30)
+    def mult(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      graft.operators.Splits
+        .epochUpsample(df, "doc_id", "source", "s7", factors, 80)
+        .groupBy(col("doc_id")).count()
+        .as[(Long, Long)].collect().toMap
+    val m = mult(docs)
+    // src0: 2 or 3 copies; src1: exactly 1; src2: 0 or 1 (0 ⇒ absent)
+    (0L until 200L).foreach { i =>
+      val c = m.getOrElse(i, 0L)
+      (i % 4 : @unchecked) match {
+        case 0 => assert(c == 2L || c == 3L, s"doc $i: $c")
+        case 1 => assert(c == 1L, s"doc $i: $c")
+        case 2 => assert(c == 0L || c == 1L, s"doc $i: $c")
+        case 3 => assert(c == 0L || c == 1L, s"doc $i: $c")
+      }
+    }
+    // fractional shares realized near their targets on 50 docs/source
+    val src0Mean = (0L until 200L by 4).map(m(_)).sum / 50.0
+    assert(src0Mean > 2.2 && src0Mean < 2.8, s"src0 mean $src0Mean")
+    // copy indices are dense 0..c-1 per doc
+    val copies = graft.operators.Splits
+      .epochUpsample(docs, "doc_id", "source", "s7", factors, 80)
+      .as[(Long, String, Int)].collect()
+      .groupBy(_._1)
+      .map { case (id, rs) => id -> rs.map(_._3).sorted.toSeq }
+    copies.foreach { case (id, cs) =>
+      assert(cs == (0 until cs.size).toSeq, s"doc $id copies $cs") }
+    // content-determinism: same multiplicities on any partitioning
+    assert(mult(docs.repartition(13)) == m)
+  }
+
+  test("lloydFit: iteration 2 does not increase within-cluster SSE") {
+    val ctrs0 = Similarity.randomPlanes(8, 64, seed = 7L)
+    def sse(ctrs: Array[Array[Double]]): Double =
+      emb.select(
+          org.apache.spark.sql.functions.sum(
+            graft.operators.Similarity.sqDistToNearest(
+              col("embedding"), ctrs)).as("s"))
+        .head().getDouble(0)
+    val ctrs1 = Similarity.collectCentroids(
+      Similarity.lloydStep(emb, col("embedding"), ctrs0))
+    val ctrs2 = Similarity.collectCentroids(
+      Similarity.lloydFit(emb, col("embedding"), ctrs0, iters = 2))
+    assert(sse(ctrs1) <= sse(ctrs0) * 1.0000001)
+    assert(sse(ctrs2) <= sse(ctrs1) * 1.0000001)
+  }
+
   test("cohortRetention: hand-computed matrix on a planted fixture") {
     import spark.implicits._
     val DayMs = 86400000L
