@@ -840,7 +840,11 @@ object Dedup {
   def sortedNeighborhoodPairs(docs: DataFrame, idCol: String,
                               sortKey: Column, tokens: Column,
                               window: Int, threshold: Double): DataFrame = {
-    val sh = shingles(docs, idCol, tokens)
+    // persisted: the verification reads the shingle table three times
+    // (sizes + both intersection sides) — without the persist each
+    // read re-runs tokenize+ngram over the corpus, which dominated
+    // the 100× decade (253 s at pseudo-sf10, ~3× the shingling cost)
+    val sh = shingles(docs, idCol, tokens).persist()
     val cands = sortedNeighborhoodCands(
       sortedNeighborhoodRanks(docs, idCol, sortKey), window)
     verifyJaccard(sh, cands, threshold)

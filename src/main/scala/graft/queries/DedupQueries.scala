@@ -335,6 +335,24 @@ object DedupQueries {
       Similarity.lloydFit(Tables.embeddings(s, d), col("embedding"),
         Similarity.randomPlanes(8, 64, seed = 7L), iters = 2)),
 
+    // Train → index → search, oracle-closed END-TO-END: the coarse
+    // quantizer is the e18 fixed-point Lloyd fit (2 iterations from
+    // the seeded init), whose collected centroids are bit-exact
+    // driver doubles (hash-proven by e18); searching with them is
+    // e08's plan against trained-instead-of-seeded cells. This is the
+    // query e05 approximates with spark.ml k-means|| — same pipeline,
+    // every stage in the DuckDB gate. Scale shape unchanged from e08:
+    // fit is one scan + O(parts·K·D) agg per iteration, search is a
+    // cell equi-join probing nProbe/numCells of the corpus.
+    "e19_ivf_trained" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val trained = Similarity.collectCentroids(
+        Similarity.lloydFit(emb, col("embedding"),
+          Similarity.randomPlanes(8, 64, seed = 7L), iters = 2))
+      Similarity.ivfSearch(emb, emb.filter(col("vec_id") < 10),
+        trained, k = 10, nProbe = 4)
+    }),
+
     // SemDeDup search stage: fixed coarse cells (e08's seeded
     // centroids), cell-local cosine pairs ≥ 0.4, closed into semantic
     // dup clusters. Same fixed-500 slice as e03/e04 — with literal
@@ -716,17 +734,17 @@ object DedupQueries {
                CAST(ov.n_overlap AS DOUBLE) / sizes.n AS contamination
         FROM ov JOIN sizes ON ov.doc_id = sizes.doc_id"""
 
-  /** IVF search-stage oracle over the fixed seeded centroids —
-    * shared by e08 (in-flight index) and e16 (persisted index): both
-    * plans compute the same relation.
+  /** The IVF search CTE chain — assignment, probing, scoring,
+    * ranking — against whatever centroid table the prefix bound as
+    * `ctr`. Shared by e08/e16 (seeded literal centroids) and e19
+    * (fit-derived centroids).
     */
-  private def ivfScoringOracleSql: String =
-    s"""WITH c AS (
+  private def ivfSearchBodySql: String =
+    s"""c AS (
           SELECT vec_id AS n_id, embedding AS n_vec FROM embeddings),
         q AS (
           SELECT vec_id AS q_id, embedding AS q_vec
           FROM embeddings WHERE vec_id < 10),
-        ctr AS ($centroidTableSql),
         cc AS (
           SELECT n_id, cell FROM (
             SELECT n_id, ctr.cell, CAST(row_number() OVER (
@@ -758,6 +776,77 @@ object DedupQueries {
             PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS INTEGER) AS rn
           FROM scored)
         SELECT q_id, n_id, cos, rn FROM ranked WHERE rn <= 10"""
+
+  /** IVF search-stage oracle over the fixed seeded centroids —
+    * shared by e08 (in-flight index) and e16 (persisted index): both
+    * plans compute the same relation.
+    */
+  private def ivfScoringOracleSql: String =
+    s"""WITH ctr AS ($centroidTableSql),
+        $ivfSearchBodySql"""
+
+  /** e19: the e18 two-iteration fixed-point fit CTEs derive the
+    * trained centroid table, then the e08 search body runs against
+    * it — train → index → search replayed end-to-end in SQL. The
+    * collected doubles on the Spark side are bit-identical to the
+    * m2-CTE means (e18's hash gate is exactly that proof), so cell
+    * assignment and scoring agree exactly.
+    */
+  private def ivfTrainedOracleSql: String =
+    s"""WITH ctr0 AS ($centroidTableSql),
+        cc1 AS (
+          SELECT vec_id, cell, embedding FROM (
+            SELECT vec_id, ctr0.cell, embedding,
+                   CAST(row_number() OVER (
+                     PARTITION BY vec_id
+                     ORDER BY ${sqDistSql("embedding", "cvec")},
+                              ctr0.cell) AS INTEGER) AS rn
+            FROM embeddings, ctr0)
+          WHERE rn = 1),
+        p1 AS (
+          SELECT cell,
+                 CAST(generate_subscripts(embedding, 1) - 1
+                      AS INTEGER) AS dim,
+                 CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                      * 16777216.0) AS BIGINT) AS q
+          FROM cc1),
+        m1 AS (
+          SELECT cell, dim,
+                 CAST(CAST(sum(q) AS BIGINT) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) / 16777216.0 AS c
+          FROM p1 GROUP BY cell, dim),
+        ctr1 AS (
+          SELECT CAST(dense_rank() OVER (ORDER BY cell) - 1
+                      AS INTEGER) AS cell,
+                 list(c ORDER BY dim) AS cvec
+          FROM m1 GROUP BY cell),
+        cc2 AS (
+          SELECT vec_id, cell, embedding FROM (
+            SELECT vec_id, ctr1.cell, embedding,
+                   CAST(row_number() OVER (
+                     PARTITION BY vec_id
+                     ORDER BY ${sqDistSql("embedding", "cvec")},
+                              ctr1.cell) AS INTEGER) AS rn
+            FROM embeddings, ctr1)
+          WHERE rn = 1),
+        p2 AS (
+          SELECT cell,
+                 CAST(generate_subscripts(embedding, 1) - 1
+                      AS INTEGER) AS dim,
+                 CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                      * 16777216.0) AS BIGINT) AS q
+          FROM cc2),
+        m2 AS (
+          SELECT cell, dim,
+                 CAST(CAST(sum(q) AS BIGINT) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) / 16777216.0 AS c
+          FROM p2 GROUP BY cell, dim),
+        ctr AS (
+          SELECT CAST(dense_rank() OVER (ORDER BY cell) - 1
+                      AS INTEGER) AS cell,
+                 list(c ORDER BY dim) AS cvec
+          FROM m2 GROUP BY cell),
+        $ivfSearchBodySql"""
 
   val oracleSql: Map[String, String] = Map(
     "d01_dedup_exact" ->
@@ -1080,6 +1169,7 @@ object DedupQueries {
                  CAST(CAST(sum(q) AS BIGINT) AS DOUBLE)
                    / CAST(count(*) AS DOUBLE) / 16777216.0 AS centroid
           FROM p2 GROUP BY cell, dim""",
+    "e19_ivf_trained" -> ivfTrainedOracleSql,
     "e10_pq_encode" ->
       s"""WITH $pqCodesCtes
           SELECT vec_id, m, code FROM codes""",

@@ -169,7 +169,10 @@ object TextQueries {
     // otherwise. Thresholds (|langs| rows) broadcast back; the corpus
     // is touched by one scan + one broadcast join, no corpus shuffle.
     "t17_ccnet_buckets" -> ((s, d) => {
-      val scored = unigramScored(s, d)
+      // persisted: read once for the thresholds and once for the
+      // bucket join — the 20-term map-lookup scoring scan is the
+      // expensive part at scale, don't run it twice
+      val scored = unigramScored(s, d).persist()
       val th = scored.groupBy(col("lang")).agg(
         round(expr(s"percentile(avg_logprob, ${1.0 / 3})"), 6)
           .as("t_lo"),
