@@ -21,7 +21,8 @@ object SparkEntry {
       DedupQueries.queries ++ MlQueries.queries ++
       FeatureQueries.queries ++ MultimodalQueries.queries ++
       StreamQueries.queries ++ CurationQueries.queries ++
-      TemporalQueries.queries ++ SplitQueries.queries
+      TemporalQueries.queries ++ SplitQueries.queries ++
+      RetrievalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +31,6 @@ object SparkEntry {
       DedupQueries.oracleSql ++ MlQueries.oracleSql ++
       FeatureQueries.oracleSql ++ MultimodalQueries.oracleSql ++
       StreamQueries.oracleSql ++ CurationQueries.oracleSql ++
-      TemporalQueries.oracleSql ++ SplitQueries.oracleSql
+      TemporalQueries.oracleSql ++ SplitQueries.oracleSql ++
+      RetrievalQueries.oracleSql
 }

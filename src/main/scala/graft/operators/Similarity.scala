@@ -74,8 +74,8 @@ object Similarity {
     * identical to the window form — pinned by the e01/e13 oracle rows
     * and PlanAuditSpec.
     */
-  private def topKPerQuery(scored: DataFrame, scoreCol: String,
-                           scoreAsc: Boolean, k: Int): DataFrame = {
+  private[operators] def topKPerQuery(scored: DataFrame, scoreCol: String,
+                                      scoreAsc: Boolean, k: Int): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge._
     val scoreType = scored.schema(scoreCol).dataType
     val agg = column(graft.expressions.TopKAgg(

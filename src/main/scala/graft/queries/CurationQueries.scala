@@ -99,6 +99,33 @@ object CurationQueries {
         .select(coalesce($"source", lit("(all)")).as("source"),
           coalesce($"lang", lit("(all)")).as("lang"),
           $"n_docs", $"total_tokens", $"mean_ttr", $"n_exact_dups")
+    }),
+
+    // JSONL sink → source round trip: a corpus slice is written as
+    // newline-delimited JSON (the interchange format web-scrape
+    // pipelines actually land), read back with an EXPLICIT schema
+    // (inference would cost a second full scan at 100 TB), and
+    // reduced to per-source counts + char totals + a 52-bit md5 row
+    // checksum covering every column. The oracle computes the same
+    // aggregate straight from parquet, so ANY field the JSON codec
+    // mangles (type, escaping, null handling, column order) breaks
+    // the hash. Slice bounded at 500 docs — constant work per sf.
+    "c05_jsonl_roundtrip" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val out = s"/tmp/graft_c05_${Integer.toHexString(d.hashCode)}"
+      Tables.documents(s, d).filter(col("doc_id") < 500)
+        .write.mode("overwrite").json(out)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      s.read.schema(schema).json(out)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(conv(substring(md5(concat_ws("|", col("doc_id"),
+              col("text"), col("lang"), col("n_chars"))), 1, 13), 16, 10)
+            .cast("long")).as("row_hash"))
     })
   )
 
@@ -126,6 +153,15 @@ object CurationQueries {
     .mkString(", ")
 
   val oracleSql: Map[String, String] = Map(
+    // straight from parquet — if the JSON round trip loses anything,
+    // the row hashes diverge
+    "c05_jsonl_roundtrip" ->
+      """SELECT source, count(*) AS n_docs,
+            CAST(sum(n_chars) AS BIGINT) AS total_chars,
+            CAST(sum(CAST(('0x' || substring(md5(concat_ws('|',
+              doc_id, text, lang, n_chars)), 1, 13)) AS BIGINT))
+              AS BIGINT) AS row_hash
+          FROM documents WHERE doc_id < 500 GROUP BY source""",
     "c02_quality_gate" ->
       s"""WITH t AS (
             SELECT doc_id, lang,

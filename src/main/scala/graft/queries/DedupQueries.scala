@@ -452,7 +452,20 @@ object DedupQueries {
       Tables.embeddings(s, d)
         .select(col("vec_id"),
           Similarity.randomProject(col("embedding"), jlSigns).as("proj"))
-        .select(col("vec_id"), posexplode(col("proj")).as(Seq("dim", "v"))))
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("dim", "v")))),
+
+    // Retrieval-quality report: per-query recall@10 and MRR of the
+    // e02 LSH index against the e01 exact scan — the offline eval a
+    // production ANN rollout gates on, computed in-engine at corpus
+    // scale (both inputs are the engine's own bounded top-k lists;
+    // the metrics stage is |Q|·k-row post-processing).
+    "r03_retrieval_metrics" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val qs = emb.filter(col("vec_id") < 10)
+      graft.operators.Retrieval.retrievalMetrics(
+        Similarity.bruteForceKnn(emb, qs, k = 10),
+        Similarity.lshKnn(emb, qs, k = 10), k = 10)
+    })
   )
 
   /** e12's seeded sign matrix — shared with its oracle. */

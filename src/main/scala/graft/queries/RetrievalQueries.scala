@@ -1,0 +1,183 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.{Bm25, Retrieval, Similarity}
+import graft.text.TextOps
+
+/** Retrieval-composition pack — the late-fusion layers a production
+  * search stack runs on top of the engine's individual retrievers:
+  * RRF hybrid fusion of a keyword (BM25) and a dense (cosine) list,
+  * and the retrieve-then-rerank pipeline (cheap 1-bit Hamming
+  * shortlist → exact cosine on the shortlist only). Both are
+  * DuckDB-hash-verified end to end: every stage (BM25 scores, sign
+  * sketches, cosine kernels, rank assignment, fusion arithmetic) is
+  * fixed-order IEEE math with established oracle mirrors.
+  */
+object RetrievalQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** r01's fusion inputs — shared with the oracle. */
+  private val RrfTerms = Seq("dup", "spark", "merge")
+  private val RrfListN = 50
+  private val RrfK0 = 60
+  private val RrfK = 20
+  private val DenseQueryId = 0
+
+  /** r02's shortlist/final sizes — shared with the oracle. */
+  private val RerankShortN = 50
+  private val RerankK = 10
+
+  val queries: Map[String, Q] = Map(
+    // Hybrid RRF: fuse the BM25 top-50 for three keyword terms with
+    // the exact-cosine top-50 for one query embedding, by rank only
+    // (no score calibration across retrievers — RRF's whole point).
+    // documents.doc_id and embeddings.vec_id share an id domain, so
+    // the lists genuinely overlap. Each retriever keeps its
+    // corpus-never-shuffles shape; ranking the two 50-row lists is a
+    // single-partition window over bounded data (not a corpus
+    // window), and the fusion aggregates ≤ 100 rows.
+    "r01_rrf_fusion" -> ((s, d) => {
+      val bmList = Bm25.topK(Tables.documents(s, d), "doc_id",
+          TextOps.tokenize(col("text")), RrfTerms, k = RrfListN)
+        .select(col("doc_id").as("id"),
+          row_number().over(
+            Window.orderBy(col("score").desc, col("doc_id").asc))
+            .as("rn"))
+      val emb = Tables.embeddings(s, d)
+      val denseList = Similarity.bruteForceKnn(emb,
+          emb.filter(col("vec_id") === DenseQueryId), k = RrfListN)
+        .select(col("n_id").as("id"), col("rn"))
+      Retrieval.rrfFuse(Seq(bmList, denseList), k = RrfK, k0 = RrfK0)
+    }),
+
+    // Retrieve-then-rerank: 1-bit-per-dim Hamming scan produces a
+    // 50-candidate shortlist per query (1/32 the corpus bytes of a
+    // float scan), then ONLY those 500 candidate pairs pay the exact
+    // cosine kernel. The expensive metric never touches the corpus —
+    // the serving shape of every two-stage vector search.
+    "r02_rerank_exact" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val qs = emb.filter(col("vec_id") < 10)
+      val shortlist = Similarity.hammingTopK(emb, qs, k = RerankShortN)
+        .select(col("q_id"), col("n_id"))
+      Retrieval.rerankCosine(emb, qs, shortlist, k = RerankK)
+    })
+  )
+
+  /** Shared SQL fragments (each pack owns its mirrors — the
+    * established per-pack discipline).
+    */
+  private val tokSql = "list_filter(string_split(text, ' '), w -> len(w) > 0)"
+
+  private def dotSql(a: String, b: String): String =
+    s"""list_sum(list_transform(list_zip($a, $b),
+        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"""
+
+  private def normSql(a: String): String =
+    s"sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+  /** The 64-dim sign sketch as a 64-term CASE sum (the e13 idiom:
+    * bit 63 is the two's-complement sign bit, so its term is the
+    * long's MIN_VALUE literal).
+    */
+  private def sketchSql: String =
+    (0 until 64).map { i =>
+      val bit =
+        if (i == 63) "-9223372036854775808"
+        else (1L << i).toString
+      s"(CASE WHEN embedding[${i + 1}] >= 0 THEN $bit ELSE 0 END)"
+    }.mkString("(", " +\n             ", ")")
+
+  /** The BM25 CTE chain (t15's oracle, parameterized list size). */
+  private def bm25Ctes: String = {
+    val (k1, b) = (1.2, 0.75)
+    val tfCols = RrfTerms.indices.map(i =>
+      s"CAST(len(list_filter(t, x -> x = '${RrfTerms(i)}')) AS DOUBLE) AS tf$i")
+      .mkString(", ")
+    val dfAggs = RrfTerms.indices.map(i =>
+      s"""CAST(sum(CASE WHEN list_contains(t, '${RrfTerms(i)}')
+          THEN 1 ELSE 0 END) AS DOUBLE) AS df$i""").mkString(", ")
+    val score = RrfTerms.indices.map(i =>
+      s"""ln(1.0 + (n - df$i + 0.5) / (df$i + 0.5)) * tf$i * ${k1 + 1}
+          / (tf$i + $k1 * (${1 - b} + $b * dl / avgdl))""")
+      .mkString(" + ")
+    s"""toks AS (
+          SELECT doc_id, $tokSql AS t FROM documents),
+        stats AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n, avg(len(t)) AS avgdl,
+                 $dfAggs
+          FROM toks),
+        perdoc AS (
+          SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl, $tfCols
+          FROM toks),
+        bmscored AS (
+          SELECT doc_id, $score AS score FROM perdoc, stats),
+        bm AS (
+          SELECT doc_id AS id, CAST(row_number() OVER (
+            ORDER BY score DESC, doc_id) AS INTEGER) AS rn
+          FROM bmscored WHERE score > 0
+          ORDER BY score DESC, doc_id LIMIT $RrfListN)"""
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "r01_rrf_fusion" ->
+      s"""WITH $bm25Ctes,
+          q AS (
+            SELECT vec_id AS q_id, embedding AS q_vec
+            FROM embeddings WHERE vec_id = $DenseQueryId),
+          dscored AS (
+            SELECT e.vec_id AS n_id,
+                   ${dotSql("q_vec", "e.embedding")} /
+                   (${normSql("q_vec")} * ${normSql("e.embedding")}) AS cos
+            FROM embeddings e, q WHERE e.vec_id <> q_id),
+          dn AS (
+            SELECT n_id AS id, CAST(row_number() OVER (
+              ORDER BY cos DESC, n_id) AS INTEGER) AS rn
+            FROM dscored
+            ORDER BY cos DESC, n_id LIMIT $RrfListN),
+          u AS (
+            SELECT id, rn FROM bm
+            UNION ALL SELECT id, rn FROM dn)
+          SELECT id,
+                 sum(CAST(1 AS DOUBLE) / CAST($RrfK0 + rn AS DOUBLE))
+                   AS rrf_score,
+                 CAST(count(*) AS INTEGER) AS n_lists
+          FROM u GROUP BY id
+          ORDER BY rrf_score DESC, id LIMIT $RrfK""",
+    "r02_rerank_exact" ->
+      s"""WITH sk AS (
+            SELECT vec_id, $sketchSql AS s FROM embeddings),
+          qsk AS (
+            SELECT vec_id AS q_id, s AS q_sk FROM sk WHERE vec_id < 10),
+          hscored AS (
+            SELECT qsk.q_id, c.vec_id AS n_id,
+                   bit_count(xor(c.s, qsk.q_sk)) AS hamming
+            FROM sk c JOIN qsk ON c.vec_id <> qsk.q_id),
+          short AS (
+            SELECT q_id, n_id FROM (
+              SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+                ORDER BY hamming, n_id) AS rn
+              FROM hscored)
+            WHERE rn <= $RerankShortN),
+          qv AS (
+            SELECT vec_id AS q_id, embedding AS q_vec
+            FROM embeddings WHERE vec_id < 10),
+          rescored AS (
+            SELECT sh.q_id, sh.n_id,
+                   ${dotSql("qv.q_vec", "e.embedding")} /
+                   (${normSql("qv.q_vec")} * ${normSql("e.embedding")})
+                     AS cos
+            FROM short sh
+            JOIN embeddings e ON e.vec_id = sh.n_id
+            JOIN qv ON qv.q_id = sh.q_id),
+          ranked AS (
+            SELECT q_id, n_id, cos, CAST(row_number() OVER (
+              PARTITION BY q_id ORDER BY cos DESC, n_id) AS INTEGER)
+              AS rn
+            FROM rescored)
+          SELECT q_id, n_id, cos, rn FROM ranked WHERE rn <= $RerankK"""
+  )
+}

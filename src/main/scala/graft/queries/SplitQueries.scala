@@ -83,8 +83,28 @@ object SplitQueries {
     "sp07_epoch_upsample" -> ((s, d) =>
       Splits.epochUpsample(
         Tables.documents(s, d).select(col("doc_id"), col("source")),
-        "doc_id", "source", Salt, EpochFactors, defaultPct = 80))
+        "doc_id", "source", Salt, EpochFactors, defaultPct = 80)),
+
+    // DSIR data selection (Xie et al. 2023): pick the docs whose
+    // hashed uni+bigram distribution best matches the src0 target
+    // slice, by top-n fixed-point importance weight — both model
+    // fits in ONE corpus pass, scoring in-row against a 1024-long
+    // literal table, selection a TakeOrderedAndProject. Hash-verified
+    // end to end because the weight sum is integer arithmetic
+    // (order-free). This is the deterministic top-k variant; the
+    // Gumbel resampler (sampling ∝ weight, content-hash keys) is the
+    // same operator with resample = true, spec-pinned in DsirSpec
+    // because its chained-ln keys drift 1–4 ULP across libms.
+    "sp08_dsir_select" -> ((s, d) =>
+      graft.operators.Dsir.selectTopN(Tables.documents(s, d), "doc_id",
+        TextOps.tokenize(col("text")), col("source") === DsirTarget,
+        m = DsirBuckets, n = DsirN, salt = Salt, resample = false))
   )
+
+  /** sp08's model/selection parameters — shared with its oracle. */
+  private val DsirTarget = "src0"
+  private val DsirBuckets = 1024
+  private val DsirN = 150
 
   /** sp06's per-source sample size — shared with its oracle. */
   private val SampleK = 15L
@@ -185,6 +205,62 @@ object SplitQueries {
                  CAST(unnest(range(n)) AS INTEGER) AS copy
           FROM r"""
     },
+    // sp08: the exact fixed-point DSIR chain — bucket counts for raw
+    // and target in one pass, Laplace-smoothed ln ratios quantized to
+    // the 2^24 grid (floor after one multiply — exact both engines),
+    // per-doc INTEGER weight sums (order-free, so SQL's unordered
+    // SUM matches Spark's sequential fold bit-for-bit), dequantize by
+    // an exact power-of-two divide, deterministic Gumbel keys from
+    // the same 52-bit md5 uniform as the Spark side
+    "sp08_dsir_select" ->
+      s"""WITH toks AS (
+            SELECT doc_id, source,
+                   list_filter(string_split(text, ' '),
+                     w -> len(w) > 0) AS t
+            FROM documents),
+          feats AS (
+            SELECT doc_id, source,
+                   list_concat(t,
+                     CASE WHEN len(t) >= 2
+                          THEN list_transform(
+                            list_zip(list_slice(t, 1, len(t) - 1),
+                                     list_slice(t, 2, len(t))),
+                            p -> p[1] || '_' || p[2])
+                          ELSE CAST([] AS VARCHAR[]) END) AS f
+            FROM toks),
+          fb AS (
+            SELECT doc_id, source,
+                   unnest(list_transform(f,
+                     x -> CAST(('0x' || substring(md5(x), 1, 8))
+                       AS BIGINT) % $DsirBuckets)) AS b
+            FROM feats),
+          cnt AS (
+            SELECT b, count(*) AS cr,
+                   sum(CASE WHEN source = '$DsirTarget'
+                       THEN 1 ELSE 0 END) AS ct
+            FROM fb GROUP BY b),
+          tot AS (
+            SELECT CAST(sum(cr) AS BIGINT) AS totr,
+                   CAST(sum(ct) AS BIGINT) AS tott
+            FROM cnt),
+          ratio AS (
+            SELECT b,
+                   CAST(floor((
+                     ln(CAST(ct + 1 AS DOUBLE) /
+                        CAST(tott + $DsirBuckets AS DOUBLE))
+                   - ln(CAST(cr + 1 AS DOUBLE) /
+                        CAST(totr + $DsirBuckets AS DOUBLE)))
+                     * 16777216.0) AS BIGINT) AS qr
+            FROM cnt, tot),
+          w AS (
+            SELECT t.doc_id, coalesce(s.q, 0) AS q
+            FROM toks t LEFT JOIN (
+              SELECT fb.doc_id, CAST(sum(qr) AS BIGINT) AS q
+              FROM fb JOIN ratio USING (b)
+              GROUP BY fb.doc_id) s USING (doc_id))
+          SELECT doc_id AS id, CAST(q AS DOUBLE) / 16777216.0 AS logw
+          FROM w
+          ORDER BY logw DESC, id LIMIT $DsirN""",
     // unit costs ⇒ the running-sum semantics reduce to per-source
     // row_number ≤ K in (rk, doc_id) priority order
     "sp06_per_source_sample" ->
