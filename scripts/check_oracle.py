@@ -36,8 +36,16 @@ def main():
         files = glob.glob(f"{d}/*.parquet")
         got = pd.concat([pd.read_parquet(f) for f in files]) if files \
             else pd.DataFrame()
+        if list(got.columns) == ["__verify_error"]:
+            # graft.Verify writes this sentinel when the query crashed.
+            print(f"  [FAIL-crash] {name}: query raised at runtime")
+            n_fail += 1
+            continue
         if name not in oracle:
-            print(f"  [rows-only] {name}: {len(got)} rows")
+            tag = "rows-only" if len(got) > 0 else "FAIL-0row"
+            if len(got) == 0:
+                n_fail += 1
+            print(f"  [{tag}] {name}: {len(got)} rows")
             continue
         try:
             exp = con.sql(oracle[name]).df()
@@ -74,6 +82,16 @@ def main():
                    str(list(e.columns))) if not ok_schema else \
                   (f"rowcount {len(g)} vs {len(e)}" if not ok_rows else msg)
             print(f"  [FAIL      ] {name}: {why}")
+    # Optional 3rd arg mirrors graft.Verify's prefix filter: when a
+    # subset was run, only those prefixes are expected on disk.
+    prefixes = sys.argv[3].split(",") if len(sys.argv) > 3 else None
+    missing = [k for k in oracle
+               if not os.path.isdir(os.path.join(out_dir, k))
+               and (prefixes is None
+                    or any(k.startswith(p) for p in prefixes))]
+    for k in sorted(missing):
+        print(f"  [FAIL-miss ] {k}: no output written")
+    n_fail += len(missing)
     print(f"{n_pass} pass, {n_fail} fail")
     sys.exit(1 if n_fail else 0)
 

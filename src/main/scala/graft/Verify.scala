@@ -18,6 +18,16 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // Fail-loud sentinel: a crashed query must not vanish from the
+        // gate. Write a 0-row frame whose schema can never match an
+        // oracle (and whose rowcount fails a rows-only check), so the
+        // driver's compare records an explicit fail instead of
+        // omitting the entry.
+        try {
+          import spark.implicits._
+          Seq.empty[String].toDF("__verify_error")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case _: Throwable => () }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
