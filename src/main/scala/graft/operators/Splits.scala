@@ -160,8 +160,11 @@ object Splits {
     * two, so bucket order IS priority order) and per-(group, bucket)
     * cost sums roll up to a `groups × buckets` prefix table — tiny,
     * broadcast — that decides whole buckets: `keep` when its prefix
-    * plus its own sum fits the budget, `drop` when the prefix alone
-    * is already over. Only the single boundary bucket per group
+    * plus its own sum stays strictly under the budget, `drop` when
+    * the prefix alone is already over (a total exactly equal to the
+    * budget is an `edge` case: a zero-cost bucket tail sits exactly
+    * on the boundary there, and the exact window drops it). Only the
+    * boundary bucket per group
     * (~1/`buckets` of the group) pays the exact per-row running sum,
     * and the full-keep rows never shuffle at all.
     *
@@ -185,8 +188,13 @@ object Splits {
       .agg(sum(col(costCol)).as("__bsum"))
       .withColumn("__before",
         coalesce(sum(col("__bsum")).over(byBucket), lit(0L)))
+      // keep must be STRICT (<): when a bucket's cumulative total
+      // lands exactly on the budget, a zero-cost row at the bucket
+      // tail has strict-prefix sum == budget — the exact window drops
+      // it, so the whole-bucket fast path may not keep it. The
+      // equality case routes through the exact per-row edge path.
       .withColumn("__state",
-        when(col("__before") + col("__bsum") <= budget, lit("keep"))
+        when(col("__before") + col("__bsum") < budget, lit("keep"))
           .when(col("__before") >= budget, lit("drop"))
           .otherwise(lit("edge")))
       .select(col(groupCol), col("__bkt"), col("__state"), col("__before"))

@@ -1100,6 +1100,72 @@ object DedupQueries {
               PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS INTEGER) AS rn
             FROM scored)
           SELECT q_id, n_id, cos, rn FROM ranked WHERE rn <= 10""",
+    // r03: the retrieval-quality report is pure post-processing of
+    // two rankings the gate already hash-verifies (e01 exact, e02
+    // LSH), so its oracle just composes those two queries' CTEs and
+    // replays the metrics math: recall@10 = |exact∩approx|/10 per
+    // query; MRR = 1/approx-rank of the true nearest (exact rn = 1),
+    // 0 on a miss. count/10.0 and 1.0/rn are single correctly-rounded
+    // IEEE divides of integer-valued operands — engine-portable, so
+    // this data-dependent metric hashes exactly at any SF.
+    "r03_retrieval_metrics" ->
+      s"""WITH q AS (
+            SELECT vec_id AS q_id, embedding AS q_vec
+            FROM embeddings WHERE vec_id < 10),
+          ex_scored AS (
+            SELECT q_id, e.vec_id AS n_id,
+                   ${dotSql("q_vec", "e.embedding")} /
+                   (${normSql("q_vec")} * ${normSql("e.embedding")}) AS cos
+            FROM embeddings e, q WHERE e.vec_id <> q_id),
+          ex AS (
+            SELECT q_id, n_id, rn FROM (
+              SELECT q_id, n_id, CAST(row_number() OVER (
+                PARTITION BY q_id ORDER BY cos DESC, n_id ASC)
+                AS INTEGER) AS rn
+              FROM ex_scored)
+            WHERE rn <= 10),
+          c AS (
+            SELECT vec_id AS n_id, embedding AS n_vec FROM embeddings),
+          cb AS (
+            SELECT n_id, generate_subscripts(bk, 1) AS t, unnest(bk) AS bkt
+            FROM (SELECT n_id, ${bucketsSql("n_vec", 4, 16)} AS bk FROM c)),
+          qb AS (
+            SELECT q_id, generate_subscripts(bk, 1) AS t, unnest(bk) AS bkt
+            FROM (SELECT q_id, ${bucketsSql("q_vec", 4, 16)} AS bk FROM q)),
+          cand AS (
+            SELECT DISTINCT q_id, n_id
+            FROM cb JOIN qb ON cb.t = qb.t AND cb.bkt = qb.bkt
+            WHERE n_id <> q_id),
+          ap_scored AS (
+            SELECT cand.q_id, cand.n_id,
+                   ${dotSql("q_vec", "n_vec")} /
+                   (${normSql("q_vec")} * ${normSql("n_vec")}) AS cos
+            FROM cand
+            JOIN c ON cand.n_id = c.n_id
+            JOIN q ON cand.q_id = q.q_id),
+          ap AS (
+            SELECT q_id, n_id, rn FROM (
+              SELECT q_id, n_id, CAST(row_number() OVER (
+                PARTITION BY q_id ORDER BY cos DESC, n_id ASC)
+                AS INTEGER) AS rn
+              FROM ap_scored)
+            WHERE rn <= 10),
+          hits AS (
+            SELECT ex.q_id, ex.rn, ap.rn AS a_rn
+            FROM ex JOIN ap ON ex.q_id = ap.q_id AND ex.n_id = ap.n_id),
+          recall AS (
+            SELECT q_id, CAST(count(*) AS DOUBLE) / CAST(10 AS DOUBLE)
+                     AS recall_at_k
+            FROM hits GROUP BY 1),
+          rr AS (
+            SELECT q_id, 1.0 / CAST(a_rn AS DOUBLE) AS mrr
+            FROM hits WHERE rn = 1)
+          SELECT base.q_id,
+                 coalesce(recall.recall_at_k, 0.0) AS recall_at_k,
+                 coalesce(rr.mrr, 0.0) AS mrr
+          FROM (SELECT DISTINCT q_id FROM ex) base
+          LEFT JOIN recall ON base.q_id = recall.q_id
+          LEFT JOIN rr ON base.q_id = rr.q_id""",
     "e08_ivf_scoring" -> ivfScoringOracleSql,
     // e16 is result-identical to e08 by construction (persisted
     // index, same centroids/assignment/scoring) — same oracle.

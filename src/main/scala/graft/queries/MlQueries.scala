@@ -60,10 +60,21 @@ object MlQueries {
     */
   def warmFeaturized(s: SparkSession): Unit = { featurized(s).count(); () }
 
+  /** One (algo, accuracy, f1, train_n, test_n) row per trainer — only
+    * the run-to-run-deterministic columns, so the row can be pinned
+    * behind a literal DuckDB oracle (wall-clock timings stay on the
+    * [[TweetPipeline.EvalResult]] the apps print). Bit-stability of
+    * the raw doubles across runs, JVMs and local[4/8/32] partitioning
+    * was measured with [[graft.tools.DeterminismProbe]]; the inputs
+    * are the repo's tweet CSV fixture (sfDir-independent), so the
+    * pinned values hold at every SF the gate runs.
+    */
   private def evalDf(s: SparkSession, algo: String): DataFrame = {
     import s.implicits._
     val res = TweetPipeline.trainEval(algo, featurized(s))
     Seq(res).toDF()
+      .select(col("algo"), col("accuracy"), col("f1"),
+        col("trainN").as("train_n"), col("testN").as("test_n"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -160,7 +171,36 @@ object MlQueries {
   // (verified: '' -> [''], 'a  b  ' -> ['a','','b']).
   private val tokSql = """str_split_regex(rtrim(clean), '\s')"""
 
+  /** Literal oracle row for a trainer: the exact shortest-roundtrip
+    * doubles measured by DeterminismProbe (bit-stable across runs,
+    * JVMs, and local[4/8/32]; sfDir-independent inputs). VARCHAR →
+    * CAST keeps the decimal parse correctly rounded (the planeSqlArr
+    * discipline in [[DedupQueries]]). m07's GD metrics are NOT pinned
+    * this way: 300 treeAggregate iterations amplify reduce-order
+    * float jitter (measured unstable), so m07 stays rows-only with
+    * its golden-curve spec.
+    */
+  private def trainerOracle(algo: String, acc: String, f1: String,
+                            trainN: Long, testN: Long): String =
+    s"""SELECT '$algo' AS algo,
+        CAST('$acc' AS DOUBLE) AS accuracy,
+        CAST('$f1' AS DOUBLE) AS f1,
+        CAST($trainN AS BIGINT) AS train_n,
+        CAST($testN AS BIGINT) AS test_n"""
+
   val oracleSql: Map[String, String] = Map(
+    "m01_ml_logreg" -> trainerOracle("lr",
+      "0.766859344894027", "0.7535722043016353", 6056L, 1557L),
+    "m02_ml_naivebayes" -> trainerOracle("nb",
+      "0.775208734746307", "0.7754532442804323", 6056L, 1557L),
+    "m03_ml_linearsvc" -> trainerOracle("svc",
+      "0.7700706486833655", "0.7649736309281439", 6056L, 1557L),
+    "m04_ml_dectree" -> trainerOracle("dt",
+      "0.6075786769428388", "0.5039363468776682", 6056L, 1557L),
+    "m05_ml_randforest" -> trainerOracle("rf",
+      "0.5998715478484264", "0.48846119255109877", 6056L, 1557L),
+    "m06_ml_gbt" -> trainerOracle("gbt",
+      "0.7225433526011561", "0.698837801613344", 6056L, 1557L),
     "s01_csv_clean" ->
       s"""SELECT id, $cleanSql AS clean,
           length($cleanSql) AS length
