@@ -22,7 +22,7 @@ object SparkEntry {
       FeatureQueries.queries ++ MultimodalQueries.queries ++
       StreamQueries.queries ++ CurationQueries.queries ++
       TemporalQueries.queries ++ SplitQueries.queries ++
-      RetrievalQueries.queries
+      RetrievalQueries.queries ++ BpeQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -32,5 +32,5 @@ object SparkEntry {
       FeatureQueries.oracleSql ++ MultimodalQueries.oracleSql ++
       StreamQueries.oracleSql ++ CurationQueries.oracleSql ++
       TemporalQueries.oracleSql ++ SplitQueries.oracleSql ++
-      RetrievalQueries.oracleSql
+      RetrievalQueries.oracleSql ++ BpeQueries.oracleSql
 }

@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed byte-pair-encoding (BPE) tokenizer training and
+  * encoding — the subword-tokenizer workload of a training-data
+  * pipeline (Sennrich et al. 2016, "Neural Machine Translation of
+  * Rare Words with Subword Units"; the reference's NLP scope stops at
+  * word tokens, `utils/prep_ml.py:8-16`, so this is an engine-added
+  * capability like dedup/similarity).
+  *
+  * Scale shape, in execution order:
+  *  - The corpus is scanned ONCE, into the distinct-word frequency
+  *    table ([[vocab]]) — the classic BPE reduction: pair statistics
+  *    are word-internal, so everything after this aggregate runs on
+  *    the vocabulary, orders of magnitude smaller than the corpus.
+  *  - Each merge iteration is one pair-count shuffle over the vocab
+  *    plus a 1-row TakeOrderedAndProject argmax collected to the
+  *    driver. Driver state per iteration is a 2-string merge rule —
+  *    the same bounded-collect contract as the gradient-descent
+  *    trainers' coefficient vector, not data.
+  *  - The iterated vocab frame is lineage-truncated with
+  *    `localCheckpoint` every `checkpointEvery` rounds (the d06/d09
+  *    connected-components discipline), so a production merge count
+  *    (30k+) cannot build an unbounded plan or replay the whole
+  *    replace chain per iteration.
+  *  - Encoding ([[encode]]) applies the learned rules as a chain of
+  *    in-row non-regex `replace` calls — stateless, codegen'd, zero
+  *    shuffle: the 100 TB path. The rule list is folded into the plan
+  *    as literals, bounded by [[MaxPlanMerges]] (the t12 plan-literal
+  *    contract).
+  *
+  * Merge semantics: symbols are stored boundary-marked — "cat" ⇒
+  * `#c##a##t#` — so the merge of (l, r) is the plain string replace
+  * `#l##r#` → `#lr#`. Both Spark and DuckDB apply `replace`
+  * leftmost-non-overlapping, which is exactly greedy left-to-right
+  * BPE merge application ("a a a" merges to ["aa", "a"]), and the
+  * word-boundary `"# #"` can never match an intra-word `##` pattern,
+  * so merges cannot cross words. `#` is safe as a marker because the
+  * tokenizer emits letters-only tokens (`text/TextOps.scala:31`).
+  */
+object Bpe {
+
+  /** One learned merge rule; `rank` is the 1-based merge order. */
+  final case class Merge(rank: Int, lhs: String, rhs: String, freq: Long)
+
+  /** Plan-literal ceiling for [[encode]]: each rule adds one nested
+    * `replace` node, and Catalyst stalls on plans tens of thousands
+    * of nodes deep. Production-sized rule sets (30k+) should instead
+    * loop `encode` over ≤MaxPlanMerges-sized slices with a
+    * `localCheckpoint` between slices.
+    */
+  val MaxPlanMerges = 4096
+
+  private val Sep = "#"
+
+  /** word → boundary-marked symbol string: "cat" ⇒ "#c##a##t#". */
+  def mark(word: Column): Column =
+    concat(lit(Sep), array_join(split(word, ""), Sep + Sep), lit(Sep))
+
+  /** marked symbol string → symbol array: "#c##at#" ⇒ [c, at]. */
+  def symbols(marked: Column): Column =
+    split(trim(marked, Sep), Sep + Sep)
+
+  /** Corpus → (marked, freq) word-frequency table — the single
+    * corpus-sized shuffle of training.
+    */
+  def vocab(docs: DataFrame, tokens: Column): DataFrame =
+    docs.select(explode(tokens).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(mark(col("word")).as("marked"), col("freq"))
+
+  private def applyMerge(marked: Column, lhs: String, rhs: String): Column =
+    replace(marked,
+      lit(Sep + lhs + Sep + Sep + rhs + Sep),
+      lit(Sep + lhs + rhs + Sep))
+
+  /** Learn `numMerges` merge rules over `docs`. Ties in pair
+    * frequency break by (lhs, rhs) ascending — deterministic across
+    * partitionings and engines. Stops early if the vocabulary runs
+    * out of adjacent pairs (single-symbol words only).
+    */
+  def trainMerges(docs: DataFrame, tokens: Column, numMerges: Int,
+                  checkpointEvery: Int = 16): Seq[Merge] = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    require(checkpointEvery >= 1,
+      s"checkpointEvery must be >= 1, got $checkpointEvery")
+    // eager localCheckpoint: materializes the corpus aggregate so the
+    // per-iteration pair counts replay replaces, never the corpus scan
+    var v = vocab(docs, tokens).localCheckpoint()
+    val out = Seq.newBuilder[Merge]
+    var k = 1
+    var exhausted = false
+    while (k <= numMerges && !exhausted) {
+      val best = v
+        .select(col("freq"),
+          explode(Ngrams.ngramsInRow(symbols(col("marked")), 2))
+            .as("gram"))
+        .select(col("freq"),
+          split(col("gram"), " ").getItem(0).as("lhs"),
+          split(col("gram"), " ").getItem(1).as("rhs"))
+        .groupBy(col("lhs"), col("rhs"))
+        .agg(sum(col("freq")).as("pf"))
+        .orderBy(col("pf").desc, col("lhs").asc, col("rhs").asc)
+        .limit(1)
+        .collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, pf) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        out += Merge(k, l, r, pf)
+        v = v.withColumn("marked", applyMerge(col("marked"), l, r))
+        if (k % checkpointEvery == 0) v = v.localCheckpoint()
+        k += 1
+      }
+    }
+    out.result()
+  }
+
+  /** Encode a token array with a learned rule list: every word is
+    * boundary-marked, words join on a single space (which no merge
+    * pattern can span), and the rules apply in rank order as chained
+    * in-row replaces. Returns the encoded marked string; use
+    * [[pieceCount]] for the subword count.
+    */
+  def encode(tokens: Column, merges: Seq[Merge]): Column = {
+    require(merges.size <= MaxPlanMerges,
+      s"${merges.size} merge rules exceed the $MaxPlanMerges plan-literal " +
+        "ceiling; apply in slices with checkpoints between them")
+    val marked = array_join(transform(tokens, w => mark(w)), " ")
+    merges.sortBy(_.rank).foldLeft(marked)((c, m) =>
+      applyMerge(c, m.lhs, m.rhs))
+  }
+
+  /** Subword count of an [[encode]] result: every `##` separates two
+    * pieces of one word and every word is one piece plus its `##`
+    * count, so pieces = n_tokens + occurrences of `##` (an empty
+    * document yields 0 + 0). Counted by length delta — plain string
+    * ops, no regex, no split-array allocation.
+    */
+  def pieceCount(tokens: Column, encoded: Column): Column =
+    (size(tokens) +
+      ((length(encoded) -
+        length(replace(encoded, lit(Sep + Sep), lit("")))) / 2)
+        .cast("int")).as("n_pieces")
+}

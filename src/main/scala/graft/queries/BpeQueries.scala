@@ -1,0 +1,117 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.Bpe
+import graft.text.TextOps
+
+/** BPE tokenizer-training pack over the `documents` table — see
+  * [[graft.operators.Bpe]] for the operator and its scale shape.
+  *
+  * Oracle note: the trainer is iterative, but the iteration count is
+  * a fixed config, so the whole fit unrolls into a DuckDB CTE chain
+  * (one pair-count + argmax + replace round per CTE triple — the same
+  * unrolled-fixed-point pattern as e18's iterated k-means). Both
+  * engines break pair-frequency ties by (lhs, rhs) ascending and
+  * apply merges via leftmost-non-overlapping plain `replace`, so the
+  * learned rules — and every downstream encoding — are exact-equal.
+  */
+object BpeQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Merge rounds the queries train. Bounded by design: each round is
+    * one vocab-sized shuffle in Spark and one CTE triple in the
+    * oracle SQL.
+    */
+  val NumMerges = 12
+
+  private val tokSql =
+    "list_filter(string_split(text, ' '), w -> len(w) > 0)"
+
+  val queries: Map[String, Q] = Map(
+    // Train: corpus → word-freq vocab (one shuffle) → 12 argmax+merge
+    // rounds (vocab-sized each) → the learned rule table.
+    "bpe01_train_merges" -> ((s, d) => {
+      import s.implicits._
+      val merges = Bpe.trainMerges(
+        Tables.documents(s, d), TextOps.tokenize($"text"), NumMerges)
+      merges.toDF().select(
+        $"rank".as("merge_rank"), $"lhs", $"rhs", $"freq")
+    }),
+
+    // Encode: apply the learned rules corpus-wide as chained in-row
+    // replaces — zero-shuffle scan, the 100 TB path.
+    "bpe02_encode_pieces" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val toks = TextOps.tokenize($"text")
+      val merges = Bpe.trainMerges(docs, toks, NumMerges)
+      docs.select(
+        $"doc_id",
+        size(toks).as("n_tokens"),
+        Bpe.pieceCount(toks, Bpe.encode(toks, merges)).as("n_pieces"))
+    }))
+
+  /** CTE chain: v0 = char-marked word-freq vocab; per round k,
+    * p_k = adjacent-pair counts, b_k = argmax rule, v_k = vocab with
+    * the rule applied.
+    */
+  private def mergeCtes(n: Int): String = {
+    val sb = new StringBuilder
+    // NB: no generated line may start with "||" — these fragments are
+    // interpolated into outer stripMargin templates, and a second
+    // stripMargin pass would eat the first pipe of a leading "||".
+    sb.append(
+      s"""v0 AS (
+         |  SELECT concat('#',
+         |    array_to_string(string_split(word, ''), '##'), '#') AS marked,
+         |         count(*) AS freq
+         |  FROM (SELECT unnest($tokSql) AS word FROM documents)
+         |  GROUP BY 1)""".stripMargin)
+    for (k <- 1 to n) sb.append(
+      s""",
+         |p$k AS (
+         |  SELECT syms[i] AS lhs, syms[i + 1] AS rhs, sum(freq) AS pf
+         |  FROM (SELECT freq, syms, unnest(range(1, len(syms))) AS i
+         |        FROM (SELECT freq,
+         |                string_split(trim(marked, '#'), '##') AS syms
+         |              FROM v${k - 1}))
+         |  GROUP BY 1, 2),
+         |b$k AS (SELECT lhs, rhs, pf FROM p$k
+         |        ORDER BY pf DESC, lhs ASC, rhs ASC LIMIT 1),
+         |v$k AS (
+         |  SELECT replace(marked, '#' || lhs || '##' || rhs || '#',
+         |                 '#' || lhs || rhs || '#') AS marked, freq
+         |  FROM v${k - 1}, b$k)""".stripMargin)
+    sb.toString
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "bpe01_train_merges" -> {
+      val rows = (1 to NumMerges).map(k =>
+        s"""SELECT CAST($k AS INTEGER) AS merge_rank, lhs, rhs,
+           |       CAST(pf AS BIGINT) AS freq FROM b$k""".stripMargin)
+        .mkString("\nUNION ALL\n")
+      s"WITH ${mergeCtes(NumMerges)}\nSELECT * FROM (\n$rows)"
+    },
+    "bpe02_encode_pieces" -> {
+      val froms = (1 to NumMerges).map(k => s"b$k AS m$k").mkString(", ")
+      val enc = (1 to NumMerges).foldLeft("dm.marked")((c, k) =>
+        s"""replace($c, '#' || m$k.lhs || '##' || m$k.rhs || '#',
+           |  '#' || m$k.lhs || m$k.rhs || '#')""".stripMargin)
+      s"""WITH ${mergeCtes(NumMerges)},
+         |dm AS (
+         |  SELECT doc_id, len(toks) AS n_tokens,
+         |         array_to_string(list_transform(toks,
+         |           w -> '#' || array_to_string(string_split(w, ''), '##')
+         |                  || '#'), ' ') AS marked
+         |  FROM (SELECT doc_id, $tokSql AS toks FROM documents))
+         |SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+         |  CAST(n_tokens +
+         |    (length(enc) - length(replace(enc, '##', ''))) // 2
+         |    AS INTEGER) AS n_pieces
+         |FROM (SELECT dm.doc_id, dm.n_tokens, $enc AS enc
+         |      FROM dm, $froms)""".stripMargin
+    })
+}

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Bpe
+import graft.text.TextOps
+
+/** Golden-value tests for the BPE trainer/encoder — merge order,
+  * tie-breaks, greedy overlap handling, and encode/count parity are
+  * all hand-computed on paper fixtures.
+  */
+class BpeSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def docs(texts: String*) = {
+    import spark.implicits._
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+  }
+
+  // Word freqs: low:4 lower:2 lowest:1 newest:2. Hand-derived rounds:
+  //  1. (l,o) 7   — ties (o,w) 7, lhs asc
+  //  2. (lo,w) 7
+  //  3. (e,s) 3   — ties (low,e) and (s,t) 3, lhs asc
+  //  4. (es,t) 3
+  //  5. (e,r) 2   — five-way tie at 2, (lhs,rhs) asc
+  test("trainMerges learns the hand-computed rule sequence") {
+    val d = docs("low low low lower lower", "lowest low newest newest")
+    val merges =
+      Bpe.trainMerges(d, TextOps.tokenize(col("text")), 5)
+    assert(merges.map(m => (m.rank, m.lhs, m.rhs, m.freq)) == Seq(
+      (1, "l", "o", 7L), (2, "lo", "w", 7L), (3, "e", "s", 3L),
+      (4, "es", "t", 3L), (5, "e", "r", 2L)))
+  }
+
+  test("merge application is greedy left-to-right on overlapping pairs") {
+    val d = docs("aaa aaa")
+    val merges = Bpe.trainMerges(d, TextOps.tokenize(col("text")), 2)
+    // (a,a) appears twice per "aaa" (overlap counted, as in Sennrich's
+    // reference counter) x freq 2; the merge itself is leftmost-greedy
+    // so "aaa" -> [aa, a], enabling (aa, a) next round.
+    assert(merges.map(m => (m.lhs, m.rhs, m.freq)) ==
+      Seq(("a", "a", 4L), ("aa", "a", 2L)))
+    import spark.implicits._
+    val toks = TextOps.tokenize(col("text"))
+    val pieces = d.select(
+      Bpe.pieceCount(toks, Bpe.encode(toks, merges)).as("p"))
+      .as[Int].collect()
+    // both rules applied: "aaa" -> [aa, a] -> [aaa]; two words, one
+    // piece each
+    assert(pieces.toSeq == Seq(2))
+  }
+
+  test("encode splits exactly at learned boundaries; counts match") {
+    import spark.implicits._
+    val train = docs("low low low lower lower", "lowest low newest newest")
+    val merges =
+      Bpe.trainMerges(train, TextOps.tokenize(col("text")), 5)
+    val enc = docs("low lower lowest newest")
+      .select(Bpe.encode(TextOps.tokenize(col("text")), merges).as("e"))
+      .as[String].collect().head
+    // low -> [low]; lower -> [low, er]; lowest -> [low, est];
+    // newest -> [n, e, w, est]
+    assert(enc ==
+      "#low# #low##er# #low##est# #n##e##w##est#")
+    val toks = TextOps.tokenize(col("text"))
+    val counted = docs("low lower lowest newest", "")
+      .select(Bpe.pieceCount(toks, Bpe.encode(toks, merges)).as("p"))
+      .as[Int].collect()
+    assert(counted.toSeq == Seq(9, 0)) // 1 + 2 + 2 + 4; empty doc -> 0
+  }
+
+  test("encode is lossless: stripping markers reconstructs the text") {
+    import spark.implicits._
+    val d = docs("low lower lowest newest unseen words qqq")
+    val merges =
+      Bpe.trainMerges(d, TextOps.tokenize(col("text")), 6)
+    val rebuilt = d.select(
+      regexp_replace(regexp_replace(
+          Bpe.encode(TextOps.tokenize(col("text")), merges),
+          "##", ""),
+        "#", "").as("r"))
+      .as[String].collect().head
+    assert(rebuilt == "low lower lowest newest unseen words qqq")
+  }
+}
