@@ -104,6 +104,19 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("bpe02 encode is a zero-shuffle in-row scan") {
+    // The encode path is the 100 TB face of the BPE pack: the learned
+    // rules fold into the plan as literal replace chains, so the doc
+    // scan must stay exchange-free and codegen'd. An Exchange here
+    // means encoding started shuffling the corpus.
+    val plan = PlanSummary.finalPlanString(
+      SparkEntry.queries("bpe02_encode_pieces")(spark, sf))
+    assert(!plan.contains("Exchange"),
+      s"bpe02 encode gained a shuffle:\n$plan")
+    assert(PlanSummary.wscSpans(plan) >= 1,
+      s"bpe02 encode lost codegen:\n$plan")
+  }
+
   test("finalPlanString reads the post-AQE plan, not the initial one") {
     val df = SparkEntry.queries("q01_agg_pricing")(spark, sf)
     // before execution the AQE string has no codegen markers — the
