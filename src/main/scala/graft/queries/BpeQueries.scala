@@ -61,6 +61,21 @@ object BpeQueries {
         $"doc_id",
         size(toks).as("n_tokens"),
         Bpe.pieceCount(toks, Bpe.encode(toks, merges)).as("n_pieces"))
+    }),
+
+    // Vocab dump: the trained subword inventory with corpus
+    // occurrence counts — the artifact a tokenizer ships. Same shape
+    // as training's word-freq reduce plus one in-row encode.
+    "bpe03_vocab" -> ((s, d) => {
+      import s.implicits._
+      val merges = trainedMerges(s, d)
+      Tables.documents(s, d)
+        .select(explode(TextOps.tokenize($"text")).as("word"))
+        .groupBy($"word").agg(count(lit(1)).as("freq"))
+        .select(explode(Bpe.symbols(
+            Bpe.encode(array($"word"), merges))).as("piece"),
+          $"freq")
+        .groupBy($"piece").agg(sum($"freq").as("occurrences"))
     }))
 
   /** CTE chain: v0 = char-marked word-freq vocab; per round k,
@@ -73,7 +88,7 @@ object BpeQueries {
     // interpolated into outer stripMargin templates, and a second
     // stripMargin pass would eat the first pipe of a leading "||".
     sb.append(
-      s"""v0 AS (
+      s"""v0 AS MATERIALIZED (
          |  SELECT concat('#',
          |    array_to_string(string_split(word, ''), '##'), '#') AS marked,
          |         count(*) AS freq
@@ -81,16 +96,16 @@ object BpeQueries {
          |  GROUP BY 1)""".stripMargin)
     for (k <- 1 to n) sb.append(
       s""",
-         |p$k AS (
+         |p$k AS MATERIALIZED (
          |  SELECT syms[i] AS lhs, syms[i + 1] AS rhs, sum(freq) AS pf
          |  FROM (SELECT freq, syms, unnest(range(1, len(syms))) AS i
          |        FROM (SELECT freq,
          |                string_split(trim(marked, '#'), '##') AS syms
          |              FROM v${k - 1}))
          |  GROUP BY 1, 2),
-         |b$k AS (SELECT lhs, rhs, pf FROM p$k
+         |b$k AS MATERIALIZED (SELECT lhs, rhs, pf FROM p$k
          |        ORDER BY pf DESC, lhs ASC, rhs ASC LIMIT 1),
-         |v$k AS (
+         |v$k AS MATERIALIZED (
          |  SELECT replace(marked, '#' || lhs || '##' || rhs || '#',
          |                 '#' || lhs || rhs || '#') AS marked, freq
          |  FROM v${k - 1}, b$k)""".stripMargin)
@@ -105,13 +120,20 @@ object BpeQueries {
         .mkString("\nUNION ALL\n")
       s"WITH ${mergeCtes(NumMerges)}\nSELECT * FROM (\n$rows)"
     },
+    "bpe03_vocab" ->
+      s"""WITH ${mergeCtes(NumMerges)}
+         |SELECT piece, CAST(sum(freq) AS BIGINT) AS occurrences
+         |FROM (SELECT unnest(string_split(trim(marked, '#'), '##'))
+         |        AS piece, freq
+         |      FROM v$NumMerges)
+         |GROUP BY 1""".stripMargin,
     "bpe02_encode_pieces" -> {
       val froms = (1 to NumMerges).map(k => s"b$k AS m$k").mkString(", ")
       val enc = (1 to NumMerges).foldLeft("dm.marked")((c, k) =>
         s"""replace($c, '#' || m$k.lhs || '##' || m$k.rhs || '#',
            |  '#' || m$k.lhs || m$k.rhs || '#')""".stripMargin)
       s"""WITH ${mergeCtes(NumMerges)},
-         |dm AS (
+         |dm AS MATERIALIZED (
          |  SELECT doc_id, len(toks) AS n_tokens,
          |         array_to_string(list_transform(toks,
          |           w -> '#' || array_to_string(string_split(w, ''), '##')

@@ -75,6 +75,25 @@ class BpeSpec extends AnyFunSuite {
     assert(counted.toSeq == Seq(9, 0)) // 1 + 2 + 2 + 4; empty doc -> 0
   }
 
+  test("vocab pieces carry hand-computed corpus occurrence weights") {
+    import spark.implicits._
+    val train = docs("low low low lower lower", "lowest low newest newest")
+    val merges =
+      Bpe.trainMerges(train, TextOps.tokenize(col("text")), 5)
+    val vocab = train
+      .select(explode(TextOps.tokenize(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(explode(Bpe.symbols(
+          Bpe.encode(array(col("word")), merges))).as("piece"),
+        col("freq"))
+      .groupBy(col("piece")).agg(sum(col("freq")).as("occ"))
+      .as[(String, Long)].collect().toMap
+    // low:[low] x4, lower:[low,er] x2, lowest:[low,est] x1,
+    // newest:[n,e,w,est] x2
+    assert(vocab == Map("low" -> 7L, "er" -> 2L, "est" -> 3L,
+      "n" -> 2L, "e" -> 2L, "w" -> 2L))
+  }
+
   test("encode is lossless: stripping markers reconstructs the text") {
     import spark.implicits._
     val d = docs("low lower lowest newest unseen words qqq")
