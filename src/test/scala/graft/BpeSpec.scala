@@ -94,6 +94,74 @@ class BpeSpec extends AnyFunSuite {
       "n" -> 2L, "e" -> 2L, "w" -> 2L))
   }
 
+  /** Independent in-test reference: naive driver-side BPE over a
+    * word-frequency map — list-of-symbols state, explicit greedy
+    * left-to-right merge application, (-count, lhs, rhs) argmax.
+    * Shares no code with the operator, so agreement pins the
+    * semantics, not the implementation.
+    */
+  private def refBpe(words: Map[String, Long], n: Int)
+      : (Seq[(String, String, Long)], Map[String, List[String]]) = {
+    var syms: Map[String, List[String]] =
+      words.keys.map(w => w -> w.toList.map(_.toString)).toMap
+    val rules = Seq.newBuilder[(String, String, Long)]
+    var k = 0
+    var done = false
+    while (k < n && !done) {
+      val counts = scala.collection.mutable.Map
+        .empty[(String, String), Long].withDefaultValue(0L)
+      for ((w, ss) <- syms; i <- 0 until ss.length - 1)
+        counts((ss(i), ss(i + 1))) += words(w)
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, r), c) =
+          counts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+        rules += ((l, r, c))
+        syms = syms.map { case (w, ss) =>
+          val buf = scala.collection.mutable.ListBuffer.empty[String]
+          var i = 0
+          while (i < ss.length) {
+            if (i + 1 < ss.length && ss(i) == l && ss(i + 1) == r) {
+              buf += l + r; i += 2
+            } else { buf += ss(i); i += 1 }
+          }
+          w -> buf.toList
+        }
+        k += 1
+      }
+    }
+    (rules.result(), syms)
+  }
+
+  test("random corpora: trainMerges + encode agree with a naive " +
+      "driver-side reference implementation") {
+    import org.scalacheck.Gen
+    import spark.implicits._
+    val wordGen = Gen.chooseNum(1, 6)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')))
+      .map(_.mkString)
+    val corpusGen = Gen.chooseNum(3, 12)
+      .flatMap(n => Gen.listOfN(n, wordGen))
+    val cases = Iterator.continually(corpusGen.sample).flatten.take(8)
+    for (words <- cases) {
+      val freqs = words.groupBy(identity).view
+        .mapValues(_.size.toLong).toMap
+      val (expRules, expSyms) = refBpe(freqs, 4)
+      val d = docs(words.mkString(" "))
+      val toks = TextOps.tokenize(col("text"))
+      val got = Bpe.trainMerges(d, toks, 4)
+      assert(got.map(m => (m.lhs, m.rhs, m.freq)) == expRules,
+        s"rules diverged for corpus $words")
+      val enc = d.select(Bpe.encode(toks, got).as("e"))
+        .as[String].collect().head
+      val gotSyms = if (enc.isEmpty) Nil
+        else enc.split(" ").toList.map(m =>
+          m.stripPrefix("#").stripSuffix("#").split("##").toList)
+      assert(gotSyms == words.map(expSyms),
+        s"encode diverged for corpus $words")
+    }
+  }
+
   test("encode is lossless: stripping markers reconstructs the text") {
     import spark.implicits._
     val d = docs("low lower lowest newest unseen words qqq")
