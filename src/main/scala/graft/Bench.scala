@@ -24,6 +24,14 @@ object Bench {
     try graft.queries.MlQueries.warmFeaturized(spark)
     catch { case e: Throwable =>
       System.err.println(s"[bench] featurization warmup FAILED: $e") }
+    // RDDs pinned before the measured loop starts (the warm featurized
+    // cache) survive the whole run; anything a query pins AFTER that —
+    // its own persists and localCheckpoint blocks — is swept when the
+    // query finishes. Round 8 showed why: checkpoint blocks leaked by
+    // d06/d09/d10/bpe01 inflated later queries 7-9x over their
+    // dedicated-run times (d06 40.9 s sequential vs 4.5 s dedicated).
+    val sc = spark.sparkContext
+    val keepIds = sc.getPersistentRDDs.keySet
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // untimed GC between queries: without it a query's time includes
       // collection debt left by its predecessor (m07 after the GBT
@@ -38,7 +46,12 @@ object Bench {
           errors += name
           false
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val dt = (System.nanoTime() - t0) / 1e9
+      // untimed sweep of this query's leftover pinned storage
+      sc.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!keepIds.contains(id)) rdd.unpersist(blocking = false)
+      }
+      name -> (if (ok) dt else -1.0)
     }
     def fmt(v: Double, dec: Int): String =
       s"%.${dec}f".formatLocal(java.util.Locale.ROOT, v)

@@ -11,6 +11,13 @@ object Verify {
     val spark = graft.core.Sessions.local("graft-verify",
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
     new java.io.File(outDir).mkdirs()
+    // Sweep each query's leftover pinned storage (persists +
+    // localCheckpoint blocks) once its output is written — a 130-query
+    // session otherwise accumulates every checkpoint ever taken
+    // (see Bench.scala / core/Checkpoints.scala). Pre-existing pins
+    // (none today) would be preserved via the keepIds snapshot.
+    val sc = spark.sparkContext
+    val keepIds = sc.getPersistentRDDs.keySet
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
       .foreach { case (name, fn) =>
@@ -28,6 +35,9 @@ object Verify {
           Seq.empty[String].toDF("__verify_error")
             .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
         } catch { case _: Throwable => () }
+      }
+      finally sc.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!keepIds.contains(id)) rdd.unpersist(blocking = false)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -37,8 +37,18 @@ import org.apache.spark.sql.functions._
   * leftmost-non-overlapping, which is exactly greedy left-to-right
   * BPE merge application ("a a a" merges to ["aa", "a"]), and the
   * word-boundary `"# #"` can never match an intra-word `##` pattern,
-  * so merges cannot cross words. `#` is safe as a marker because the
-  * tokenizer emits letters-only tokens (`text/TextOps.scala:31`).
+  * so merges cannot cross words.
+  *
+  * CALLER CONTRACT: input tokens must not contain the `#` marker —
+  * a `#` inside a token would collide with symbol boundaries and
+  * silently corrupt merge application and piece counts. `tokenize`
+  * alone does NOT guarantee this (it only splits on whitespace);
+  * run `TextOps.clean` first (strips all non-letters — what
+  * [[graft.queries.BpeQueries]] does) or pre-filter the marker.
+  * [[vocab]] enforces the contract fail-loud at vocabulary scale
+  * (one distinct-word check, not a corpus scan), which also covers
+  * training end-to-end; [[encode]] on an unvetted corpus with
+  * externally-supplied rules trusts the caller.
   */
 object Bpe {
 
@@ -46,12 +56,19 @@ object Bpe {
   final case class Merge(rank: Int, lhs: String, rhs: String, freq: Long)
 
   /** Plan-literal ceiling for [[encode]]: each rule adds one nested
-    * `replace` node, and Catalyst stalls on plans tens of thousands
-    * of nodes deep. Production-sized rule sets (30k+) should instead
-    * loop `encode` over ≤MaxPlanMerges-sized slices with a
-    * `localCheckpoint` between slices.
+    * `replace` node, and the REAL limit is the codegen recursion
+    * stack, not Catalyst node count — `StringReplace.doGenCode`
+    * recurses ~6 JVM frames per nested rule, and a measured 500-deep
+    * chain overflows a default-`-Xss` JVM with a fatal
+    * `StackOverflowError` that Spark's interpreted-fallback cannot
+    * catch (BpeSpec's beyond-the-ceiling test found this; the round-8
+    * value of 4096 assumed node-count was the bound and was never
+    * executed). 256 is measured-safe with 2× margin and composes
+    * with surrounding plan expressions. Production-sized rule sets
+    * (30k+) go through [[encodeSliced]], which loops ≤MaxPlanMerges
+    * slices with a `localCheckpoint` between them.
     */
-  val MaxPlanMerges = 4096
+  val MaxPlanMerges = 256
 
   private val Sep = "#"
 
@@ -64,12 +81,22 @@ object Bpe {
     split(trim(marked, Sep), Sep + Sep)
 
   /** Corpus → (marked, freq) word-frequency table — the single
-    * corpus-sized shuffle of training.
+    * corpus-sized shuffle of training. Fail-loud marker guard: every
+    * distinct corpus word flows through here, so one vocab-sized
+    * `raise_error` check (post-aggregate — cheap) catches a
+    * contract-violating `#` token anywhere in the corpus before it
+    * can corrupt a merge.
     */
   def vocab(docs: DataFrame, tokens: Column): DataFrame =
     docs.select(explode(tokens).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-      .select(mark(col("word")).as("marked"), col("freq"))
+      .select(
+        when(contains(col("word"), lit(Sep)), raise_error(concat(
+            lit("Bpe: token contains the '" + Sep + "' boundary marker: "),
+            col("word"),
+            lit(" — clean the corpus first (see Bpe caller contract)"))))
+          .otherwise(mark(col("word"))).as("marked"),
+        col("freq"))
 
   private def applyMerge(marked: Column, lhs: String, rhs: String): Column =
     replace(marked,
@@ -87,8 +114,13 @@ object Bpe {
     require(checkpointEvery >= 1,
       s"checkpointEvery must be >= 1, got $checkpointEvery")
     // eager localCheckpoint: materializes the corpus aggregate so the
-    // per-iteration pair counts replay replaces, never the corpus scan
+    // per-iteration pair counts replay replaces, never the corpus scan.
+    // `lastCp` tracks the one live snapshot: every re-checkpoint frees
+    // its predecessor (Checkpoints.roll) and the final one is freed on
+    // exit — training returns only driver-side rules, so it pins zero
+    // executor storage after it returns.
     var v = vocab(docs, tokens).localCheckpoint()
+    var lastCp = v
     val out = Seq.newBuilder[Merge]
     var k = 1
     var exhausted = false
@@ -111,10 +143,14 @@ object Bpe {
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         out += Merge(k, l, r, pf)
         v = v.withColumn("marked", applyMerge(col("marked"), l, r))
-        if (k % checkpointEvery == 0) v = v.localCheckpoint()
+        if (k % checkpointEvery == 0) {
+          v = graft.core.Checkpoints.roll(v, lastCp)
+          lastCp = v
+        }
         k += 1
       }
     }
+    graft.core.Checkpoints.release(lastCp)
     out.result()
   }
 
@@ -131,6 +167,45 @@ object Bpe {
     val marked = array_join(transform(tokens, w => mark(w)), " ")
     merges.sortBy(_.rank).foldLeft(marked)((c, m) =>
       applyMerge(c, m.lhs, m.rhs))
+  }
+
+  /** Production-sized encode: apply an arbitrarily long rule list
+    * (30k+ merges — a real tokenizer) by slicing it into
+    * ≤`sliceSize`-rule chunks and `localCheckpoint`ing between
+    * chunks, so no single plan exceeds the [[MaxPlanMerges]]
+    * plan-literal ceiling and the replace chain never replays from
+    * the corpus scan. This is the loop the [[MaxPlanMerges]] scaladoc
+    * promises; spec-verified against the naive reference encoder at
+    * 256+ merges (BpeSpec).
+    *
+    * Storage discipline: each slice pins exactly one checkpoint and
+    * frees the previous ([[graft.core.Checkpoints.roll]]), so a 30k-
+    * rule encode holds O(corpus), not O(corpus × slices). The
+    * returned frame is backed by the final checkpoint — callers that
+    * are done with it can `Checkpoints.release` it.
+    *
+    * Trade-off vs [[encode]]: checkpointing materializes the corpus
+    * per slice, so for rule lists under the ceiling the single-plan
+    * zero-materialization [[encode]] is strictly better; this path
+    * exists for rule lists that cannot fit one plan.
+    */
+  def encodeSliced(docs: DataFrame, tokens: Column, merges: Seq[Merge],
+                   outCol: String = "encoded",
+                   sliceSize: Int = MaxPlanMerges): DataFrame = {
+    require(sliceSize >= 1 && sliceSize <= MaxPlanMerges,
+      s"sliceSize must be in [1, $MaxPlanMerges], got $sliceSize")
+    val marked = array_join(transform(tokens, w => mark(w)), " ")
+    val slices = merges.sortBy(_.rank).grouped(sliceSize).toSeq
+    slices.zipWithIndex.foldLeft(docs.withColumn(outCol, marked)) {
+      case (df, (slice, i)) =>
+        val applied = df.withColumn(outCol,
+          slice.foldLeft(col(outCol))((c, m) => applyMerge(c, m.lhs, m.rhs)))
+        // last slice stays lazy: the caller's consumption materializes
+        // it once; checkpointing here would pay an extra full pass
+        if (i == slices.size - 1) applied
+        else if (i == 0) applied.localCheckpoint()
+        else graft.core.Checkpoints.roll(applied, df)
+    }
   }
 
   /** Subword count of an [[encode]] result: every `##` separates two

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.core.Checkpoints
 import graft.text.Analysis
 
 /** Deduplication operators for training-data pipelines.
@@ -581,12 +582,14 @@ object Dedup {
         .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
         .groupBy(col("src")).agg(min(col("label")).as("nmin"))
         .withColumnRenamed("src", "node")
-      val merged = labels
+      // roll: the eager checkpoint materializes this round before the
+      // previous round's blocks are freed — O(1) pinned storage across
+      // the loop instead of one pinned label table per round.
+      val merged = Checkpoints.roll(labels
         .join(nbrMin, Seq("node"), "left")
         .select(col("node"), col("label").as("old"),
           least(col("label"), coalesce(col("nmin"), col("label")))
-            .as("label"))
-        .localCheckpoint()
+            .as("label")), labels)
       changed = merged.filter(col("label") < col("old")).count()
       labels = merged.select(col("node"), col("label"))
       iter += 1
@@ -686,6 +689,9 @@ object Dedup {
       val next = smallStar(largeStar(edges)).localCheckpoint()
       val nNext = next.count()
       converged = nNext == n && next.exceptAll(edges).isEmpty
+      // the fixpoint check above was this round's last read of the old
+      // edge snapshot — free its blocks so the loop pins O(1) storage
+      Checkpoints.release(edges)
       edges = next
       n = nNext
       iter += 1
@@ -704,6 +710,8 @@ object Dedup {
       if (converged) edges
       else {
         val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+        // the edge list now lives on the driver; free the pinned copy
+        Checkpoints.release(edges)
         val parent = scala.collection.mutable.Map.empty[Long, Long]
         def find(x: Long): Long = {
           var r = x

@@ -26,8 +26,26 @@ object BpeQueries {
     */
   val NumMerges = 12
 
+  /** Corpus tokenizer: `clean` (lowercase, strip URLs/@mentions, all
+    * non-letters → space) before `tokenize` — this is what upholds
+    * Bpe's no-`#`-in-tokens caller contract for ANY corpus content,
+    * not just the letters-only fixtures, and it normalizes every
+    * whitespace run to single spaces so the oracle's space-split
+    * tokenizer below is exactly equivalent.
+    */
+  private def bpeTokens(text: org.apache.spark.sql.Column) =
+    TextOps.tokenize(TextOps.clean(text))
+
+  /** Oracle mirror of [[bpeTokens]]: the Catalyst `clean` chain
+    * re-expressed for DuckDB (RE2 — char-equivalent on BMP text, the
+    * MlQueries.cleanSql argument), then split on the single space
+    * `clean` guarantees. Empty tokens dropped on both sides.
+    */
+  private val cleanSql =
+    """ltrim(regexp_replace(regexp_replace(lower(text),
+       '(?:@|https?://)\S+', '', 'g'), '[^a-zA-Z]', ' ', 'g'))"""
   private val tokSql =
-    "list_filter(string_split(text, ' '), w -> len(w) > 0)"
+    s"list_filter(string_split($cleanSql, ' '), w -> len(w) > 0)"
 
   /** One training per fixture dir: the learned rules are a tiny
     * session-independent Seq (driver data, deterministic in the
@@ -39,7 +57,7 @@ object BpeQueries {
   private def trainedMerges(s: SparkSession, d: String): Seq[Bpe.Merge] =
     mergeCache.computeIfAbsent(d, dir =>
       Bpe.trainMerges(Tables.documents(s, dir),
-        TextOps.tokenize(col("text")), NumMerges))
+        bpeTokens(col("text")), NumMerges))
 
   val queries: Map[String, Q] = Map(
     // Train: corpus → word-freq vocab (one shuffle) → 12 argmax+merge
@@ -55,7 +73,7 @@ object BpeQueries {
     "bpe02_encode_pieces" -> ((s, d) => {
       import s.implicits._
       val docs = Tables.documents(s, d)
-      val toks = TextOps.tokenize($"text")
+      val toks = bpeTokens($"text")
       val merges = trainedMerges(s, d)
       docs.select(
         $"doc_id",
@@ -70,7 +88,7 @@ object BpeQueries {
       import s.implicits._
       val merges = trainedMerges(s, d)
       Tables.documents(s, d)
-        .select(explode(TextOps.tokenize($"text")).as("word"))
+        .select(explode(bpeTokens($"text")).as("word"))
         .groupBy($"word").agg(count(lit(1)).as("freq"))
         .select(explode(Bpe.symbols(
             Bpe.encode(array($"word"), merges))).as("piece"),
@@ -94,6 +112,17 @@ object BpeQueries {
          |         count(*) AS freq
          |  FROM (SELECT unnest($tokSql) AS word FROM documents)
          |  GROUP BY 1)""".stripMargin)
+    // b_k is TOTAL: if round k has no adjacent pairs left (p_k empty
+    // — the vocabulary merged down to single symbols), it yields the
+    // sentinel rule ('', '', pf=-1) instead of zero rows. The
+    // sentinel's replace pattern '#####' needs five consecutive '#',
+    // and a marked vocab row has runs of at most two ('##' between
+    // symbols, single '#' at the boundaries), so applying it is a
+    // no-op — v_k = v_{k-1} instead of the empty frame that would
+    // otherwise zero every downstream CTE. Real pair frequencies are
+    // always >= 1, so `ORDER BY pf DESC` prefers any real pair and
+    // `WHERE pf > 0` (bpe01) drops sentinels, matching Spark's
+    // early-stopped rule list exactly.
     for (k <- 1 to n) sb.append(
       s""",
          |p$k AS MATERIALIZED (
@@ -103,8 +132,11 @@ object BpeQueries {
          |                string_split(trim(marked, '#'), '##') AS syms
          |              FROM v${k - 1}))
          |  GROUP BY 1, 2),
-         |b$k AS MATERIALIZED (SELECT lhs, rhs, pf FROM p$k
-         |        ORDER BY pf DESC, lhs ASC, rhs ASC LIMIT 1),
+         |b$k AS MATERIALIZED (
+         |  SELECT lhs, rhs, pf FROM (
+         |    SELECT lhs, rhs, pf FROM p$k
+         |    UNION ALL SELECT '', '', CAST(-1 AS HUGEINT))
+         |  ORDER BY pf DESC, lhs ASC, rhs ASC LIMIT 1),
          |v$k AS MATERIALIZED (
          |  SELECT replace(marked, '#' || lhs || '##' || rhs || '#',
          |                 '#' || lhs || rhs || '#') AS marked, freq
@@ -116,7 +148,8 @@ object BpeQueries {
     "bpe01_train_merges" -> {
       val rows = (1 to NumMerges).map(k =>
         s"""SELECT CAST($k AS INTEGER) AS merge_rank, lhs, rhs,
-           |       CAST(pf AS BIGINT) AS freq FROM b$k""".stripMargin)
+           |       CAST(pf AS BIGINT) AS freq FROM b$k
+           |WHERE pf > 0""".stripMargin)
         .mkString("\nUNION ALL\n")
       s"WITH ${mergeCtes(NumMerges)}\nSELECT * FROM (\n$rows)"
     },

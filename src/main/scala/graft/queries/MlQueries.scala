@@ -179,6 +179,16 @@ object MlQueries {
     * this way: 300 treeAggregate iterations amplify reduce-order
     * float jitter (measured unstable), so m07 stays rows-only with
     * its golden-curve spec.
+    *
+    * ENVIRONMENT PIN: the probe's stability evidence covers this
+    * machine's stack only (Temurin-style OpenJDK 17 on linux/amd64,
+    * Spark 4.1.2's bundled JVM-only BLAS — no native
+    * netlib/OpenBLAS). A different JVM vendor/major or a native BLAS
+    * backend may round a dot product differently, flip one of the
+    * 1557 test predictions, and move accuracy/f1 by ~6.4e-4 — far
+    * beyond the gate's 1e-9 tolerance. If the gate ever runs on a
+    * heterogeneous fleet, band these oracles (accuracy within ±2/1557)
+    * instead of pinning bit-exact literals.
     */
   private def trainerOracle(algo: String, acc: String, f1: String,
                             trainN: Long, testN: Long): String =

@@ -162,6 +162,76 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("256-merge training + sliced encode agree with the naive " +
+      "reference (the production merge-count path)") {
+    import spark.implicits._
+    // deterministic corpus rich enough to sustain 256 merge rounds:
+    // 400 distinct words, lengths 4-10 over a 6-letter alphabet
+    val rnd = new scala.util.Random(7)
+    val words = Seq.fill(400)(
+      Seq.fill(4 + rnd.nextInt(7))(('a' + rnd.nextInt(6)).toChar).mkString)
+      .distinct
+    val freqs = words.map(w => w -> (1L + rnd.nextInt(5))).toMap
+    val corpus = freqs.toSeq.sortBy(_._1)
+      .flatMap { case (w, f) => Seq.fill(f.toInt)(w) }
+    val d = docs(corpus.grouped(80).map(_.mkString(" ")).toSeq: _*)
+    val toks = TextOps.tokenize(col("text"))
+    val (expRules, expSyms) = refBpe(freqs, 256)
+    assert(expRules.size == 256,
+      "fixture must sustain the full 256 rounds")
+    val got = Bpe.trainMerges(d, toks, 256)
+    assert(got.map(m => (m.lhs, m.rhs, m.freq)) == expRules)
+    // sliced encode (32-rule slices -> 8 checkpointed chunks) must be
+    // byte-identical to the single-plan encode AND to the reference
+    val sliced = Bpe.encodeSliced(d, toks, got, "enc", sliceSize = 32)
+      .select(col("doc_id"), col("enc"))
+    val single = d.select(col("doc_id"), Bpe.encode(toks, got).as("enc"))
+    val sl = sliced.as[(Long, String)].collect().sortBy(_._1)
+    assert(sl.toSeq == single.as[(Long, String)].collect().sortBy(_._1).toSeq)
+    val gotSyms = sl.flatMap(_._2.split(" ")).map(m =>
+      m.stripPrefix("#").stripSuffix("#").split("##").toList)
+    val expFlat = corpus.grouped(80).flatMap(_.map(expSyms)).toSeq
+    assert(gotSyms.toSeq == expFlat)
+  }
+
+  test("encodeSliced handles rule lists beyond the plan-literal " +
+      "ceiling with a bounded final plan") {
+    import org.apache.spark.sql.execution.LogicalRDD
+    import spark.implicits._
+    // 5000 synthetic no-op rules (symbols disjoint from the corpus
+    // alphabet) — more than MaxPlanMerges, so single-plan encode
+    // refuses them and the sliced path is the only way through
+    val rules = (1 to 5000).map(k => Bpe.Merge(k, "zz", "qq", 1L))
+    assertThrows[IllegalArgumentException] {
+      Bpe.encode(col("t"), rules)
+    }
+    val d = docs("ab cd", "ef")
+    val toks = TextOps.tokenize(col("text"))
+    val sliced = Bpe.encodeSliced(d, toks, rules, "enc", sliceSize = 250)
+    // lineage is truncated: the final plan hangs off a checkpoint
+    // (LogicalRDD leaf), carrying only the last slice's replaces —
+    // not a 5000-replace expression tree
+    assert(sliced.queryExecution.analyzed.collectLeaves()
+      .exists(_.isInstanceOf[LogicalRDD]))
+    val out = sliced.select(col("doc_id"), col("enc"))
+      .as[(Long, String)].collect().sortBy(_._1).map(_._2)
+    assert(out.toSeq == Seq("#a##b# #c##d#", "#e##f#"))
+  }
+
+  test("vocab fails loud on tokens containing the boundary marker") {
+    val d = docs("clean words but one bad#token sneaks in")
+    val e = intercept[Exception] {
+      Bpe.trainMerges(d, TextOps.tokenize(col("text")), 2)
+    }
+    val msgs = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).map(t => String.valueOf(t.getMessage)).toSeq
+    assert(msgs.exists(_.contains("boundary marker")), msgs.mkString(" | "))
+    // and the documented remedy — clean before tokenize — trains fine
+    val merges = Bpe.trainMerges(d,
+      TextOps.tokenize(TextOps.clean(col("text"))), 2)
+    assert(merges.size == 2)
+  }
+
   test("encode is lossless: stripping markers reconstructs the text") {
     import spark.implicits._
     val d = docs("low lower lowest newest unseen words qqq")
