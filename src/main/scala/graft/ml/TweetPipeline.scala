@@ -88,11 +88,16 @@ object TweetPipeline {
       case "rf"  => new RandomForestClassifier() // Trees.py:102
       // Trees.py:103 — defaults, deliberately: the reference runs
       // GBTClassifier() bare, so maxIter=20 sequential boosting
-      // rounds over the ~2^18-dim sparse TF-IDF matrix is the
-      // reference-faithful config. The ~26 s bench cost is spark.ml
+      // rounds over the 13,893-dim sparse TF-IDF matrix is the
+      // reference-faithful config. The ~30 s bench cost is spark.ml
       // ensemble internals (per-tree binning/split search), not a
       // plan this engine owns; trimming maxIter/maxDepth would be
       // benchmarking a different model than BASELINE.md's.
+      // Round 9 (tools.GbtProbe, SCALE.md): repartitioning the
+      // 1-partition featurized input to 8 was measured and rejected —
+      // it makes the fitted trees nondeterministic run-to-run
+      // (breaking every pinned m01–m06 literal oracle) and slows
+      // LinearSVC 3.4× for a ~2× GBT gain.
       case "gbt" => new GBTClassifier()
       case other => throw new IllegalArgumentException(
         s"unknown algorithm: $other")

@@ -1166,6 +1166,11 @@ object DedupQueries {
           FROM (SELECT DISTINCT q_id FROM ex) base
           LEFT JOIN recall ON base.q_id = recall.q_id
           LEFT JOIN rr ON base.q_id = rr.q_id""",
+    // e05 trains its coarse quantizer with spark.ml k-means|| — not
+    // SQL-expressible, so the result rows themselves are the oracle:
+    // DeterminismProbe-stable across runs/core counts, pinned per
+    // fixture via tools.OracleDump (see E05Oracle's scaladoc).
+    "e05_knn_ivf" -> E05Oracle.sql,
     "e08_ivf_scoring" -> ivfScoringOracleSql,
     // e16 is result-identical to e08 by construction (persisted
     // index, same centroids/assignment/scoring) — same oracle.
