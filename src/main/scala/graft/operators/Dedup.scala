@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Checkpoints
 import graft.text.Analysis
@@ -912,5 +913,70 @@ object Dedup {
       .select(col("x.id").as("a"), col("y.id").as("b"),
         lit(0).as("dist"))
     cross.union(same)
+  }
+
+  /** Cross-document exact duplicated-substring spans — the windowed,
+    * distributable form of ExactSubstr dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499). Unlike near-dup pair listing (d02/d03, which
+    * judges WHOLE documents similar) this finds the exact REGIONS
+    * shared between otherwise-different documents — boilerplate,
+    * quoted passages, license headers — so a curation pass can cut
+    * the span and keep the rest of the document.
+    *
+    * Semantics: every length-`window` token run is an occurrence;
+    * occurrences of content appearing ≥ 2 times corpus-wide are
+    * duplicates, EXCEPT the one canonical occurrence (lexicographic
+    * min (doc, pos) — "keep first, cut the rest", the same policy as
+    * d01's keep-min exact dedup). Per document, surviving duplicate
+    * positions whose windows overlap or touch merge into maximal
+    * spans (gaps-and-islands). Returns (doc_id, span_start, span_end,
+    * n_tokens), positions 1-based inclusive.
+    *
+    * Scale shape: Lee et al.'s suffix array is a single-machine
+    * construction; the windowed hash form is the standard distributed
+    * approximation (it finds every duplicated run ≥ `window` tokens,
+    * as the union of its duplicated windows). The shuffle carries
+    * (doc, pos, 16-byte md5) — never text; the frequency aggregate is
+    * map-side combinable; the canonical pick rides the same aggregate
+    * as a packed min; span merging windows over pos PARTITIONED BY
+    * doc — no global window anywhere. Positions pack into
+    * doc·2^20+pos for the single-column min, bounding docs at 2^20
+    * windows (≈1M tokens) — enforced, not assumed.
+    */
+  def substringSpans(docs: DataFrame, idCol: String, tokens: Column,
+                     window: Int = 5): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    val W = window
+    val t = docs.select(col(idCol).cast("long").as("doc_id"),
+        tokens.as("__toks"))
+      .filter(size(col("__toks")) >= W)
+    // hash every window IN-ROW (transform before posexplode), so the
+    // explode duplicates 16-byte digests, not token arrays
+    val occ = t.select(col("doc_id"), posexplode(transform(
+        sequence(lit(1), size(col("__toks")) - W + 1),
+        p => md5(concat_ws(" ", slice(col("__toks"), p, lit(W)))))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("h"))
+    val packed = when(col("pos") < lit(1048576L),
+      col("doc_id") * lit(1048576L) + col("pos"))
+      .otherwise(raise_error(
+        lit("substringSpans: doc exceeds 2^20 windows")).cast("long"))
+    val freq = occ.groupBy("h").agg(count(lit(1)).as("__c"),
+      min(packed).as("__canon"))
+    val marked = occ.join(freq, "h")
+      .filter(col("__c") >= 2 && packed =!= col("__canon"))
+      .select("doc_id", "pos")
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val brk = when(col("pos") >
+      coalesce(lag(col("pos"), 1).over(byDoc), lit(-W.toLong)) + W,
+      1).otherwise(0)
+    marked.withColumn("__island",
+        sum(brk).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("__island"))
+      .agg(min("pos").as("span_start"),
+        (max("pos") + W - 1).as("span_end"),
+        (max("pos") + W - min("pos")).as("n_tokens"))
+      .select("doc_id", "span_start", "span_end", "n_tokens")
   }
 }

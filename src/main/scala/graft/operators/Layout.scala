@@ -78,6 +78,33 @@ object Layout {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Write `df` as an external table bucketed (and per-bucket
+    * sorted) on `key` — hash-pre-shuffled ONCE at write time. Every
+    * later equi-join or aggregation on `key` between tables sharing
+    * a bucket count reads co-located partitions and plans with NO
+    * Exchange: the strategy a 100 TB fact⋈fact join relies on when
+    * neither side broadcasts and the join repeats across jobs (the
+    * write amortizes the shuffle over every subsequent read).
+    *
+    * The pre-write `repartition(buckets, key)` uses the same
+    * murmur3-hash partitioning as the bucket spec, so each bucket's
+    * rows land in exactly one task → one file per bucket — the layout
+    * that makes the write-time sort order trustworthy (with several
+    * files per bucket there IS no single order, which is why modern
+    * Spark re-sorts within buckets by default; the legacy
+    * `bucketedTableScan.outputOrdering` conf elides even that given
+    * this layout — both plan shapes asserted in BucketingSpec).
+    */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+      buckets: Int, key: String): Unit = {
+    val s = df.sparkSession
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    df.repartition(buckets, col(key))
+      .write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .option("path", path).saveAsTable(table)
+  }
+
   /** Compact a parquet directory to ~`targetRows`-row files: the
     * antidote to the small-files problem (a 100 TB table written by
     * thousands of tasks accumulates millions of KB-sized files whose

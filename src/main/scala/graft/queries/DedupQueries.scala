@@ -153,6 +153,18 @@ object DedupQueries {
           col("split_a"), col("split_b"))
     }),
 
+    // Cross-document exact duplicated-substring spans (Lee et al.
+    // 2022 ExactSubstr, windowed): every 5-token run occurring ≥ 2
+    // times corpus-wide is cut everywhere but its first occurrence;
+    // surviving positions merge into maximal per-doc spans. The
+    // region-level complement of d02/d03's whole-document pair
+    // listing — finds shared boilerplate inside otherwise-different
+    // docs. Shuffles (doc, pos, md5) only; span merge windows
+    // per-doc.
+    "d15_substring_spans" -> ((s, d) =>
+      Dedup.substringSpans(Tables.documents(s, d), "doc_id",
+        docTokens(s), window = 5)),
+
     // Fuzzy key self-join (edit distance ≤ 1) via the FastSS deletion
     // neighborhood — complete candidates from an equi-join on in-row
     // deletion variants, exact levenshtein confirm on candidates
@@ -975,6 +987,44 @@ object DedupQueries {
               ON x.v = y.v AND x.doc_id < y.doc_id)
           SELECT a, b, CAST(levenshtein(ka, kb) AS INTEGER) AS dist
           FROM cand WHERE levenshtein(ka, kb) <= 1""",
+    // d15: identical window-hash → frequency → keep-first → islands
+    // chain; the span merge is standard SQL gaps-and-islands (break
+    // when the previous duplicated position can no longer overlap,
+    // i.e. pos > prev + W)
+    "d15_substring_spans" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  list_filter(string_split(text, ' '),
+                    w -> len(w) > 0) AS toks
+           FROM documents),
+         occ AS (
+           SELECT doc_id, CAST(p AS BIGINT) AS pos,
+                  md5(array_to_string(toks[p:p+4], ' ')) AS h
+           FROM t, unnest(range(1, len(toks) - 3)) AS u(p)
+           WHERE len(toks) >= 5),
+         freq AS (
+           SELECT h, count(*) AS c,
+                  min(doc_id * 1048576 + pos) AS canon
+           FROM occ GROUP BY h),
+         marked AS (
+           SELECT o.doc_id, o.pos FROM occ o JOIN freq f ON o.h = f.h
+           WHERE f.c >= 2 AND o.doc_id * 1048576 + o.pos <> f.canon),
+         isl AS (
+           SELECT doc_id, pos,
+                  CASE WHEN pos > coalesce(lag(pos) OVER
+                         (PARTITION BY doc_id ORDER BY pos), -5) + 5
+                       THEN 1 ELSE 0 END AS brk
+           FROM marked),
+         grp AS (
+           SELECT doc_id, pos,
+                  sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS UNBOUNDED PRECEDING) AS island
+           FROM isl)
+         SELECT doc_id, min(pos) AS span_start,
+                max(pos) + 4 AS span_end,
+                max(pos) + 5 - min(pos) AS n_tokens
+         FROM grp GROUP BY doc_id, island""",
+
     // d13: the oracle ranks with a plain global window (fine at
     // oracle scale; the Spark side uses the distributed sort), pairs
     // ranks within the window, and restricts the same exact-Jaccard

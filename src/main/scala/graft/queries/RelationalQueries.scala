@@ -59,6 +59,31 @@ object RelationalQueries {
           round(sum($"o_totalprice"), 2).as("sum_price"))
     }),
 
+    // Bucketed co-located fact⋈fact join: both sides written ONCE as
+    // 8-bucket tables hashed+sorted on the join key, then joined with
+    // an explicit merge hint — the plan has NO Exchange before the
+    // join (asserted in BucketingSpec, incl. on this exact query),
+    // because bucketing pre-paid the shuffle at write time. This is
+    // the repeat-join strategy at 100 TB when neither fact broadcasts;
+    // the aggregate on top keeps the gate output small.
+    "bk01_bucketed_join" -> ((s, d) => {
+      import s.implicits._
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-bk-").toString
+      graft.operators.Layout.writeBucketed(
+        Tables.lineitem(s, d).select($"l_orderkey", $"l_quantity"),
+        "graft_bk_li", s"$base/li", buckets = 8, key = "l_orderkey")
+      graft.operators.Layout.writeBucketed(
+        Tables.orders(s, d).select($"o_orderkey", $"o_orderpriority"),
+        "graft_bk_ord", s"$base/ord", buckets = 8, key = "o_orderkey")
+      s.table("graft_bk_li").hint("merge")
+        .join(s.table("graft_bk_ord").hint("merge"),
+          $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum($"l_quantity"), 2).as("sum_qty"))
+    }),
+
     // J1 chained — 5-way star join, all dims broadcast.
     "q04_join_star" -> ((s, d) => {
       import s.implicits._
@@ -357,6 +382,14 @@ object RelationalQueries {
          round(sum(o_totalprice), 2) AS sum_price
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY c_mktsegment""",
+    // bk01: bucketing is a physical layout choice — the logical
+    // result is the plain join, which is exactly what the oracle
+    // checks
+    "bk01_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+         round(sum(l_quantity), 2) AS sum_qty
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority""",
     "q04_join_star" ->
       """SELECT r_name, n_name,
          round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue

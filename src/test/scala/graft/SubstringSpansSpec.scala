@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Dedup
+import graft.text.TextOps
+
+/** Hand-computable contracts for cross-document exact substring-span
+  * dedup (d15, Lee et al. 2022 windowed ExactSubstr). The DuckDB
+  * oracle proves engine parity on the corpus; these pin the policy
+  * semantics on planted fixtures: keep-first canonicalization, span
+  * merging across overlapping windows, island separation, and the
+  * no-overlap/min-length output invariants.
+  */
+class SubstringSpansSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def spans(docs: Seq[(Long, String)]): Map[Long, Seq[(Long, Long, Long)]] = {
+    import spark.implicits._
+    Dedup.substringSpans(docs.toDF("doc_id", "text"), "doc_id",
+        TextOps.tokenize(col("text")), window = 5)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted).toMap
+  }
+
+  test("shared passage: cut everywhere but its first occurrence, merged to one span") {
+    val out = spans(Seq(
+      1L -> "a b c d e f g h",
+      // shares the 6-token run "a b c d e f" at positions 3..8
+      2L -> "x y a b c d e f q r s"))
+    // doc 1 holds the canonical occurrences → untouched
+    assert(!out.contains(1L))
+    // doc 2: duplicated 5-windows at pos 3 and 4 merge into one span
+    // covering tokens 3..8 (6 tokens)
+    assert(out(2L) == Seq((3L, 8L, 6L)))
+  }
+
+  test("exact re-post: the whole later document is one span") {
+    val t = "x y a b c d e f q r s"
+    val out = spans(Seq(1L -> t, 2L -> t))
+    assert(!out.contains(1L))
+    assert(out(2L) == Seq((1L, 11L, 11L)))
+  }
+
+  test("within-document repetition counts: second occurrence in the SAME doc is cut") {
+    // "p q r s t" appears at pos 1 and again at pos 7 (gap "u" at 6)
+    val out = spans(Seq(1L -> "p q r s t u p q r s t"))
+    assert(out(1L) == Seq((7L, 11L, 5L)))
+  }
+
+  test("separated duplicated regions stay separate islands") {
+    val out = spans(Seq(
+      1L -> "a b c d e zz1 zz2 zz3 zz4 v w x y z",
+      // duplicates doc 1's prefix (pos 1..5) and suffix (pos 10..14)
+      // with different middles — two spans, not one
+      2L -> "a b c d e qq1 qq2 qq3 qq4 v w x y z"))
+    assert(!out.contains(1L))
+    assert(out(2L) == Seq((1L, 5L, 5L), (10L, 14L, 5L)))
+  }
+
+  test("docs shorter than the window are ignored; no spans without duplication") {
+    val out = spans(Seq(
+      1L -> "a b c",
+      2L -> "one two three four five six",
+      3L -> "seven eight nine ten eleven twelve"))
+    assert(out.isEmpty)
+  }
+
+  /** Independent driver-side reference: same policy, plain Scala
+    * collections, no hashing (grouped on raw window content) — any
+    * md5-collision or join/window bug in the distributed path would
+    * diverge from it.
+    */
+  private def naiveSpans(docs: Seq[(Long, Seq[String])],
+                         w: Int): Set[(Long, Long, Long, Long)] = {
+    val occ = for ((id, toks) <- docs if toks.length >= w;
+                   p <- 1 to toks.length - w + 1)
+      yield (id, p.toLong, toks.slice(p - 1, p - 1 + w).mkString(" "))
+    val marked = occ.groupBy(_._3).values.flatMap { os =>
+      if (os.size >= 2) {
+        val canon = os.map(o => (o._1, o._2)).min
+        os.map(o => (o._1, o._2)).filter(_ != canon)
+      } else Nil
+    }.toSeq
+    marked.groupBy(_._1).flatMap { case (id, ps) =>
+      val islands = ps.map(_._2).sorted
+        .foldLeft(List.empty[List[Long]]) {
+          case (Nil, p) => List(List(p))
+          case (cur :: rest, p) =>
+            if (p <= cur.head + w) (p :: cur) :: rest
+            else List(p) :: cur :: rest
+        }
+      islands.map { isl =>
+        val s = isl.min; val e = isl.max + w - 1
+        (id, s, e, e - s + 1)
+      }
+    }.toSet
+  }
+
+  test("random corpora match an independent naive reference (tiny vocab forces collisions)") {
+    import spark.implicits._
+    val vocab = Vector("a", "b", "c")
+    (1 to 8).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val docs = (0L until 10L).map { id =>
+        id -> Seq.fill(3 + rnd.nextInt(18))(vocab(rnd.nextInt(3)))
+      }
+      val got = Dedup.substringSpans(
+          docs.map { case (id, ts) => (id, ts.mkString(" ")) }
+            .toDF("doc_id", "text"),
+          "doc_id", TextOps.tokenize(col("text")), window = 3)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got == naiveSpans(docs, 3), s"seed=$seed")
+    }
+  }
+
+  test("corpus invariants: spans never overlap, length ≥ window, consistent arithmetic") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = Dedup.substringSpans(docs, "doc_id",
+        TextOps.tokenize(col("text")), window = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty) // the fixtures plant near-dups → spans exist
+    out.foreach { case (_, s, e, n) =>
+      assert(n == e - s + 1 && n >= 5)
+    }
+    out.groupBy(_._1).values.foreach { sp =>
+      sp.sortBy(_._2).sliding(2).foreach {
+        case Array((_, _, e1, _), (_, s2, _, _)) =>
+          // merged islands: a following span starts strictly past the
+          // previous one (touching windows would have merged)
+          assert(s2 > e1 + 1)
+        case _ => ()
+      }
+    }
+  }
+}
