@@ -979,4 +979,41 @@ object Dedup {
         (max("pos") + W - min("pos")).as("n_tokens"))
       .select("doc_id", "span_start", "span_end", "n_tokens")
   }
+
+  /** Apply [[substringSpans]]' cuts: rebuild every document with its
+    * duplicated spans removed — the "cut the span, keep the document"
+    * curation pass (vs d10's whole-document drop). Returns
+    * (doc_id, clean_text, n_removed); a doc whose entire text is a
+    * duplicated span survives as an empty string (dropping it is the
+    * caller's policy call), docs without spans pass through intact.
+    *
+    * Scale shape: the span list is duplication-sized, far smaller
+    * than the corpus, and joins back by doc id (equi-join, AQE
+    * broadcasts it when small); the splice itself is in-row — each
+    * token position tested against its OWN doc's few spans inside
+    * higher-order functions, no per-token shuffle, no re-explode of
+    * the corpus.
+    */
+  def substringStrip(docs: DataFrame, idCol: String, tokens: Column,
+                     window: Int = 5): DataFrame = {
+    val spans = substringSpans(docs, idCol, tokens, window)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start").as("s"),
+        col("span_end").as("e"))).as("__spans"))
+    val t = docs.select(col(idCol).cast("long").as("doc_id"),
+      tokens.as("__toks"))
+    t.join(spans, Seq("doc_id"), "left")
+      .withColumn("__spans", coalesce(col("__spans"),
+        array().cast("array<struct<s:bigint,e:bigint>>")))
+      .select(col("doc_id"),
+        concat_ws(" ", transform(
+          filter(
+            transform(col("__toks"),
+              (tok, i) => struct(tok.as("w"), (i + 1).cast("long").as("p"))),
+            tp => !exists(col("__spans"),
+              sp => tp("p") >= sp("s") && tp("p") <= sp("e")))
+          , tp => tp("w"))).as("clean_text"),
+        aggregate(col("__spans"), lit(0L),
+          (acc, sp) => acc + sp("e") - sp("s") + 1).as("n_removed"))
+  }
 }

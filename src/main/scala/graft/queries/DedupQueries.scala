@@ -165,6 +165,14 @@ object DedupQueries {
       Dedup.substringSpans(Tables.documents(s, d), "doc_id",
         docTokens(s), window = 5)),
 
+    // d15 applied: rebuild the corpus with the duplicated spans cut
+    // out (keep the document, lose the boilerplate) — the in-row
+    // splice tests each token position against its own doc's few
+    // spans; the corpus never re-explodes.
+    "d16_substring_strip" -> ((s, d) =>
+      Dedup.substringStrip(Tables.documents(s, d), "doc_id",
+        docTokens(s), window = 5)),
+
     // Fuzzy key self-join (edit distance ≤ 1) via the FastSS deletion
     // neighborhood — complete candidates from an equi-join on in-row
     // deletion variants, exact levenshtein confirm on candidates
@@ -1024,6 +1032,59 @@ object DedupQueries {
                 max(pos) + 4 AS span_end,
                 max(pos) + 5 - min(pos) AS n_tokens
          FROM grp GROUP BY doc_id, island""",
+
+    // d16: d15's span chain, then reassemble keeping positions no
+    // span covers; a LEFT JOIN from the full doc list keeps docs
+    // whose text was entirely cut (empty string) and untouched docs
+    "d16_substring_strip" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  list_filter(string_split(text, ' '),
+                    w -> len(w) > 0) AS toks
+           FROM documents),
+         occ AS (
+           SELECT doc_id, CAST(p AS BIGINT) AS pos,
+                  md5(array_to_string(toks[p:p+4], ' ')) AS h
+           FROM t, unnest(range(1, len(toks) - 3)) AS u(p)
+           WHERE len(toks) >= 5),
+         freq AS (
+           SELECT h, count(*) AS c,
+                  min(doc_id * 1048576 + pos) AS canon
+           FROM occ GROUP BY h),
+         marked AS (
+           SELECT o.doc_id, o.pos FROM occ o JOIN freq f ON o.h = f.h
+           WHERE f.c >= 2 AND o.doc_id * 1048576 + o.pos <> f.canon),
+         isl AS (
+           SELECT doc_id, pos,
+                  CASE WHEN pos > coalesce(lag(pos) OVER
+                         (PARTITION BY doc_id ORDER BY pos), -5) + 5
+                       THEN 1 ELSE 0 END AS brk
+           FROM marked),
+         grp AS (
+           SELECT doc_id, pos,
+                  sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS UNBOUNDED PRECEDING) AS island
+           FROM isl),
+         spans AS (
+           SELECT doc_id, min(pos) AS s, max(pos) + 4 AS e
+           FROM grp GROUP BY doc_id, island),
+         pos AS (
+           SELECT doc_id, unnest(toks) AS w,
+                  CAST(generate_subscripts(toks, 1) AS BIGINT) AS p
+           FROM t),
+         keep AS (
+           SELECT pos.doc_id, pos.w, pos.p
+           FROM pos LEFT JOIN spans
+             ON pos.doc_id = spans.doc_id
+            AND pos.p BETWEEN spans.s AND spans.e
+           WHERE spans.doc_id IS NULL),
+         agg AS (
+           SELECT doc_id, string_agg(w, ' ' ORDER BY p) AS clean_text,
+                  count(*) AS n_kept
+           FROM keep GROUP BY doc_id)
+         SELECT t.doc_id, coalesce(agg.clean_text, '') AS clean_text,
+                len(t.toks) - coalesce(agg.n_kept, 0) AS n_removed
+         FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id""",
 
     // d13: the oracle ranks with a plain global window (fine at
     // oracle scale; the Spark side uses the distributed sort), pairs

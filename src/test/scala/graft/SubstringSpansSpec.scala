@@ -72,6 +72,23 @@ class SubstringSpansSpec extends AnyFunSuite {
     assert(out.isEmpty)
   }
 
+  test("substringStrip: cut the span, keep the document") {
+    import spark.implicits._
+    val docs = Seq(
+      1L -> "a b c d e f g h",
+      2L -> "x y a b c d e f q r s",          // loses tokens 3..8
+      3L -> "x y a b c d e f q r s",          // exact re-post → all cut
+      4L -> "one two three four five six")    // untouched
+    val out = Dedup.substringStrip(docs.toDF("doc_id", "text"),
+        "doc_id", TextOps.tokenize(col("text")), window = 5)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) == ("a b c d e f g h", 0L))
+    assert(out(2L) == ("x y q r s", 6L))
+    assert(out(3L) == ("", 11L))
+    assert(out(4L) == ("one two three four five six", 0L))
+  }
+
   /** Independent driver-side reference: same policy, plain Scala
     * collections, no hashing (grouped on raw window content) — any
     * md5-collision or join/window bug in the distributed path would
