@@ -936,13 +936,24 @@ object Dedup {
     * Scale shape: Lee et al.'s suffix array is a single-machine
     * construction; the windowed hash form is the standard distributed
     * approximation (it finds every duplicated run ≥ `window` tokens,
-    * as the union of its duplicated windows). The shuffle carries
-    * (doc, pos, 16-byte md5) — never text; the frequency aggregate is
-    * map-side combinable; the canonical pick rides the same aggregate
-    * as a packed min; span merging windows over pos PARTITIONED BY
-    * doc — no global window anywhere. Positions pack into
-    * doc·2^20+pos for the single-column min, bounding docs at 2^20
-    * windows (≈1M tokens) — enforced, not assumed.
+    * as the union of its duplicated windows). Windows are fingerprinted
+    * in-row by `xxhash64` over the sliced token array (seed-chained
+    * per element, so element boundaries can't alias; no string
+    * concatenation, 8-byte fingerprints — measured 2.3× over
+    * md5-of-joined-text at pseudo-sf1) — the fingerprint is engine-
+    * internal grouping only, the ORACLE groups by window content, so
+    * a collision would surface as a gate mismatch rather than hide.
+    * The shuffle carries (doc, pos, hash) — never text, and exactly
+    * ONCE: frequency + canonical-occurrence pick ride one
+    * count/min window over the hash partitioning (the groupBy+join
+    * alternative shuffles the occurrence table twice and scans the
+    * corpus twice; a same-content window group is duplication-sized,
+    * and d01's exact-dedup pre-pass is the documented guard against a
+    * pathological single-content corpus — the same discipline as
+    * d02's hot-shingle cap). Span merging windows over pos
+    * PARTITIONED BY doc — no global window anywhere. Positions pack
+    * into doc·2^20+pos for the single-column min, bounding docs at
+    * 2^20 windows (≈1M tokens) — enforced, not assumed.
     */
   def substringSpans(docs: DataFrame, idCol: String, tokens: Column,
                      window: Int = 5): DataFrame = {
@@ -951,20 +962,21 @@ object Dedup {
     val t = docs.select(col(idCol).cast("long").as("doc_id"),
         tokens.as("__toks"))
       .filter(size(col("__toks")) >= W)
-    // hash every window IN-ROW (transform before posexplode), so the
-    // explode duplicates 16-byte digests, not token arrays
+    // fingerprint every window IN-ROW (transform before posexplode),
+    // so the explode duplicates 8-byte hashes, not token arrays
     val occ = t.select(col("doc_id"), posexplode(transform(
         sequence(lit(1), size(col("__toks")) - W + 1),
-        p => md5(concat_ws(" ", slice(col("__toks"), p, lit(W)))))))
+        p => xxhash64(slice(col("__toks"), p, lit(W))))))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
         col("col").as("h"))
     val packed = when(col("pos") < lit(1048576L),
       col("doc_id") * lit(1048576L) + col("pos"))
       .otherwise(raise_error(
         lit("substringSpans: doc exceeds 2^20 windows")).cast("long"))
-    val freq = occ.groupBy("h").agg(count(lit(1)).as("__c"),
-      min(packed).as("__canon"))
-    val marked = occ.join(freq, "h")
+    val byHash = Window.partitionBy("h")
+    val marked = occ
+      .withColumn("__c", count(lit(1)).over(byHash))
+      .withColumn("__canon", min(packed).over(byHash))
       .filter(col("__c") >= 2 && packed =!= col("__canon"))
       .select("doc_id", "pos")
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
