@@ -957,28 +957,49 @@ object Dedup {
     */
   def substringSpans(docs: DataFrame, idCol: String, tokens: Column,
                      window: Int = 5): DataFrame = {
+    val occ = windowOccurrences(docs, idCol, tokens, window)
+    val byHash = Window.partitionBy("h")
+    val marked = occ
+      .withColumn("__c", count(lit(1)).over(byHash))
+      .withColumn("__canon", min(packedPos).over(byHash))
+      .filter(col("__c") >= 2 && packedPos =!= col("__canon"))
+      .select("doc_id", "pos")
+    mergeIslands(marked, window)
+  }
+
+  /** (doc_id, pos, h): every length-`window` token run, fingerprinted
+    * in-row (transform before posexplode, so the explode duplicates
+    * 8-byte hashes, not token arrays). Positions are 1-based.
+    */
+  private def windowOccurrences(docs: DataFrame, idCol: String,
+                                tokens: Column, window: Int): DataFrame = {
     require(window >= 2, s"window must be >= 2, got $window")
     val W = window
-    val t = docs.select(col(idCol).cast("long").as("doc_id"),
+    docs.select(col(idCol).cast("long").as("doc_id"),
         tokens.as("__toks"))
       .filter(size(col("__toks")) >= W)
-    // fingerprint every window IN-ROW (transform before posexplode),
-    // so the explode duplicates 8-byte hashes, not token arrays
-    val occ = t.select(col("doc_id"), posexplode(transform(
+      .select(col("doc_id"), posexplode(transform(
         sequence(lit(1), size(col("__toks")) - W + 1),
         p => xxhash64(slice(col("__toks"), p, lit(W))))))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
         col("col").as("h"))
-    val packed = when(col("pos") < lit(1048576L),
+  }
+
+  /** (doc, pos) packed into one orderable long for the canonical-min
+    * aggregate; bounds docs at 2^20 windows (≈1M tokens) — enforced.
+    */
+  private def packedPos: Column =
+    when(col("pos") < lit(1048576L),
       col("doc_id") * lit(1048576L) + col("pos"))
       .otherwise(raise_error(
         lit("substringSpans: doc exceeds 2^20 windows")).cast("long"))
-    val byHash = Window.partitionBy("h")
-    val marked = occ
-      .withColumn("__c", count(lit(1)).over(byHash))
-      .withColumn("__canon", min(packed).over(byHash))
-      .filter(col("__c") >= 2 && packed =!= col("__canon"))
-      .select("doc_id", "pos")
+
+  /** Gaps-and-islands over marked (doc_id, pos) rows: positions whose
+    * length-`window` windows overlap or touch merge into maximal
+    * spans. Windows over pos PARTITIONED BY doc — never global.
+    */
+  private def mergeIslands(marked: DataFrame, window: Int): DataFrame = {
+    val W = window
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     val brk = when(col("pos") >
       coalesce(lag(col("pos"), 1).over(byDoc), lit(-W.toLong)) + W,
@@ -990,6 +1011,50 @@ object Dedup {
         (max("pos") + W - 1).as("span_end"),
         (max("pos") + W - min("pos")).as("n_tokens"))
       .select("doc_id", "span_start", "span_end", "n_tokens")
+  }
+
+  /** Persist the corpus-side fingerprint set for
+    * [[incrementalSubstringSpans]]: the DISTINCT window hashes — the
+    * corpus is window-scanned exactly once, and the index is
+    * content-diversity-sized (distinct runs), not corpus-sized.
+    */
+  def writeSubstringIndex(docs: DataFrame, idCol: String,
+                          tokens: Column, path: String,
+                          window: Int = 5): Unit =
+    windowOccurrences(docs, idCol, tokens, window)
+      .select("h").distinct()
+      .write.mode("overwrite").parquet(path)
+
+  /** Ingest-time substring dedup: spans for a NEW batch against an
+    * immutable, already-ingested corpus ([[writeSubstringIndex]]).
+    * Policy: a batch window is cut if its content exists ANYWHERE in
+    * the corpus (the corpus is immutable, so its occurrence is always
+    * the canonical one — regardless of id order), OR it duplicates
+    * content within the batch and is not the batch's own keep-first
+    * canonical. With an empty index this is exactly
+    * [[substringSpans]] of the batch (spec-asserted).
+    *
+    * Scale shape: only the batch is window-scanned; the index joins
+    * on 8-byte hashes (a small batch broadcasts, the index never
+    * shuffles), and the batch-internal frequency rides the same
+    * one-window pass as d15.
+    */
+  def incrementalSubstringSpans(spark: SparkSession, path: String,
+                                batch: DataFrame, idCol: String,
+                                tokens: Column,
+                                window: Int = 5): DataFrame = {
+    val idx = spark.read.parquet(path)
+      .select(col("h"), lit(true).as("__in_idx"))
+    val occ = windowOccurrences(batch, idCol, tokens, window)
+    val byHash = Window.partitionBy("h")
+    val marked = occ
+      .withColumn("__c", count(lit(1)).over(byHash))
+      .withColumn("__canon", min(packedPos).over(byHash))
+      .join(idx, Seq("h"), "left")
+      .filter(coalesce(col("__in_idx"), lit(false)) ||
+        (col("__c") >= 2 && packedPos =!= col("__canon")))
+      .select("doc_id", "pos")
+    mergeIslands(marked, window)
   }
 
   /** Apply [[substringSpans]]' cuts: rebuild every document with its

@@ -173,6 +173,23 @@ object DedupQueries {
       Dedup.substringStrip(Tables.documents(s, d), "doc_id",
         docTokens(s), window = 5)),
 
+    // d15 at ingest: docs ≥ 100 play the already-ingested corpus
+    // (window-scanned ONCE into a distinct-fingerprint index on
+    // disk), docs < 100 the incoming batch. A batch window is cut if
+    // the immutable corpus contains its content (corpus occurrences
+    // are always canonical — ingested text can't be retro-cut) or if
+    // it repeats within the batch off the batch's own keep-first.
+    // The d12 persisted-index discipline applied to substring spans.
+    "d17_incremental_substring" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-sub-idx-").toString
+      Dedup.writeSubstringIndex(docs.filter(col("doc_id") >= 100),
+        "doc_id", docTokens(s), path)
+      Dedup.incrementalSubstringSpans(s, path,
+        docs.filter(col("doc_id") < 100), "doc_id", docTokens(s))
+    }),
+
     // Fuzzy key self-join (edit distance ≤ 1) via the FastSS deletion
     // neighborhood — complete candidates from an equi-join on in-row
     // deletion variants, exact levenshtein confirm on candidates
@@ -1017,6 +1034,48 @@ object DedupQueries {
          marked AS (
            SELECT o.doc_id, o.pos FROM occ o JOIN freq f ON o.h = f.h
            WHERE f.c >= 2 AND o.doc_id * 1048576 + o.pos <> f.canon),
+         isl AS (
+           SELECT doc_id, pos,
+                  CASE WHEN pos > coalesce(lag(pos) OVER
+                         (PARTITION BY doc_id ORDER BY pos), -5) + 5
+                       THEN 1 ELSE 0 END AS brk
+           FROM marked),
+         grp AS (
+           SELECT doc_id, pos,
+                  sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS UNBOUNDED PRECEDING) AS island
+           FROM isl)
+         SELECT doc_id, min(pos) AS span_start,
+                max(pos) + 4 AS span_end,
+                max(pos) + 5 - min(pos) AS n_tokens
+         FROM grp GROUP BY doc_id, island""",
+
+    // d17: same chain, but grouped by window CONTENT with the
+    // corpus/batch split — corpus membership always cuts, batch
+    // frequency follows d15's keep-first
+    "d17_incremental_substring" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  list_filter(string_split(text, ' '),
+                    w -> len(w) > 0) AS toks
+           FROM documents),
+         occ AS (
+           SELECT doc_id, CAST(p AS BIGINT) AS pos,
+                  array_to_string(toks[p:p+4], ' ') AS w
+           FROM t, unnest(range(1, len(toks) - 3)) AS u(p)
+           WHERE len(toks) >= 5),
+         cw AS (SELECT DISTINCT w FROM occ WHERE doc_id >= 100),
+         bocc AS (SELECT * FROM occ WHERE doc_id < 100),
+         bfreq AS (
+           SELECT w, count(*) AS c,
+                  min(doc_id * 1048576 + pos) AS canon
+           FROM bocc GROUP BY w),
+         marked AS (
+           SELECT b.doc_id, b.pos
+           FROM bocc b JOIN bfreq f ON b.w = f.w
+           LEFT JOIN cw ON b.w = cw.w
+           WHERE cw.w IS NOT NULL
+              OR (f.c >= 2 AND b.doc_id * 1048576 + b.pos <> f.canon)),
          isl AS (
            SELECT doc_id, pos,
                   CASE WHEN pos > coalesce(lag(pos) OVER

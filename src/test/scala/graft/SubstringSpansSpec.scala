@@ -89,6 +89,50 @@ class SubstringSpansSpec extends AnyFunSuite {
     assert(out(4L) == ("one two three four five six", 0L))
   }
 
+  test("incremental: corpus content is always canonical, batch-internal dups keep-first") {
+    import spark.implicits._
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("sub-idx-spec-").toString
+    // corpus doc (high id) holds "a b c d e f"
+    Dedup.writeSubstringIndex(
+      Seq(900L -> "a b c d e f g h").toDF("doc_id", "text"),
+      "doc_id", TextOps.tokenize(col("text")), idxPath)
+    val batch = Seq(
+      // shares the corpus passage — cut even though its id is LOWER
+      // than the corpus doc's (d15's id-order canonical would have
+      // kept it)
+      1L -> "x y a b c d e f q r s",
+      // batch-internal pair: keep-first within the batch
+      2L -> "p q r s t u v w",
+      3L -> "p q r s t u v w").toDF("doc_id", "text")
+    val out = Dedup.incrementalSubstringSpans(spark, idxPath, batch,
+        "doc_id", TextOps.tokenize(col("text")))
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted).toMap
+    assert(out(1L) == Seq((3L, 8L, 6L)))
+    assert(!out.contains(2L))
+    assert(out(3L) == Seq((1L, 8L, 8L)))
+  }
+
+  test("incremental with an empty index ≡ substringSpans of the batch") {
+    import spark.implicits._
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("sub-idx-empty-").toString
+    Dedup.writeSubstringIndex(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      "doc_id", TextOps.tokenize(col("text")), idxPath)
+    val batch = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val inc = Dedup.incrementalSubstringSpans(spark, idxPath, batch,
+        "doc_id", TextOps.tokenize(col("text")))
+      .collect().map(_.toSeq).toSet
+    val full = Dedup.substringSpans(batch, "doc_id",
+        TextOps.tokenize(col("text")))
+      .collect().map(_.toSeq).toSet
+    assert(inc == full && inc.nonEmpty)
+  }
+
   /** Independent driver-side reference: same policy, plain Scala
     * collections, no hashing (grouped on raw window content) — any
     * md5-collision or join/window bug in the distributed path would
