@@ -84,6 +84,27 @@ object RelationalQueries {
           round(sum($"l_quantity"), 2).as("sum_qty"))
     }),
 
+    // Aggregation reusing write-time partitioning: grouping a
+    // bucketed table BY ITS BUCKET KEY needs no Exchange — the
+    // per-order rollup below runs entirely within bucket-aligned
+    // partitions (asserted in BucketingSpec: exactly one Exchange in
+    // the whole plan, the tiny histogram shuffle on top). The agg
+    // face of bk01's join story: at 100 TB, per-entity rollups over a
+    // bucketed fact are shuffle-free scans.
+    "bk02_bucketed_agg" -> ((s, d) => {
+      import s.implicits._
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-bk2-").toString
+      graft.operators.Layout.writeBucketed(
+        Tables.lineitem(s, d).select($"l_orderkey", $"l_quantity"),
+        "graft_bk2_li", s"$base/li", buckets = 8, key = "l_orderkey")
+      s.table("graft_bk2_li")
+        .groupBy($"l_orderkey")
+        .agg(count(lit(1)).as("n_items"))
+        .groupBy($"n_items")
+        .agg(count(lit(1)).as("n_orders"))
+    }),
+
     // J1 chained — 5-way star join, all dims broadcast.
     "q04_join_star" -> ((s, d) => {
       import s.implicits._
@@ -382,9 +403,14 @@ object RelationalQueries {
          round(sum(o_totalprice), 2) AS sum_price
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY c_mktsegment""",
-    // bk01: bucketing is a physical layout choice — the logical
-    // result is the plain join, which is exactly what the oracle
-    // checks
+    // bk01/bk02: bucketing is a physical layout choice — the logical
+    // result is the plain join/aggregate, which is exactly what the
+    // oracle checks
+    "bk02_bucketed_agg" ->
+      """SELECT n_items, count(*) AS n_orders FROM (
+           SELECT l_orderkey, count(*) AS n_items
+           FROM lineitem GROUP BY l_orderkey)
+         GROUP BY n_items""",
     "bk01_bucketed_join" ->
       """SELECT o_orderpriority, count(*) AS n_items,
          round(sum(l_quantity), 2) AS sum_qty

@@ -78,6 +78,31 @@ class BucketingSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS ord_b")
   }
 
+  test("registered bk02 query: per-order agg reuses bucket partitioning, one Exchange total") {
+    val out = graft.queries.RelationalQueries
+      .queries("bk02_bucketed_agg")(spark, sf)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the ONLY shuffle is the tiny histogram regroup on top; the
+    // per-orderkey aggregate runs on bucket-aligned partitions
+    val exchanges = "Exchange".r.findAllMatchIn(plan).length
+    assert(exchanges == 1, s"expected 1 Exchange, got $exchanges:\n$plan")
+
+    val got = out.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.read.parquet(s"$sf/lineitem.parquet")
+      .createOrReplaceTempView("li_raw2")
+    val exp = spark.sql(
+      """SELECT n_items, count(*) AS n_orders FROM (
+           SELECT l_orderkey, count(*) AS n_items
+           FROM li_raw2 GROUP BY l_orderkey)
+         GROUP BY n_items""").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == exp && got.nonEmpty)
+    spark.sql("DROP TABLE IF EXISTS graft_bk2_li")
+  }
+
   test("registered bk01 query: join subplan is exchange-free, result matches plain SQL") {
     val out = graft.queries.RelationalQueries
       .queries("bk01_bucketed_join")(spark, sf)

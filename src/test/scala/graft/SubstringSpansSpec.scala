@@ -183,6 +183,32 @@ class SubstringSpansSpec extends AnyFunSuite {
     }
   }
 
+  test("random corpora: substringStrip matches the naive reference splice") {
+    import spark.implicits._
+    val vocab = Vector("a", "b", "c")
+    (1 to 5).foreach { seed =>
+      val rnd = new scala.util.Random(100 + seed)
+      val docs = (0L until 10L).map { id =>
+        id -> Seq.fill(3 + rnd.nextInt(18))(vocab(rnd.nextInt(3)))
+      }
+      val got = Dedup.substringStrip(
+          docs.map { case (id, ts) => (id, ts.mkString(" ")) }
+            .toDF("doc_id", "text"),
+          "doc_id", TextOps.tokenize(col("text")), window = 3)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+      val spansByDoc = naiveSpans(docs, 3).groupBy(_._1)
+      val exp = docs.map { case (id, ts) =>
+        val cut = spansByDoc.getOrElse(id, Set.empty)
+          .flatMap { case (_, s, e, _) => s to e }
+        id -> (ts.zipWithIndex
+          .collect { case (t, i) if !cut(i + 1L) => t }
+          .mkString(" "), cut.size.toLong)
+      }.toMap
+      assert(got == exp, s"seed=${100 + seed}")
+    }
+  }
+
   test("corpus invariants: spans never overlap, length ≥ window, consistent arithmetic") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
