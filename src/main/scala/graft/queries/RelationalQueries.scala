@@ -105,6 +105,26 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_orders"))
     }),
 
+    // Partition-pruned layout as a gate query: the corpus written
+    // once partitionBy(lang), then a lang-filtered rollup whose scan
+    // carries the predicate as a PartitionFilter — it reads ONE
+    // partition directory, not the corpus (PartitionPruningSpec
+    // asserts the plan; at 100 TB this is what keeps a per-language
+    // query from touching 100 TB). Completes the physical-layout
+    // trio: bucketing (bk01/bk02), Z-order/compaction (LayoutSpec),
+    // hive-style partitioning (here).
+    "ly01_partition_pruned_scan" -> ((s, d) => {
+      import s.implicits._
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-ly-").toString + "/docs"
+      Tables.documents(s, d).write.partitionBy("lang").parquet(base)
+      s.read.parquet(base)
+        .filter($"lang" === "de")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_chars").as("sum_chars"))
+    }),
+
     // J1 chained — 5-way star join, all dims broadcast.
     "q04_join_star" -> ((s, d) => {
       import s.implicits._
@@ -411,6 +431,12 @@ object RelationalQueries {
            SELECT l_orderkey, count(*) AS n_items
            FROM lineitem GROUP BY l_orderkey)
          GROUP BY n_items""",
+    // ly01: partitioning is layout, the logical result is the
+    // filtered rollup
+    "ly01_partition_pruned_scan" ->
+      """SELECT source, count(*) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM documents WHERE lang = 'de' GROUP BY source""",
     "bk01_bucketed_join" ->
       """SELECT o_orderpriority, count(*) AS n_items,
          round(sum(l_quantity), 2) AS sum_qty

@@ -43,4 +43,24 @@ class PartitionPruningSpec extends AnyFunSuite {
     val expected = docs.filter(col("lang") === target).count()
     assert(q.count() === expected)
   }
+
+  test("registered ly01 query: lang predicate prunes partitions, result matches plain SQL") {
+    val out = graft.queries.RelationalQueries
+      .queries("ly01_partition_pruned_scan")(spark, "/root/testdata/sf0.001")
+    val scan = out.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(scan.contains("PartitionFilters") &&
+      scan.replaceAll("\\s", "").contains("(lang"),
+      s"no partition filter in ly01 scan:\n$scan")
+    assert(!scan.split("PushedFilters").last.contains("lang"),
+      s"lang leaked into ly01 data filters:\n$scan")
+
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val exp = docs.filter(col("lang") === "de")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      .collect().map(_.toSeq).toSet
+    assert(out.collect().map(_.toSeq).toSet == exp && exp.nonEmpty)
+  }
 }
