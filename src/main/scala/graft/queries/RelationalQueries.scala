@@ -125,6 +125,50 @@ object RelationalQueries {
           sum($"n_chars").as("sum_chars"))
     }),
 
+    // Z-order clustered layout as a gate query: orders re-written
+    // along the (o_custkey, o_totalprice) Morton curve into 16
+    // range-partitioned sorted files, then a RECTANGLE predicate —
+    // bounded in BOTH dimensions — rolled up. With the z-layout every
+    // file covers a narrow rectangle, so the pushed min/max bounds
+    // (PushedFilters asserted in LayoutSpec) skip most row groups; a
+    // single-column sort layout can prune on one dimension only. The
+    // logical result is layout-invariant — exactly what the oracle
+    // checks against the raw table.
+    "ly02_zorder_scan" -> ((s, d) => {
+      import s.implicits._
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-ly-").toString + "/orders_z"
+      graft.operators.Layout.zOrderWrite(
+        Tables.orders(s, d), "o_custkey", "o_totalprice", base,
+        numFiles = 16)
+      s.read.parquet(base)
+        .filter($"o_custkey".between(100, 500) &&
+          $"o_totalprice".between(50000, 200000))
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum($"o_totalprice"), 2).as("sum_price"))
+    }),
+
+    // Compaction as a gate query: the documents table re-written to
+    // ~2048-row files (one count + one shuffle; `maxRecordsPerFile`
+    // caps stragglers), then rolled up from the compacted copy. At
+    // 100 TB a table written by thousands of tasks accumulates
+    // millions of KB-sized files whose open/footer costs dominate
+    // scans — compaction is the standing repair, and its contract is
+    // exactly what the oracle checks: the logical content survives
+    // the rewrite bit-for-bit.
+    "ly03_compacted_scan" -> ((s, d) => {
+      import s.implicits._
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-ly-").toString + "/docs_c"
+      graft.operators.Layout.compact(
+        s, s"$d/documents.parquet", base, targetRows = 2048L)
+      s.read.parquet(base)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_chars").as("sum_chars"))
+    }),
+
     // J1 chained — 5-way star join, all dims broadcast.
     "q04_join_star" -> ((s, d) => {
       import s.implicits._
@@ -437,6 +481,20 @@ object RelationalQueries {
       """SELECT source, count(*) AS n_docs,
          CAST(sum(n_chars) AS BIGINT) AS sum_chars
          FROM documents WHERE lang = 'de' GROUP BY source""",
+    // ly02/ly03: z-order and compaction are layout rewrites — the
+    // oracle checks the layout-invariant logical result on the raw
+    // tables
+    "ly02_zorder_scan" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+         round(sum(o_totalprice), 2) AS sum_price
+         FROM orders
+         WHERE o_custkey BETWEEN 100 AND 500
+           AND o_totalprice BETWEEN 50000 AND 200000
+         GROUP BY o_orderpriority""",
+    "ly03_compacted_scan" ->
+      """SELECT lang, count(*) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM documents GROUP BY lang""",
     "bk01_bucketed_join" ->
       """SELECT o_orderpriority, count(*) AS n_items,
          round(sum(l_quantity), 2) AS sum_qty

@@ -98,4 +98,45 @@ class LayoutSpec extends AnyFunSuite {
     val ids = spark.read.parquet(out).select("id").as[Long].collect()
     assert(ids.sorted.toSeq == (0L until 10000L))
   }
+
+  test("ly02: rectangle predicate is pushed to the z-clustered scan; " +
+      "result is layout-invariant") {
+    val sf = "/root/testdata/sf0.001"
+    val got = queries.RelationalQueries.queries("ly02_zorder_scan")(spark, sf)
+    // both dimension bounds must reach the parquet reader as data
+    // filters — that is what row-group min/max skipping prunes on
+    // (read from scan metadata: the plan's toString truncates the list)
+    // unwrap AQE: AdaptiveSparkPlanExec is itself a leaf wrapper
+    val inner = got.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scan = inner.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metadata.getOrElse("PushedFilters", "")
+    }.mkString("\n")
+    for (c <- Seq("o_custkey", "o_totalprice");
+         op <- Seq("GreaterThanOrEqual", "LessThanOrEqual"))
+      assert(scan.contains(s"$op($c,"), s"missing pushed $op on $c:\n$scan")
+    // layout must not change the logical result
+    val raw = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_custkey").between(100, 500) &&
+        col("o_totalprice").between(50000, 200000))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+    assert(got.orderBy("o_orderpriority").collect().toSeq ==
+      raw.orderBy("o_orderpriority").collect().toSeq)
+  }
+
+  test("ly03: compacted documents rollup equals the raw rollup") {
+    val sf = "/root/testdata/sf0.001"
+    val got = queries.RelationalQueries.queries("ly03_compacted_scan")(spark, sf)
+    val raw = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    assert(got.orderBy("lang").collect().toSeq ==
+      raw.orderBy("lang").collect().toSeq)
+  }
 }
