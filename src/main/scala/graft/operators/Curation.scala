@@ -83,6 +83,29 @@ object Curation {
       latest.filter(!col(deleteCol)).drop(versionCol, deleteCol))
   }
 
+  /** Slowly-changing-dimension type 2: turn a change log (one row per
+    * key per effective time) into a validity-interval history — each
+    * version carries `valid_from` (its own effective time),
+    * `valid_to` (the NEXT version's effective time, null while
+    * current) and `is_current`. Where [[upsert]] keeps only the
+    * latest state, scd2 keeps every state with the interval it held —
+    * the shape an as-of join (aj01) probes and an audit replays.
+    *
+    * One window over the change-log's key partitioning is the whole
+    * plan: a single shuffle of the log (never a snapshot), lead() per
+    * key, no joins. Ties on `tsCol` within a key would make the
+    * interval chain non-deterministic, so they are rejected at plan
+    * level: the caller guarantees unique (key, ts) — same contract as
+    * upsert's unique versions.
+    */
+  def scd2(changes: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
+    changes
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(byKey))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
   /** Salt for the snapshot's key→bucket layout. Fixed: the layout is
     * part of the on-disk contract.
     */

@@ -830,4 +830,34 @@ object Similarity {
           .as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** Embedding-space eval-set decontamination: drop every corpus
+    * vector whose cosine against ANY eval vector reaches `threshold`
+    * — the similarity-space complement of the n-gram decontamination
+    * in `Dedup.decontaminate` (d07/d08): a paraphrased benchmark row
+    * that shares no 8-shingle with its source still sits next to it
+    * in embedding space.
+    *
+    * Scale shape mirrors d07: eval sets are benchmark-sized, so the
+    * eval side broadcasts (once for the contamination probe, once as
+    * the condemned-id set for the anti join) and the 100 TB corpus
+    * is scanned straight through — never shuffled, never collected.
+    * Each corpus row scores against the broadcast eval block in-task;
+    * `distinct()` on the condemned ids is a shuffle of the (tiny)
+    * contaminated subset only.
+    */
+  def embedDecontaminate(corpus: DataFrame, eval: DataFrame,
+                         threshold: Double, idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      norm(col(vecCol)).as("nrm"))
+    val e = eval.select(col(vecCol).as("evec"),
+      norm(col(vecCol)).as("enrm"))
+    val condemned = c.join(broadcast(e),
+        cosineFromNorms(col("vec"), col("evec"), col("nrm"), col("enrm"))
+          >= threshold)
+      .select(col("id")).distinct()
+    corpus.join(broadcast(condemned),
+      corpus(idCol) === condemned("id"), "left_anti")
+  }
 }

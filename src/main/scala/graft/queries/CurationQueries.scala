@@ -126,6 +126,58 @@ object CurationQueries {
           sum(conv(substring(md5(concat_ws("|", col("doc_id"),
               col("text"), col("lang"), col("n_chars"))), 1, 13), 16, 10)
             .cast("long")).as("row_hash"))
+    }),
+
+    // SCD2 history build: a deterministic change log (every doc has a
+    // v1; every third doc a later v2; every ninth a still-later v3 —
+    // effective times derived from doc_id, so (key, ts) is unique by
+    // construction) turned into validity intervals. Where c03 keeps
+    // latest state only, this keeps every state with the interval it
+    // held — the table an as-of join (aj01) probes. One shuffle of
+    // the log, lead() per key, no joins, snapshot never touched.
+    "c06_scd2_history" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val v1 = docs.select(col("doc_id"), col("source"), col("n_chars"),
+        (col("doc_id") * 10).as("eff_ts"))
+      val v2 = docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), lit("rev1").as("source"),
+          (col("n_chars") + 1).as("n_chars"),
+          (col("doc_id") * 10 + 3).as("eff_ts"))
+      val v3 = docs.filter(col("doc_id") % 9 === 0)
+        .select(col("doc_id"), lit("rev2").as("source"),
+          (col("n_chars") + 2).as("n_chars"),
+          (col("doc_id") * 10 + 7).as("eff_ts"))
+      Curation.scd2(v1.unionByName(v2).unionByName(v3),
+          "doc_id", "eff_ts")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("valid_from"), col("valid_to"), col("is_current"))
+    }),
+
+    // Schema evolution at the scan: two pipeline epochs wrote the
+    // same directory with different schemas (the early batch lacks
+    // `lang` and `quality`), and ONE mergeSchema read reconciles them
+    // — missing columns surface as nulls, never as a crash or a
+    // silent drop. At 100 TB with years of batches this is how old
+    // data stays readable without a petabyte rewrite; the oracle
+    // builds the same union with explicit NULLs from the raw table,
+    // so a column the merge mistypes or misaligns breaks the hash.
+    "c07_schema_evolution" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-c07-").toString + "/docs"
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .write.parquet(s"$base/batch=1")
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("lang"), (col("n_chars") % 100).as("quality"))
+        .write.parquet(s"$base/batch=2")
+      s.read.option("mergeSchema", "true").parquet(base)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          count(col("lang")).as("n_with_lang"),
+          sum(col("quality")).as("sum_quality"))
     })
   )
 
@@ -240,6 +292,37 @@ object CurationQueries {
                    AS mean_ttr,
                  count(*) - count(DISTINCT fp) AS n_exact_dups
           FROM t
-          GROUP BY GROUPING SETS ((source, lang), (source), ())"""
+          GROUP BY GROUPING SETS ((source, lang), (source), ())""",
+    "c06_scd2_history" ->
+      """WITH chg AS (
+            SELECT doc_id, source, n_chars, doc_id * 10 AS eff_ts
+            FROM documents
+            UNION ALL
+            SELECT doc_id, 'rev1', n_chars + 1, doc_id * 10 + 3
+            FROM documents WHERE doc_id % 3 = 0
+            UNION ALL
+            SELECT doc_id, 'rev2', n_chars + 2, doc_id * 10 + 7
+            FROM documents WHERE doc_id % 9 = 0)
+          SELECT doc_id, source, n_chars,
+                 eff_ts AS valid_from,
+                 lead(eff_ts) OVER (PARTITION BY doc_id
+                   ORDER BY eff_ts) AS valid_to,
+                 (lead(eff_ts) OVER (PARTITION BY doc_id
+                   ORDER BY eff_ts) IS NULL) AS is_current
+          FROM chg""",
+    "c07_schema_evolution" ->
+      """WITH merged AS (
+            SELECT doc_id, source, n_chars,
+                   CAST(NULL AS VARCHAR) AS lang,
+                   CAST(NULL AS BIGINT) AS quality
+            FROM documents WHERE doc_id % 2 = 0
+            UNION ALL
+            SELECT doc_id, source, n_chars, lang, n_chars % 100
+            FROM documents WHERE doc_id % 2 = 1)
+          SELECT source, count(*) AS n_docs,
+                 CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                 count(lang) AS n_with_lang,
+                 CAST(sum(quality) AS BIGINT) AS sum_quality
+          FROM merged GROUP BY source"""
   )
 }

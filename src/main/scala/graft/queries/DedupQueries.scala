@@ -390,6 +390,19 @@ object DedupQueries {
         trained, k = 10, nProbe = 4)
     }),
 
+    // Embedding-space eval decontamination: corpus vectors within
+    // cosine 0.4 of ANY eval vector (first 50 ids) are condemned and
+    // anti-joined away — the similarity-space complement of d07's
+    // shingle decontamination, for paraphrases that share no n-gram.
+    // Eval broadcasts both times; the corpus never shuffles.
+    "e20_embed_decontaminate" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.embedDecontaminate(
+          emb.filter(col("vec_id") >= 50 && col("vec_id") < 550),
+          emb.filter(col("vec_id") < 50), threshold = 0.4)
+        .select(col("vec_id"), col("label"))
+    }),
+
     // SemDeDup search stage: fixed coarse cells (e08's seeded
     // centroids), cell-local cosine pairs ≥ 0.4, closed into semantic
     // dup clusters. Same fixed-500 slice as e03/e04 — with literal
@@ -1462,6 +1475,18 @@ object DedupQueries {
               AS INTEGER) AS rn
             FROM scored)
           SELECT q_id, n_id, adist, rn FROM ranked WHERE rn <= 10""",
+    "e20_embed_decontaminate" ->
+      s"""WITH c AS (
+            SELECT vec_id, embedding, label FROM embeddings
+            WHERE vec_id >= 50 AND vec_id < 550),
+          e AS (
+            SELECT embedding AS evec FROM embeddings WHERE vec_id < 50)
+          SELECT vec_id, label FROM c
+          WHERE NOT EXISTS (
+            SELECT 1 FROM e
+            WHERE ${dotSql("c.embedding", "e.evec")} /
+                  (${normSql("c.embedding")} * ${normSql("e.evec")})
+                  >= 0.4)""",
     "e09_semdedup" ->
       s"""WITH RECURSIVE ctr AS ($centroidTableSql),
           c AS (

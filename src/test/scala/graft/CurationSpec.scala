@@ -74,4 +74,40 @@ class CurationSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
       s"base side should anti-join against a broadcast key set:\n$plan")
   }
+
+  test("scd2: intervals chain gaplessly per key, exactly one current " +
+      "version, single-version keys are current from birth") {
+    import spark.implicits._
+    val log = Seq(
+      (1L, "a1", 10L), (1L, "a3", 30L), (1L, "a2", 20L), // 3 versions
+      (2L, "b1", 15L),                                   // 1 version
+      (3L, "c2", 40L), (3L, "c1", 5L)                    // 2 versions
+    ).toDF("id", "v", "ts")
+    val out = Curation.scd2(log, "id", "ts")
+      .select($"id", $"v", $"valid_from", $"valid_to", $"is_current")
+      .as[(Long, String, Long, Option[Long], Boolean)]
+      .collect().toSet
+    assert(out == Set(
+      (1L, "a1", 10L, Some(20L), false),
+      (1L, "a2", 20L, Some(30L), false),
+      (1L, "a3", 30L, None, true),
+      (2L, "b1", 15L, None, true),
+      (3L, "c1", 5L, Some(40L), false),
+      (3L, "c2", 40L, None, true)))
+    // structural invariants: per key, exactly one open interval and
+    // every valid_to equals the next valid_from (no gap, no overlap)
+    for (k <- Seq(1L, 2L, 3L)) {
+      val vs = out.filter(_._1 == k).toSeq.sortBy(_._3)
+      assert(vs.count(_._5) == 1)
+      vs.sliding(2).foreach {
+        case Seq(prev, next) => assert(prev._4.contains(next._3))
+        case _ =>
+      }
+    }
+    // the whole plan is one window over the log's key partitioning —
+    // no join, no second shuffle
+    val plan = Curation.scd2(log, "id", "ts")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"scd2 must not join:\n$plan")
+  }
 }

@@ -469,4 +469,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert((pairs -- exact).isEmpty, "cell-local stage invented a pair")
   }
+
+  test("embedDecontaminate: planted near-copy of an eval vector is " +
+      "dropped, orthogonal survivors keep full rows, eval broadcasts") {
+    import spark.implicits._
+    val ev = Array.fill(8)(0.5f)
+    val nearCopy = ev.map(x => x + 0.01f)        // cos ≈ 1 → condemned
+    val orth = Array.tabulate(8)(i =>            // alternating ±: cos 0
+      if (i % 2 == 0) 0.5f else -0.5f)
+    val evalDf = Seq((0L, ev, 9)).toDF("vec_id", "embedding", "label")
+    val corpus = Seq(
+      (100L, nearCopy, 1), (101L, orth, 2), (102L, orth.map(-_), 3)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.embedDecontaminate(corpus, evalDf, 0.4)
+    assert(out.select("vec_id").as[Long].collect().toSet ==
+      Set(101L, 102L))
+    // survivors keep their full original rows
+    assert(out.columns.toSeq == corpus.columns.toSeq)
+    // scale shape: both eval-side joins are broadcast — the corpus is
+    // never shuffled
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus must not shuffle for a benchmark-sized eval set:\n$plan")
+  }
 }
