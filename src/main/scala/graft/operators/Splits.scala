@@ -77,6 +77,36 @@ object Splits {
       salt, 100) < rate
   }
 
+  /** Temperature-flattened source mix — [[mixtureKeep]] with the rate
+    * table COMPUTED from corpus composition instead of hand-tuned:
+    * each group's keep rate is min(1, scale/√n_g), i.e. sampling
+    * probability ∝ n_g^(α-1) at temperature α = 1/2 — big sources are
+    * damped toward √n, small sources pass whole, the flattening mT5's
+    * α-sampling applies to language shares (Xue et al. 2021,
+    * arXiv:2010.11934 §3.1, there over exponent α on language
+    * probabilities; fixed α = 1/2 keeps the arithmetic to one sqrt —
+    * IEEE-exact, so the rate is bit-identical in any engine).
+    *
+    * Two scans, no corpus shuffle: pass 1 reduces to one row per
+    * group (map-side partial counts); the tiny rate table broadcasts
+    * back and the keep test is the same salted-hash compare as every
+    * other split gate — against the full 60-bit hash, since computed
+    * rates are fractional where mixtureKeep's are integer percent.
+    */
+  def temperatureMix(docs: DataFrame, idCol: String, groupCol: String,
+      salt: String, scale: Double): DataFrame = {
+    require(scale > 0)
+    val rates = docs.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"))
+      .select(col(groupCol),
+        least(lit(1.0), lit(scale) / sqrt(col("__n"))).as("__rate"))
+    docs.join(broadcast(rates), Seq(groupCol))
+      .filter(hash60(concat(col(groupCol).cast("string"), lit(":"),
+          col(idCol).cast("string")), salt).cast("double") <
+        col("__rate") * lit((1L << 60).toDouble))
+      .drop("__rate")
+  }
+
   /** Deterministic epoch upsampling — the "epochs per domain" step of
     * pre-training data mixing (e.g. wiki 2.5 epochs, crawl 0.8): each
     * row is replicated `floor(factor)` times, plus one more for the

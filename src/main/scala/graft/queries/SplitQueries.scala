@@ -40,6 +40,16 @@ object SplitQueries {
           MixRates, defaultPct = 30))
         .select(col("doc_id"), col("source"))),
 
+    // Temperature-flattened mix: keep rates COMPUTED from corpus
+    // composition (∝ 1/√n_source, α = 1/2 sampling), not hand-tuned —
+    // sp03's data-driven sibling. One count pass, broadcast rate
+    // table, salted-hash keep; corpus never shuffles.
+    "sp09_temperature_mix" -> ((s, d) =>
+      Splits.temperatureMix(
+          Tables.documents(s, d).select(col("doc_id"), col("source")),
+          "doc_id", "source", Salt, scale = 4.0)
+        .select(col("doc_id"), col("source"))),
+
     // Per-source token-budget cap: greedy hash-priority prefix until
     // each source has spent its token budget. buckets=8 (not the
     // 1024 default) so the bucketed fast path AND the boundary-bucket
@@ -154,6 +164,20 @@ object SplitQueries {
           WHERE ${bucketSql("source || ':' || CAST(doc_id AS VARCHAR)")}
                 < $rateCase"""
     },
+    // rate = min(1, 4/√n_source): sqrt is IEEE-exact and the count is
+    // an integer, so the computed double rate is bit-identical in
+    // both engines; the compare is against the full 60-bit hash
+    "sp09_temperature_mix" ->
+      s"""WITH n AS (
+            SELECT source, count(*) AS cnt FROM documents GROUP BY source),
+          r AS (
+            SELECT source, least(1.0, 4.0 / sqrt(cnt)) AS rate FROM n)
+          SELECT d.doc_id, d.source
+          FROM documents d JOIN r USING (source)
+          WHERE CAST(CAST(('0x' || substring(md5(d.source || ':' ||
+                  CAST(d.doc_id AS VARCHAR) || '|$Salt'), 1, 15))
+                  AS BIGINT) AS DOUBLE)
+                < rate * 1152921504606846976.0""",
     // The oracle states the SEMANTICS (one exact running-sum window
     // in hash-priority order); the Spark side must produce the same
     // set through its bucketed two-level plan.

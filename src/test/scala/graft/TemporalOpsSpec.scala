@@ -105,6 +105,31 @@ class TemporalOpsSpec extends AnyFunSuite {
     kept.values.foreach(n => assert(n > 200 && n < 400, s"rate off: $n/1000"))
   }
 
+  test("temperatureMix: small sources pass whole, big sources damp " +
+      "toward scale·√n, keep set is content-deterministic") {
+    import spark.implicits._
+    // big: 3200 docs → rate 4/√3200 ≈ 0.0707 → ~226 expected
+    // tiny: 9 docs → rate min(1, 4/3) = 1 → all 9 kept exactly
+    val rows = ((0L until 3200L).map(i => (i, "big")) ++
+      (10000L until 10009L).map(i => (i, "tiny"))).toDF("id", "src")
+    val kept = Splits.temperatureMix(rows, "id", "src", "t-salt", 4.0)
+    val bySrc = kept.groupBy($"src").count()
+      .as[(String, Long)].collect().toMap
+    assert(bySrc("tiny") == 9L, s"rate-1 source must keep all: $bySrc")
+    assert(bySrc("big") > 150 && bySrc("big") < 310,
+      s"~226 expected from the damped source: $bySrc")
+    // deterministic: same inputs at another partitioning → same set
+    val again = Splits
+      .temperatureMix(rows.repartition(7), "id", "src", "t-salt", 4.0)
+      .select($"id").as[Long].collect().toSet
+    assert(again == kept.select($"id").as[Long].collect().toSet)
+    // scale shape: the rate table joins back as a broadcast — the
+    // corpus side never shuffles for the gate itself
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"rate table must broadcast:\n$plan")
+  }
+
   test("tokenBudgetCap matches the exact-window semantics at every " +
       "bucket count") {
     import spark.implicits._
