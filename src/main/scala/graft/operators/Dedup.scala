@@ -1093,4 +1093,52 @@ object Dedup {
         aggregate(col("__spans"), lit(0L),
           (acc, sp) => acc + sp("e") - sp("s") + 1).as("n_removed"))
   }
+
+  /** Fixed-point PageRank-style centrality over the undirected
+    * near-dup pair graph (Page et al. 1999; power iteration with
+    * damping 0.85) — a canonical-pick signal to rank d10's
+    * per-cluster keeper choice by connectivity: inside a duplicate
+    * cluster, the copy most near-dup-linked to the rest is the
+    * least-truncated / least-mangled representative.
+    *
+    * ALL arithmetic is integer — rank numerators in Q40 fixed point
+    * (Scale = 2^40), per-edge contribution `r div deg`, damping
+    * `(85·s) div 100`, base `((Scale·15) div 100) div n` — so sums
+    * are order-independent and the whole trajectory is bit-identical
+    * under any partitioning or engine: the e17 quantize-then-
+    * integer-sum discipline applied to power iteration, which is
+    * what lets a 5-round run be DuckDB-hash-verified (d18) instead
+    * of tolerance-banded.
+    *
+    * Scale shape: one shuffle builds the degree table; each round is
+    * edges ⋈ ranks on the node key + a dst-keyed partial-agg sum —
+    * the Pregel cost, E-sized join and V-sized rank state per round,
+    * nothing driver-side except the two scalar counts. Rounds are a
+    * fixed literal (plan depth ∝ iters; for iters beyond ~50 insert
+    * a localCheckpoint every ~16 rounds, the dupClusters
+    * discipline). In a symmetric graph every node has deg ≥ 1 and
+    * receives mass, so the per-round joins are total — no
+    * outer-join patch-up.
+    */
+  def centralityFixedPoint(pairs: DataFrame, iters: Int): DataFrame = {
+    val Scale = 1L << 40
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .distinct()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val n = deg.count()
+    require(n > 0, "centrality needs a non-empty pair graph")
+    var ranks = deg.select(col("src").as("id"), col("deg"),
+      lit(Scale / n).as("r"))
+    val base = (Scale * 15L / 100L) / n
+    for (_ <- 1 to iters) {
+      val sums = edges.join(ranks, edges("src") === ranks("id"))
+        .select(col("dst"), expr("r div deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      ranks = deg.join(sums, deg("src") === sums("dst"))
+        .select(deg("src").as("id"), col("deg"),
+          (lit(base) + expr("(85 * s) div 100")).as("r"))
+    }
+    ranks.select(col("id").as("doc_id"), col("r").as("rank_fp"))
+  }
 }

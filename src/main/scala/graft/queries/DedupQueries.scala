@@ -215,6 +215,18 @@ object DedupQueries {
           threshold = 0.5))
     }),
 
+    // PageRank-style centrality over d06's pair graph, 5 rounds of
+    // Q40 fixed-point power iteration — integer-only arithmetic, so
+    // the trajectory hash-verifies (see Dedup.centralityFixedPoint).
+    // The canonical-pick signal complementing d10's quality argmax.
+    "d18_dup_centrality" -> ((s, d) => {
+      val sh = Dedup.shingles(Tables.documents(s, d), "doc_id",
+        docTokens(s))
+      Dedup.centralityFixedPoint(
+        Dedup.minhashLshPairs(sh, numHashes = 16, rowsPerBand = 4,
+          threshold = 0.5), iters = 5)
+    }),
+
     // d06's relation computed by the O(log n)-round star-contraction
     // scheme instead of label propagation — the variant that survives
     // adversarially chainy graphs. Shares d06's recursive-CTE oracle
@@ -782,6 +794,42 @@ object DedupQueries {
     s"""WITH RECURSIVE $dupClusterCtes
         SELECT doc_id, cluster_id FROM clusters"""
 
+  /** d18: 5 unrolled fixed-point power-iteration rounds over d06's
+    * pair graph — the bpe01 discipline (iterated fit as a CTE chain).
+    * Every step is integer ('//' and sums of BIGINT), so the chain
+    * lands on Spark's bytes exactly; HUGEINT sums cast back to
+    * BIGINT.
+    */
+  private val centralityOracleSql: String = {
+    val scale = 1L << 40
+    val rounds = (1 to 5).map { k =>
+      val p = s"r${k - 1}"
+      s"""s$k AS (
+            SELECT e.b AS t,
+                   CAST(sum($p.r // $p.deg) AS BIGINT) AS s
+            FROM edges e JOIN $p ON e.a = $p.id GROUP BY e.b),
+          r$k AS (
+            SELECT d.a AS id, d.deg,
+                   ((($scale * 15) // 100) // nn.n)
+                     + CAST((85 * s$k.s) // 100 AS BIGINT) AS r
+            FROM deg d JOIN s$k ON d.a = s$k.t, nn)"""
+    }.mkString(",\n")
+    s"""WITH ${shingleCte()}, $jaccardCte, $minhashCandsCte,
+        pairs AS (
+          SELECT jac.a, jac.b
+          FROM jac JOIN cands ON jac.a = cands.a AND jac.b = cands.b
+          WHERE jac.jaccard >= 0.5),
+        edges AS (
+          SELECT a, b FROM pairs
+          UNION SELECT b AS a, a AS b FROM pairs),
+        deg AS (SELECT a, count(*) AS deg FROM edges GROUP BY a),
+        nn AS (SELECT count(*) AS n FROM deg),
+        r0 AS (
+          SELECT a AS id, deg, $scale // nn.n AS r FROM deg, nn),
+        $rounds
+        SELECT id AS doc_id, r AS rank_fp FROM r5"""
+  }
+
   /** Shared by d07 (exact broadcast set) and d08 (bloom + confirm):
     * the two plans compute the same relation.
     */
@@ -1188,6 +1236,7 @@ object DedupQueries {
     "d06_dup_clusters" -> dupClustersOracleSql,
     // same relation, different Spark plan (star contraction)
     "d09_dup_clusters_star" -> dupClustersOracleSql,
+    "d18_dup_centrality" -> centralityOracleSql,
     // clusters → token-count quality → per-cluster argmax (quality
     // desc, doc_id asc); kept ⇔ the member IS the winner
     "d10_dedup_resolve" ->

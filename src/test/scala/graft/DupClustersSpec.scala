@@ -159,4 +159,58 @@ class DupClustersSpec extends AnyFunSuite {
     assert((10L to 14L).forall(labels(_) == 10L))
     assert(labels(20L) == 20L && labels(21L) == 20L)
   }
+
+  /** Driver-side reference of centralityFixedPoint's exact integer
+    * recurrence (same Q40 scale, same truncating divisions).
+    */
+  private def naiveCentrality(pairs: Seq[(Long, Long)],
+      iters: Int): Map[Long, Long] = {
+    val scale = 1L << 40
+    val edges = (pairs ++ pairs.map(p => (p._2, p._1))).distinct
+    val deg = edges.groupBy(_._1).map { case (k, es) => k -> es.size.toLong }
+    val n = deg.size.toLong
+    val base = (scale * 15L / 100L) / n
+    var r = deg.map { case (k, _) => k -> scale / n }
+    for (_ <- 1 to iters) {
+      val s = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => r(src) / deg(src) }.sum
+      }
+      r = deg.map { case (k, _) => k -> (base + 85L * s(k) / 100L) }
+    }
+    r
+  }
+
+  test("centralityFixedPoint: hand-computed path graph, symmetry, " +
+      "naive-reference parity on random graphs, partition-stable") {
+    import spark.implicits._
+    // path a(1)-b(2)-c(3): ends symmetric, middle strictly higher
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val got = Dedup.centralityFixedPoint(path, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // n=3, init=2^40/3=366503875925, base=(2^40*15/100)/3=54975581388;
+    // end: base + 85*(366503875925 div 2) div 100 = 210739728655
+    // mid: base + 85*(2*366503875925) div 100 = 678032170460
+    assert(got(1L) == 210739728655L && got(3L) == 210739728655L)
+    assert(got(2L) == 678032170460L)
+
+    // random graphs: exact parity with the driver-side recurrence
+    val rnd = new scala.util.Random(1234)
+    for (trial <- 1 to 3) {
+      val nNodes = 20 + trial * 10
+      val pairs = (1 to 60).map { _ =>
+        val x = rnd.nextInt(nNodes).toLong
+        val y = rnd.nextInt(nNodes).toLong
+        if (x < y) (x, y) else (y, x + nNodes) // keep a < b, no loops
+      }.distinct
+      val df = pairs.toDF("a", "b")
+      val exp = naiveCentrality(pairs, 5)
+      val spk = Dedup.centralityFixedPoint(df, 5)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(spk == exp, s"trial $trial diverged from the reference")
+      // integer arithmetic ⇒ identical under any partitioning
+      val spk7 = Dedup.centralityFixedPoint(df.repartition(7), 5)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(spk7 == exp)
+    }
+  }
 }
