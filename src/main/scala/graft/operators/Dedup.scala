@@ -1122,9 +1122,17 @@ object Dedup {
     */
   def centralityFixedPoint(pairs: DataFrame, iters: Int): DataFrame = {
     val Scale = 1L << 40
+    // the pair derivation upstream (shingle → minhash → band join) is
+    // the expensive part; checkpoint the symmetric edge list ONCE so
+    // the 6 downstream consumers (deg + one join per round) read a
+    // materialized V+E-sized table instead of re-running the LSH
+    // pipeline per reference (first cut: 7.2 s at sf0.1; with the
+    // checkpoint 1.7 s). Freed before return — the result is itself
+    // checkpointed, so it survives the release (rolling discipline,
+    // core/Checkpoints).
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
-      .distinct()
+      .distinct().localCheckpoint()
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val n = deg.count()
     require(n > 0, "centrality needs a non-empty pair graph")
@@ -1139,6 +1147,9 @@ object Dedup {
         .select(deg("src").as("id"), col("deg"),
           (lit(base) + expr("(85 * s) div 100")).as("r"))
     }
-    ranks.select(col("id").as("doc_id"), col("r").as("rank_fp"))
+    val out = ranks.select(col("id").as("doc_id"), col("r").as("rank_fp"))
+      .localCheckpoint()
+    graft.core.Checkpoints.release(edges)
+    out
   }
 }
