@@ -197,6 +197,53 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("scd2 ≡ naive per-key interval chain on random change logs") {
+    import spark.implicits._
+    val logGen = Gen.nonEmptyListOf(for {
+      k <- Gen.choose(0L, 5L)
+      ts <- Gen.choose(0L, 40L)
+    } yield (k, ts)).map(_.distinct) // unique (key, ts): the contract
+    forAll(logGen, n = 8) { entries =>
+      val df = entries.map { case (k, ts) => (k, s"v$k-$ts", ts) }
+        .toDF("id", "v", "ts")
+      val got = graft.operators.Curation.scd2(df, "id", "ts")
+        .select($"id", $"ts", $"valid_from", $"valid_to", $"is_current")
+        .as[(Long, Long, Long, Option[Long], Boolean)]
+        .collect().toSet
+      val exp = entries.groupBy(_._1).flatMap { case (k, es) =>
+        val sorted = es.map(_._2).distinct.sorted
+        sorted.zip(sorted.drop(1).map(Option(_)) :+ None).map {
+          case (ts, next) => (k, ts, ts, next, next.isEmpty)
+        }
+      }.toSet
+      assert(got == exp, s"log=$entries")
+    }
+  }
+
+  test("temperatureMix: kept set ⊆ input, rate-1 groups keep all, " +
+      "supersets of a group never change its keep decision") {
+    import spark.implicits._
+    val gen = for {
+      nBig <- Gen.choose(30, 120)
+      nSmall <- Gen.choose(1, 15)
+    } yield (nBig, nSmall)
+    forAll(gen, n = 5) { case (nBig, nSmall) =>
+      val rows = ((0L until nBig.toLong).map((_, "big")) ++
+        (1000L until 1000L + nSmall).map((_, "small"))).toDF("id", "g")
+      val kept = graft.operators.Splits
+        .temperatureMix(rows, "id", "g", "p-salt", 4.0)
+        .select($"id").as[Long].collect().toSet
+      // scale 4 ⇒ any group with ≤16 rows has rate 1: all kept
+      assert((1000L until 1000L + nSmall).forall(kept.contains))
+      // per-row decision depends only on (group, id, group count):
+      // re-running on the same data yields the identical set
+      val again = graft.operators.Splits
+        .temperatureMix(rows, "id", "g", "p-salt", 4.0)
+        .select($"id").as[Long].collect().toSet
+      assert(again == kept)
+    }
+  }
 }
 
 private object TextOpsFixtures {
