@@ -152,4 +152,32 @@ object Curation {
         .parquet(dir)
     }
   }
+
+  /** Snapshot diff between two corpus epochs: rows added, removed, or
+    * content-changed, by primary key + content fingerprint. Input
+    * frames carry (pk, fingerprint) — the caller picks the
+    * fingerprint (md5 of the content columns is the portable choice).
+    * Unchanged rows are DROPPED: the result is churn-sized, never
+    * corpus-sized. One full-outer equi-join on the pk; only
+    * fingerprints shuffle. At 100 TB, write both snapshot manifests
+    * bucketed by pk ([[graft.operators.Layout.writeBucketed]]) and
+    * this plans with no Exchange at all (bk01).
+    */
+  def snapshotDiff(prev: DataFrame, cur: DataFrame,
+                   pkCol: String): DataFrame = {
+    val Seq(oldFp, newFp) = Seq(prev, cur).map(df =>
+      df.columns.filter(_ != pkCol) match {
+        case Array(fp) => fp
+        case other => throw new IllegalArgumentException(
+          s"snapshotDiff side must be ($pkCol, fingerprint), got " +
+            other.mkString(","))
+      })
+    prev.join(cur, Seq(pkCol), "full_outer")
+      .withColumn("status",
+        when(col(oldFp).isNull, "added")
+          .when(col(newFp).isNull, "removed")
+          .when(col(oldFp) =!= col(newFp), "changed"))
+      .filter(col("status").isNotNull)
+      .select(col(pkCol), col("status"), col(oldFp), col(newFp))
+  }
 }

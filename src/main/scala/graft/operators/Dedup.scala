@@ -1094,6 +1094,72 @@ object Dedup {
           (acc, sp) => acc + sp("e") - sp("s") + 1).as("n_removed"))
   }
 
+  /** WITHIN-document repeated-window strip — the doc-local complement
+    * of [[substringStrip]] (d16 cuts runs duplicated ACROSS the
+    * corpus; this cuts runs a document repeats INTERNALLY, the
+    * "remove repeated boilerplate inside the page" pass of
+    * C4/CCNet-style curation, cf. Raffel et al. 2020 §2.2's repeated
+    * three-sentence rule). Policy matches d15/d16: keep the FIRST
+    * occurrence, cut every later start whose `window`-token content
+    * already appeared in the same doc; covered token positions are
+    * spliced out in-row. Returns (doc_id, clean_text, n_removed) for
+    * EVERY document (untouched docs pass through, n_removed = 0).
+    *
+    * Scale shape: the whole operator is IN-ROW — each doc sorts its
+    * own (window-content, pos) structs (`array_sort`, O(n log n) per
+    * doc) and marks all-but-first per content group by comparing
+    * neighbours in the sorted order, so there is NO explode, NO
+    * shuffle, NO join: embarrassingly parallel over the corpus, the
+    * plan is a single projection (PLANS.md d19: EX=0). Contrast d15,
+    * whose cross-corpus frequency needs one corpus-wide shuffle of
+    * window hashes — doc-locality is exactly what buys the exchange
+    * away. Comparisons are on window CONTENT (token-array equality),
+    * not hashes — no collision risk, and the DuckDB oracle groups by
+    * the same content. Memory per row is O(n·W) for the window
+    * structs; for the ≥100k-token outliers of a web corpus, cap
+    * upstream with the t10 chunker (the d15 2^20-window bound
+    * discipline).
+    */
+  def intraDocStrip(docs: DataFrame, idCol: String, tokens: Column,
+                    window: Int = 3): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    val W = window
+    val t = docs.select(col(idCol).cast("long").as("doc_id"),
+      tokens.as("__toks"))
+    val n = size(col("__toks"))
+    // (content, pos) per window start; array_sort orders structs
+    // field-by-field → content groups adjacent, first occurrence
+    // (min pos) leading each group. Docs shorter than the window get
+    // an EXPLICIT empty array — sequence(1, 0) would descend [1, 0].
+    val wins = when(n >= lit(W), transform(
+      sequence(lit(1), n - W + 1),
+      p => struct(slice(col("__toks"), p, lit(W)).as("w"),
+        p.cast("long").as("p"))))
+      .otherwise(array().cast("array<struct<w:array<string>,p:bigint>>"))
+    // all-but-first per content group: element i (0-based) is marked
+    // iff its predecessor in sorted order carries the same content.
+    // greatest(i,1) keeps element_at's 1-based index legal under ANSI
+    // when i = 0 (the i > 0 conjunct already excludes that element).
+    val cuts = filter(
+      transform(col("__sw"), (x, i) =>
+        when(i > lit(0) &&
+          element_at(col("__sw"), greatest(i, lit(1)))("w") === x("w"),
+          x("p"))),
+      e => e.isNotNull)
+    t.withColumn("__sw", array_sort(wins))
+      .withColumn("__cut", cuts)
+      .withColumn("__keep", filter(
+        transform(col("__toks"),
+          (tok, i) => struct(tok.as("w"), (i + 1).cast("long").as("p"))),
+        tp => !exists(col("__cut"),
+          p => tp("p") >= p && tp("p") <= p + lit(W - 1).cast("long"))))
+      .select(col("doc_id"),
+        concat_ws(" ", transform(col("__keep"), tp => tp("w")))
+          .as("clean_text"),
+        (size(col("__toks")) - size(col("__keep"))).cast("long")
+          .as("n_removed"))
+  }
+
   /** Fixed-point PageRank-style centrality over the undirected
     * near-dup pair graph (Page et al. 1999; power iteration with
     * damping 0.85) — a canonical-pick signal to rank d10's

@@ -178,6 +178,27 @@ object CurationQueries {
           sum(col("n_chars")).as("sum_chars"),
           count(col("lang")).as("n_with_lang"),
           sum(col("quality")).as("sum_quality"))
+    }),
+
+    // Snapshot diff — the corpus-versioning audit between two
+    // pipeline epochs: which docs were added, removed, or changed
+    // (content fingerprint moved). Epochs derive deterministically
+    // from the one table (prev drops id%7=3; cur drops id%5=2 and
+    // revises id%3=0), diff is ONE full-outer join of (pk, md5) —
+    // fingerprints shuffle, text never does, and unchanged rows are
+    // dropped so the output is churn-sized, not corpus-sized. At
+    // 100 TB write both snapshot manifests bucketed by pk (bk01's
+    // layout) and the diff plans with no Exchange at all.
+    "c08_snapshot_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val prev = docs.filter(col("doc_id") % 7 =!= 3)
+        .select(col("doc_id"), md5(col("text")).as("old_fp"))
+      val cur = docs.filter(col("doc_id") % 5 =!= 2)
+        .select(col("doc_id"),
+          md5(when(col("doc_id") % 3 === 0,
+            concat(col("text"), lit(" rev")))
+            .otherwise(col("text"))).as("new_fp"))
+      Curation.snapshotDiff(prev, cur, "doc_id")
     })
   )
 
@@ -323,6 +344,25 @@ object CurationQueries {
                  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
                  count(lang) AS n_with_lang,
                  CAST(sum(quality) AS BIGINT) AS sum_quality
-          FROM merged GROUP BY source"""
+          FROM merged GROUP BY source""",
+    // c08: identical epoch derivations; full-outer on pk, unchanged
+    // rows excluded — md5 fingerprints are engine-portable
+    "c08_snapshot_diff" ->
+      """WITH prev AS (
+            SELECT doc_id, md5(text) AS old_fp
+            FROM documents WHERE doc_id % 7 <> 3),
+          cur AS (
+            SELECT doc_id,
+                   md5(CASE WHEN doc_id % 3 = 0 THEN text || ' rev'
+                       ELSE text END) AS new_fp
+            FROM documents WHERE doc_id % 5 <> 2)
+          SELECT coalesce(prev.doc_id, cur.doc_id) AS doc_id,
+                 CASE WHEN prev.doc_id IS NULL THEN 'added'
+                      WHEN cur.doc_id IS NULL THEN 'removed'
+                      ELSE 'changed' END AS status,
+                 old_fp, new_fp
+          FROM prev FULL OUTER JOIN cur ON prev.doc_id = cur.doc_id
+          WHERE prev.doc_id IS NULL OR cur.doc_id IS NULL
+             OR old_fp <> new_fp"""
   )
 }

@@ -221,8 +221,53 @@ object TextQueries {
       graft.operators.HeavyHitters.topFrequent(
         Tables.documents(s, d)
           .select(explode(TextOps.tokenize(col("text"))).as("tok")),
-        "tok", k = HhK))
+        "tok", k = HhK)),
+
+    // Gopher-style quality-rule table (Rae et al. 2021, Table A1,
+    // adapted to this corpus' single-line docs): per-doc rule flags +
+    // keep verdict. Every statistic is an INTEGER count and every
+    // threshold test is integer arithmetic (3n ≤ Σlen ≤ 10n instead
+    // of 3 ≤ mean ≤ 10, 8·top ≤ n instead of top/n ≤ 0.125,
+    // 20·dup ≤ g instead of dup/g ≤ 0.05) — bit-exact across engines,
+    // so the verdict column hash-verifies with no float tolerance.
+    // In-row, no shuffle; the token array binds ONCE via withColumn.
+    "t18_gopher_rules" -> ((s, d) =>
+      gopherRules(Tables.documents(s, d)))
   )
+
+  /** t18 body, callable from specs on planted frames: per-doc integer
+    * statistics + integer-arithmetic rule flags + keep verdict over a
+    * (doc_id, text) frame.
+    */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val t = docs
+      .withColumn("toks", TextOps.tokenize(col("text")))
+      .withColumn("g2", Analysis.ngrams(col("toks"), 2))
+    val stats = t.select(col("doc_id"),
+      size(col("toks")).cast("long").as("n_tokens"),
+      aggregate(col("toks"), lit(0L), (acc, w) => acc + length(w))
+        .as("sum_len"),
+      coalesce(array_max(transform(array_distinct(col("toks")),
+        w => size(filter(col("toks"), x => x === w)))), lit(0))
+        .cast("long").as("top_count"),
+      size(filter(array_distinct(col("toks")), w => array_contains(
+        array(TextOps.EnglishStopwords.map(lit): _*), w)))
+        .cast("long").as("n_stop_distinct"),
+      size(col("g2")).cast("long").as("n_2grams"),
+      (size(col("g2")) - size(array_distinct(col("g2"))))
+        .cast("long").as("n_dup_2grams"))
+    stats.select(col("*"),
+      col("n_tokens").between(50L, 100000L).as("r_word_count"),
+      (lit(3L) * col("n_tokens") <= col("sum_len") &&
+        col("sum_len") <= lit(10L) * col("n_tokens")).as("r_mean_len"),
+      (lit(8L) * col("top_count") <= col("n_tokens")).as("r_top_token"),
+      (col("n_stop_distinct") >= 2L).as("r_stopwords"),
+      (lit(20L) * col("n_dup_2grams") <= col("n_2grams"))
+        .as("r_dup_2gram"))
+      .withColumn("keep",
+        col("r_word_count") && col("r_mean_len") && col("r_top_token")
+          && col("r_stopwords") && col("r_dup_2gram"))
+  }
 
   /** t13's profile size / t14's hot-set size — shared with oracles. */
   private val NgramTopK = 20
@@ -549,6 +594,50 @@ object TextQueries {
                  coalesce(nc.n_removed, 0) AS n_removed
           FROM documents d
           LEFT JOIN agg a USING (doc_id)
-          LEFT JOIN nc USING (doc_id)"""
+          LEFT JOIN nc USING (doc_id)""",
+
+    // t18: same integer statistics and integer threshold tests — the
+    // rule flags reproduce bit-exactly (no float mean/ratio anywhere)
+    "t18_gopher_rules" ->
+      s"""WITH t AS (
+            SELECT doc_id, $tokSql AS toks FROM documents),
+          g AS (
+            SELECT doc_id, toks,
+                   list_transform(range(1, len(toks)),
+                     i -> toks[i] || ' ' || toks[i+1]) AS g2
+            FROM t),
+          s AS (
+            SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(list_sum(list_transform(toks,
+                     w -> CAST(len(w) AS BIGINT))), 0) AS BIGINT)
+                     AS sum_len,
+                   CAST(coalesce(list_max(list_transform(
+                     list_distinct(toks),
+                     w -> len(list_filter(toks, x -> x = w)))), 0)
+                     AS BIGINT) AS top_count,
+                   CAST(len(list_filter(list_distinct(toks),
+                     w -> list_contains(
+                       ${sqlList(TextOps.EnglishStopwords)}, w)))
+                     AS BIGINT) AS n_stop_distinct,
+                   CAST(len(g2) AS BIGINT) AS n_2grams,
+                   CAST(len(g2) - len(list_distinct(g2)) AS BIGINT)
+                     AS n_dup_2grams
+            FROM g)
+          SELECT doc_id, n_tokens, sum_len, top_count, n_stop_distinct,
+                 n_2grams, n_dup_2grams,
+                 (n_tokens BETWEEN 50 AND 100000) AS r_word_count,
+                 (3 * n_tokens <= sum_len AND sum_len <= 10 * n_tokens)
+                   AS r_mean_len,
+                 (8 * top_count <= n_tokens) AS r_top_token,
+                 (n_stop_distinct >= 2) AS r_stopwords,
+                 (20 * n_dup_2grams <= n_2grams) AS r_dup_2gram,
+                 ((n_tokens BETWEEN 50 AND 100000)
+                  AND (3 * n_tokens <= sum_len
+                       AND sum_len <= 10 * n_tokens)
+                  AND (8 * top_count <= n_tokens)
+                  AND (n_stop_distinct >= 2)
+                  AND (20 * n_dup_2grams <= n_2grams)) AS keep
+          FROM s"""
   )
 }

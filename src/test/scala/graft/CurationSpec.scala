@@ -110,4 +110,39 @@ class CurationSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), s"scd2 must not join:\n$plan")
   }
+
+  test("c08 snapshot diff: planted epochs yield exactly their add/remove/change rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // ids 0..20: prev drops 3,10,17 (id%7=3); cur drops 2,7,12,17
+    // (id%5=2); cur revises 0,3,6,9,12,15,18 (id%3=0) — the same
+    // derivations the c08 gate query applies to the documents table
+    val docs = (0L to 20L).map(i => (i, s"text of doc $i"))
+      .toDF("doc_id", "text")
+    val prev = docs.filter(col("doc_id") % 7 =!= 3)
+      .select(col("doc_id"), md5(col("text")).as("old_fp"))
+    val cur = docs.filter(col("doc_id") % 5 =!= 2)
+      .select(col("doc_id"),
+        md5(when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" rev")))
+          .otherwise(col("text"))).as("new_fp"))
+    val rows = Curation.snapshotDiff(prev, cur, "doc_id").collect()
+    val byStatus = rows.map(r => r.getLong(0) -> r.getString(1)).toSeq
+      .groupBy(_._2).view.mapValues(_.map(_._1).sorted).toMap
+    // added: in cur, not prev = {3, 10} (17 is dropped from cur too)
+    assert(byStatus("added") == Seq(3L, 10L))
+    // removed: in prev, not cur = {2, 7, 12}
+    assert(byStatus("removed") == Seq(2L, 7L, 12L))
+    // changed: present both sides, id%3=0, minus added/removed
+    assert(byStatus("changed") == Seq(0L, 6L, 9L, 15L, 18L))
+    // fingerprints travel: changed rows carry both, added/removed one
+    rows.foreach { r =>
+      r.getString(1) match {
+        case "added"   => assert(r.isNullAt(2) && !r.isNullAt(3))
+        case "removed" => assert(!r.isNullAt(2) && r.isNullAt(3))
+        case "changed" => assert(!r.isNullAt(2) && !r.isNullAt(3) &&
+          r.getString(2) != r.getString(3))
+      }
+    }
+  }
 }

@@ -209,6 +209,79 @@ class SubstringSpansSpec extends AnyFunSuite {
     }
   }
 
+  // ---- d19: WITHIN-doc repeated-window strip (doc-local, in-row) ----
+
+  test("intraDocStrip: later repeat of a 3-token run is cut, first kept") {
+    import spark.implicits._
+    val out = Dedup.intraDocStrip(
+        Seq(1L -> "a b c x a b c").toDF("doc_id", "text"),
+        "doc_id", TextOps.tokenize(col("text")), window = 3)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // window "a b c" repeats at pos 5 → tokens 5..7 cut
+    assert(out(1L) == ("a b c x", 3L))
+  }
+
+  test("intraDocStrip: overlapping repeats coalesce; short/clean docs pass through") {
+    import spark.implicits._
+    val out = Dedup.intraDocStrip(Seq(
+        1L -> "a b a b a b a b",  // starts 3..6 marked → tokens 3..8 cut
+        2L -> "one two three four",
+        3L -> "a b").toDF("doc_id", "text"),
+        "doc_id", TextOps.tokenize(col("text")), window = 3)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) == ("a b", 6L))
+    assert(out(2L) == ("one two three four", 0L))
+    assert(out(3L) == ("a b", 0L))
+  }
+
+  test("intraDocStrip is doc-local: cross-corpus duplicates are NOT cut") {
+    import spark.implicits._
+    val t = "p q r s t u v w"
+    val out = Dedup.intraDocStrip(
+        Seq(1L -> t, 2L -> t).toDF("doc_id", "text"),
+        "doc_id", TextOps.tokenize(col("text")), window = 3)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) == (t, 0L) && out(2L) == (t, 0L))
+  }
+
+  /** Independent per-doc reference for intraDocStrip: linear scan with
+    * a seen-set over raw window content.
+    */
+  private def naiveIntra(toks: Seq[String], w: Int): (String, Long) = {
+    if (toks.length < w) return (toks.mkString(" "), 0L)
+    val seen = scala.collection.mutable.Set.empty[Seq[String]]
+    val marked = (1 to toks.length - w + 1).filter { p =>
+      val win = toks.slice(p - 1, p - 1 + w)
+      if (seen(win)) true else { seen += win; false }
+    }
+    val cut = marked.flatMap(p => p until p + w).toSet
+    (toks.zipWithIndex.collect { case (t, i) if !cut(i + 1) => t }
+      .mkString(" "), cut.size.toLong)
+  }
+
+  test("intraDocStrip: random docs match the naive seen-set reference") {
+    import spark.implicits._
+    val vocab = Vector("a", "b", "c")
+    (1 to 8).foreach { seed =>
+      val rnd = new scala.util.Random(200 + seed)
+      val docs = (0L until 12L).map { id =>
+        id -> Seq.fill(1 + rnd.nextInt(20))(vocab(rnd.nextInt(3)))
+      }
+      val got = Dedup.intraDocStrip(
+          docs.map { case (id, ts) => (id, ts.mkString(" ")) }
+            .toDF("doc_id", "text"),
+          "doc_id", TextOps.tokenize(col("text")), window = 3)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+      val exp = docs.map { case (id, ts) =>
+        id -> naiveIntra(ts, 3) }.toMap
+      assert(got == exp, s"seed=${200 + seed}")
+    }
+  }
+
   test("corpus invariants: spans never overlap, length ≥ window, consistent arithmetic") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")

@@ -273,4 +273,40 @@ class TextOpsSpec extends AnyFunSuite {
       r6((math.log(0.5) + floor) / 2),
       0.0))
   }
+
+  test("t18 gopher rules: each planted offender fails exactly its rule") {
+    import spark.implicits._
+    def doc(toks: Seq[String]) = toks.mkString(" ")
+    val uniq = (1 to 58).map(i => f"word$i%02d") // 6/7-char distinct
+    val short2 = (1 to 58).map(i => f"${('a' + i / 26).toChar}${('a' + i % 26).toChar}")
+    val docs = Seq(
+      // 1: 60 tokens, diverse, has the+a → keep
+      1L -> doc("the" +: "a" +: uniq),
+      // 2: word-count fail only (9 tokens)
+      2L -> doc("the" +: "a" +: uniq.take(7)),
+      // 3: mean-len fail only (2-char words, mean < 3)
+      3L -> doc("the" +: "a" +: short2),
+      // 4: top-token fail only ("spam" 24× of 50, non-adjacent)
+      4L -> doc(Seq("the", "a") ++ (1 to 24).flatMap(i =>
+        Seq("spam", f"filler$i%02d"))),
+      // 5: stopword fail only (diverse but no stop words)
+      5L -> doc(uniq ++ Seq("zebra", "quokka")),
+      // 6: dup-2gram fail only ("xx yy" 4× → 3 dup of 59 2-grams)
+      6L -> doc(Seq("the", "a") ++ (1 to 4).flatMap(i =>
+        Seq("xx", "yy", f"gap$i%02d")) ++ uniq.take(46))
+    ).toDF("doc_id", "text")
+    val out = graft.queries.TextQueries.gopherRules(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def flags(id: Long) = (1 to 5).map(i =>
+      out(id).getBoolean(out(id).schema.fieldIndex(Seq("r_word_count",
+        "r_mean_len", "r_top_token", "r_stopwords", "r_dup_2gram")(i - 1))))
+    assert(flags(1L) == Seq(true, true, true, true, true)
+      && out(1L).getAs[Boolean]("keep"))
+    assert(flags(2L) == Seq(false, true, true, true, true))
+    assert(flags(3L) == Seq(true, false, true, true, true))
+    assert(flags(4L) == Seq(true, true, false, true, true))
+    assert(flags(5L) == Seq(true, true, true, false, true))
+    assert(flags(6L) == Seq(true, true, true, true, false))
+    assert((2L to 6L).forall(id => !out(id).getAs[Boolean]("keep")))
+  }
 }
