@@ -108,6 +108,63 @@ object Similarity {
     topKPerQuery(scored, "cos", scoreAsc = false, k)
   }
 
+  /** Maximal Marginal Relevance re-rank (Carbonell & Goldstein 1998):
+    * greedy diversity-aware selection of `selK` results from each
+    * query's `candK` relevance candidates — round 1 takes the top
+    * relevance hit, round k takes
+    * argmax λ·rel(c) − (1−λ)·max_{s∈selected} cos(c, s), ties → min
+    * id. The selection loop every diverse-retrieval / diverse-sampling
+    * pipeline runs on top of a KNN stage.
+    *
+    * Scale shape: the corpus is touched ONLY by the [[bruteForceKnn]]
+    * candidate stage (broadcast queries, bounded TopKAgg heap, corpus
+    * never shuffles); the greedy loop then runs IN-ROW over each
+    * query's ≤`candK` collected candidates — |Q|·candK rows total, no
+    * per-round shuffle, no iteration-count-many jobs. The rounds
+    * unroll into one projection (plan depth ∝ selK·candK pairwise
+    * sims — keep selK small; it is a top-of-funnel re-rank, the same
+    * bounded-list contract as r01/r02).
+    *
+    * Determinism: every score is IEEE double computed in a fixed
+    * order (λ·rel − (1−λ)·max sims; max is order-independent), and
+    * argmax ties break on min id via a (score, −id) struct max — the
+    * whole trajectory reproduces bit-identically in DuckDB, so a
+    * 5-round greedy selection is hash-verifiable (e21).
+    */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame, candK: Int,
+                selK: Int, lambda: Double,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    require(selK >= 1 && selK <= candK,
+      s"need 1 <= selK <= candK, got selK=$selK candK=$candK")
+    val oneMinus = 1.0 - lambda
+    val cands = bruteForceKnn(corpus, queries, candK, idCol, vecCol)
+    val vecs = corpus.select(col(idCol).as("n_id"), col(vecCol).as("v"),
+      norm(col(vecCol)).as("nrm"))
+    val packed = cands.join(vecs, "n_id")
+      .groupBy("q_id")
+      .agg(collect_list(struct(col("n_id").as("id"),
+        col("cos").as("rel"), col("v"), col("nrm"))).as("cs"))
+    def sim(c: Column, s: Column): Column =
+      dot(c("v"), s("v")) / (c("nrm") * s("nrm"))
+    // argmax via struct max: (score, −id) — ties resolve to min id
+    val first = array_max(transform(col("cs"),
+      c => struct(c("rel").as("sc"), (-c("id")).as("ni"), c.as("c"))))("c")
+    def next(sel: Column): Column =
+      array_max(filter(transform(col("cs"), c =>
+        when(!exists(sel, s => s("id") === c("id")),
+          struct((lit(lambda) * c("rel") - lit(oneMinus) *
+            array_max(transform(sel, s => sim(c, s)))).as("sc"),
+            (-c("id")).as("ni"), c.as("c")))),
+        x => x.isNotNull))("c")
+    var df = packed.withColumn("sel", array(first))
+    for (_ <- 2 to selK)
+      df = df.withColumn("sel", concat(col("sel"), array(next(col("sel")))))
+    df.select(col("q_id"), posexplode(col("sel")))
+      .select(col("q_id"), (col("pos") + 1).as("sel_rank"),
+        col("col")("id").as("n_id"), col("col")("rel").as("rel"))
+  }
+
   /** Sign-pattern bucket id from `planes` fixed hyperplanes.
     * Hyperplanes are generated from a seeded RNG on the driver —
     * deterministic, shipped in the plan as literals.

@@ -190,6 +190,16 @@ object DedupQueries {
         docs.filter(col("doc_id") < 100), "doc_id", docTokens(s))
     }),
 
+    // WITHIN-doc repeated-window strip: cut every 3-token run a
+    // document repeats internally (keep-first), splice in-row — the
+    // doc-local complement of d16's cross-corpus cuts. Entirely
+    // in-row (per-doc array_sort + neighbour compare on window
+    // CONTENT): no explode, no shuffle, no join — the plan is one
+    // projection, embarrassingly parallel at any corpus size.
+    "d19_intra_doc_strip" -> ((s, d) =>
+      Dedup.intraDocStrip(Tables.documents(s, d), "doc_id",
+        docTokens(s), window = 3)),
+
     // Fuzzy key self-join (edit distance ≤ 1) via the FastSS deletion
     // neighborhood — complete candidates from an equi-join on in-row
     // deletion variants, exact levenshtein confirm on candidates
@@ -413,6 +423,19 @@ object DedupQueries {
           emb.filter(col("vec_id") >= 50 && col("vec_id") < 550),
           emb.filter(col("vec_id") < 50), threshold = 0.4)
         .select(col("vec_id"), col("label"))
+    }),
+
+    // MMR diversity re-rank (Carbonell & Goldstein 1998): top-12
+    // relevance candidates per query (bounded-heap KNN, corpus never
+    // shuffles), then 5 greedy λ=0.7 rounds IN-ROW over the collected
+    // candidate list — score = λ·rel − (1−λ)·max sim-to-selected,
+    // ties → min id. Fully deterministic double arithmetic, so the
+    // whole greedy trajectory is hash-verified by a 5-round unrolled
+    // CTE oracle (the d18/e17 unroll discipline).
+    "e21_mmr_rerank" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.mmrRerank(emb, emb.filter(col("vec_id") < 4),
+        candK = 12, selK = 5, lambda = 0.7)
     }),
 
     // SemDeDup search stage: fixed coarse cells (e08's seeded
@@ -683,6 +706,59 @@ object DedupQueries {
 
   private def normSql(a: String): String =
     s"sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+  /** e21: the 5 greedy MMR rounds unrolled into a CTE chain. λ and
+    * 1−λ are emitted from the SAME Scala doubles the Spark side uses
+    * (shortest-roundtrip toString; 1−0.7 is 0.30000000000000004, NOT
+    * the decimal 0.3), and every score is the identical IEEE
+    * expression λ·rel − (1−λ)·max(sim) with min-id tie-break — so the
+    * whole selection trajectory hash-matches.
+    */
+  private def mmrOracleSql: String = {
+    val lam = 0.7
+    val lamS = lam.toString
+    val omS = (1.0 - lam).toString
+    val simS = s"""${dotSql("c.v", "s.v")} / (c.nrm * s.nrm)"""
+    val rounds = (2 to 5).map { k =>
+      s"""p$k AS (
+            SELECT c.q_id, c.n_id,
+                   $lamS * max(c.rel) - $omS * max($simS) AS score
+            FROM cand c JOIN acc${k - 1} s USING (q_id)
+            WHERE NOT EXISTS (SELECT 1 FROM acc${k - 1} x
+                              WHERE x.q_id = c.q_id
+                                AND x.n_id = c.n_id)
+            GROUP BY c.q_id, c.n_id),
+          sel$k AS (
+            SELECT c.q_id, c.n_id, c.v, c.nrm, c.rel, $k AS sel_rank
+            FROM (SELECT q_id, n_id FROM p$k
+                  QUALIFY row_number() OVER (
+                    PARTITION BY q_id
+                    ORDER BY score DESC, n_id) = 1) w
+            JOIN cand c USING (q_id, n_id)),
+          acc$k AS (SELECT * FROM acc${k - 1}
+                    UNION ALL SELECT * FROM sel$k)"""
+    }.mkString(",\n          ")
+    s"""WITH q AS (
+          SELECT vec_id AS q_id, embedding AS q_vec
+          FROM embeddings WHERE vec_id < 4),
+        scored AS (
+          SELECT q_id, e.vec_id AS n_id, e.embedding AS v,
+                 ${dotSql("q_vec", "e.embedding")} /
+                 (${normSql("q_vec")} * ${normSql("e.embedding")}) AS rel
+          FROM embeddings e, q WHERE e.vec_id <> q_id),
+        cand AS (
+          SELECT q_id, n_id, v, ${normSql("v")} AS nrm, rel FROM scored
+          QUALIFY row_number() OVER (
+            PARTITION BY q_id ORDER BY rel DESC, n_id) <= 12),
+        sel1 AS (
+          SELECT q_id, n_id, v, nrm, rel, 1 AS sel_rank FROM cand
+          QUALIFY row_number() OVER (
+            PARTITION BY q_id ORDER BY rel DESC, n_id) = 1),
+        acc1 AS (SELECT * FROM sel1),
+        $rounds
+        SELECT q_id, CAST(sel_rank AS INTEGER) AS sel_rank, n_id, rel
+        FROM acc5"""
+  }
 
   /** A hyperplane as a DuckDB DOUBLE[] literal. Coefficients go through
     * VARCHAR → `CAST(x AS DOUBLE)` (correctly-rounded decimal parse of
@@ -1206,6 +1282,43 @@ object DedupQueries {
                 len(t.toks) - coalesce(agg.n_kept, 0) AS n_removed
          FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id""",
 
+    // d19: within-doc keep-first over window CONTENT (row_number per
+    // doc+content — all-but-first marked), then d16's splice tail.
+    // Window = 3 tokens.
+    "d19_intra_doc_strip" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  list_filter(string_split(text, ' '),
+                    w -> len(w) > 0) AS toks
+           FROM documents),
+         occ AS (
+           SELECT doc_id, CAST(p AS BIGINT) AS pos,
+                  array_to_string(toks[p:p+2], ' ') AS w
+           FROM t, unnest(range(1, len(toks) - 1)) AS u(p)
+           WHERE len(toks) >= 3),
+         marked AS (
+           SELECT doc_id, pos FROM occ
+           QUALIFY row_number() OVER
+             (PARTITION BY doc_id, w ORDER BY pos) > 1),
+         pos AS (
+           SELECT doc_id, unnest(toks) AS w,
+                  CAST(generate_subscripts(toks, 1) AS BIGINT) AS p
+           FROM t),
+         keep AS (
+           SELECT pos.doc_id, pos.w, pos.p
+           FROM pos LEFT JOIN marked
+             ON pos.doc_id = marked.doc_id
+            AND pos.p BETWEEN marked.pos AND marked.pos + 2
+           WHERE marked.pos IS NULL),
+         agg AS (
+           SELECT doc_id, string_agg(w, ' ' ORDER BY p) AS clean_text,
+                  count(*) AS n_kept
+           FROM keep GROUP BY doc_id)
+         SELECT t.doc_id, coalesce(agg.clean_text, '') AS clean_text,
+                CAST(len(t.toks) - coalesce(agg.n_kept, 0) AS BIGINT)
+                  AS n_removed
+         FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id""",
+
     // d13: the oracle ranks with a plain global window (fine at
     // oracle scale; the Spark side uses the distributed sort), pairs
     // ranks within the window, and restricts the same exact-Jaccard
@@ -1524,6 +1637,7 @@ object DedupQueries {
               AS INTEGER) AS rn
             FROM scored)
           SELECT q_id, n_id, adist, rn FROM ranked WHERE rn <= 10""",
+    "e21_mmr_rerank" -> mmrOracleSql,
     "e20_embed_decontaminate" ->
       s"""WITH c AS (
             SELECT vec_id, embedding, label FROM embeddings

@@ -492,4 +492,65 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"),
       s"corpus must not shuffle for a benchmark-sized eval set:\n$plan")
   }
+
+  test("mmrRerank: diversity beats pure relevance on a planted near-dup pair") {
+    import spark.implicits._
+    // query along x; candidates: two near-identical high-relevance
+    // vectors (ids 10, 11), one diverse mid-relevance vector (id 12):
+    // s(11) = .5·0.9940 − .5·0.99995 < 0 < s(12) = .5·0.8944 − .5·0.8900
+    val corpus = Seq(
+      (0L, Array(1f, 0f, 0f)), // the query itself, excluded by KNN
+      (10L, Array(1f, 0.1f, 0f)),
+      (11L, Array(1f, 0.11f, 0f)),
+      (12L, Array(1f, 0f, 0.5f))).toDF("vec_id", "embedding")
+    val out = Similarity.mmrRerank(corpus,
+        corpus.filter($"vec_id" === 0), candK = 3, selK = 2,
+        lambda = 0.5)
+      .orderBy("sel_rank")
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    // pure top-2 would be (10, 11); MMR keeps 10 then jumps to the
+    // diverse 12 because 11 is ~identical to the already-selected 10
+    assert(out.toSeq == Seq((1, 10L), (2, 12L)))
+  }
+
+  /** Driver-side naive MMR on cosine doubles — same λ, tie-break and
+    * float op order as the operator. */
+  private def naiveMmr(qv: Array[Float], cands: Seq[(Long, Array[Float])],
+                       candK: Int, selK: Int,
+                       lam: Double): Seq[(Int, Long)] = {
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) =>
+        acc + x.toDouble * y.toDouble }
+    def nrm(a: Array[Float]): Double = math.sqrt(
+      a.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      dot(a, b) / (nrm(a) * nrm(b))
+    val scored = cands.map { case (id, v) => (id, v, cos(qv, v)) }
+      .sortBy { case (id, _, c) => (-c, id) }.take(candK)
+    val om = 1.0 - lam
+    val sel = scala.collection.mutable.ArrayBuffer(
+      scored.maxBy { case (id, _, c) => (c, -id) })
+    while (sel.size < selK) {
+      val rest = scored.filterNot(c => sel.exists(_._1 == c._1))
+      sel += rest.maxBy { case (id, v, c) =>
+        (lam * c - om * sel.map(s => cos(v, s._2)).max, -id) }
+    }
+    sel.toSeq.zipWithIndex.map { case ((id, _, _), i) => (i + 1, id) }
+  }
+
+  test("mmrRerank matches the naive greedy reference on random vectors") {
+    import spark.implicits._
+    (1 to 5).foreach { seed =>
+      val rnd = new scala.util.Random(300 + seed)
+      val vecs = (0L until 30L).map(i =>
+        (i, Array.fill(6)(rnd.nextGaussian().toFloat)))
+      val qv = vecs.head._2
+      val got = Similarity.mmrRerank(vecs.toDF("vec_id", "embedding"),
+          vecs.toDF("vec_id", "embedding").filter($"vec_id" === 0),
+          candK = 8, selK = 4, lambda = 0.7)
+        .collect().map(r => (r.getInt(1), r.getLong(2))).toSeq.sorted
+      val exp = naiveMmr(qv, vecs.tail, 8, 4, 0.7).sorted
+      assert(got == exp, s"seed=${300 + seed}")
+    }
+  }
 }
