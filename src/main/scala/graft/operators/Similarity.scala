@@ -157,10 +157,20 @@ object Similarity {
             array_max(transform(sel, s => sim(c, s)))).as("sc"),
             (-c("id")).as("ni"), c.as("c")))),
         x => x.isNotNull))("c")
-    var df = packed.withColumn("sel", array(first))
-    for (_ <- 2 to selK)
-      df = df.withColumn("sel", concat(col("sel"), array(next(col("sel")))))
-    df.select(col("q_id"), posexplode(col("sel")))
+    // The whole greedy loop runs inside ONE `aggregate` expression:
+    // the selected-set accumulator is a lambda VARIABLE, so each
+    // round reads the previous rounds' runtime VALUE. The per-round
+    // withColumn formulation this replaces let Catalyst inline round
+    // k's expression into round k+1's lambdas — optimized-plan size
+    // grew 2.5× per round (41.6 kB at selK=5) and each inlined copy
+    // re-evaluated per candidate: 0.25 s (selK=1) → 5.5 s (selK=5)
+    // for 4 queries. With the runtime accumulator the plan is
+    // constant-size in selK.
+    val selArr =
+      if (selK == 1) array(first)
+      else aggregate(sequence(lit(1), lit(selK - 1)), array(first),
+        (acc, _) => concat(acc, array(next(acc))))
+    packed.select(col("q_id"), posexplode(selArr))
       .select(col("q_id"), (col("pos") + 1).as("sel_rank"),
         col("col")("id").as("n_id"), col("col")("rel").as("rel"))
   }

@@ -243,15 +243,33 @@ object TextQueries {
     val t = docs
       .withColumn("toks", TextOps.tokenize(col("text")))
       .withColumn("g2", Analysis.ngrams(col("toks"), 2))
+    // top_count (max token multiplicity) via sorted runs — O(n log n)
+    // and two linear passes, vs the naive O(n·distinct) count-per-
+    // distinct-token scan; the sort and the run-start list are
+    // let-bound (graft.expressions.Bind) so they evaluate once per
+    // row. starts = 1-based run starts plus an n+1 sentinel; run
+    // lengths are consecutive-start differences.
+    import graft.expressions.Bind
+    val topCount = when(size(col("toks")) === 0, lit(0L)).otherwise(
+      Bind.once(array_sort(col("toks"))) { st =>
+        Bind.once(concat(filter(transform(st, (x, i) =>
+            when(i === lit(0) ||
+              element_at(st, greatest(i, lit(1))) =!= x,
+              (i + 1).cast("long"))),
+          e => e.isNotNull), array(size(st).cast("long") + 1))) { starts =>
+          array_max(transform(sequence(lit(1), size(starts) - 1),
+            j => element_at(starts, j + 1) - element_at(starts, j)))
+        }
+      })
     val stats = t.select(col("doc_id"),
       size(col("toks")).cast("long").as("n_tokens"),
       aggregate(col("toks"), lit(0L), (acc, w) => acc + length(w))
         .as("sum_len"),
-      coalesce(array_max(transform(array_distinct(col("toks")),
-        w => size(filter(col("toks"), x => x === w)))), lit(0))
-        .cast("long").as("top_count"),
-      size(filter(array_distinct(col("toks")), w => array_contains(
-        array(TextOps.EnglishStopwords.map(lit): _*), w)))
+      topCount.as("top_count"),
+      // distinct stopwords present: hash-based set intersect, not a
+      // |distinct|×|stoplist| contains scan
+      size(array_intersect(array_distinct(col("toks")),
+        array(TextOps.EnglishStopwords.map(lit): _*)))
         .cast("long").as("n_stop_distinct"),
       size(col("g2")).cast("long").as("n_2grams"),
       (size(col("g2")) - size(array_distinct(col("g2"))))

@@ -117,6 +117,56 @@ class PlanAuditSpec extends AnyFunSuite {
       s"bpe02 encode lost codegen:\n$plan")
   }
 
+  test("d19 intra-doc strip and t18 gopher rules are zero-shuffle in-row scans") {
+    // Both are doc-local by design: d19's whole point vs d15 is that
+    // within-doc dedup needs NO corpus-wide frequency, so any
+    // Exchange means the doc-locality was lost; t18's rule stats are
+    // per-row integer arithmetic.
+    for (name <- Seq("d19_intra_doc_strip", "t18_gopher_rules")) {
+      val plan = PlanSummary.finalPlanString(
+        SparkEntry.queries(name)(spark, sf))
+      assert(!plan.contains("Exchange"),
+        s"$name gained a shuffle:\n$plan")
+      assert(PlanSummary.wscSpans(plan) >= 1,
+        s"$name lost codegen:\n$plan")
+    }
+  }
+
+  test("c08 snapshot diff is one pk join of fingerprints, text never shuffles") {
+    val plan = PlanSummary.finalPlanString(
+      SparkEntry.queries("c08_snapshot_diff")(spark, sf))
+    // one join (full-outer over pk); the md5 fingerprint is projected
+    // BELOW the exchange (the Project with md5 feeds it), so the
+    // shuffle carries (pk, fp) — text appears only in scan/project
+    // lines, never on an Exchange node
+    assert(plan.contains("FullOuter") || plan.contains("full_outer"),
+      s"c08 lost its full-outer join:\n$plan")
+    plan.linesIterator.filter(_.contains("Exchange")).foreach { l =>
+      assert(!l.contains("text#"), s"c08 shuffles document text: $l")
+    }
+    assert(plan.linesIterator.count(_.contains("md5")) >= 2,
+      s"c08 must fingerprint both sides before the join:\n$plan")
+  }
+
+  test("e21 greedy rounds run inside one aggregate: plan size constant in selK") {
+    // The per-round withColumn formulation let Catalyst inline round
+    // k's selection into round k+1's lambdas — optimized-plan size
+    // grew 2.5× per round and each copy re-evaluated per candidate
+    // (0.25 s → 5.5 s from selK=1→5). The aggregate-accumulator form
+    // is immune: the selected set is a runtime lambda variable.
+    import graft.operators.Similarity
+    import graft.core.Tables
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sf)
+    val qs = emb.filter(col("vec_id") < 4)
+    def planLen(selK: Int) = Similarity
+      .mmrRerank(emb, qs, candK = 12, selK = selK, lambda = 0.7)
+      .queryExecution.optimizedPlan.toString.length
+    val (p2, p5) = (planLen(2), planLen(5))
+    assert(p2 == p5,
+      s"e21 plan must not grow with selK: selK=2 → $p2 chars, selK=5 → $p5")
+  }
+
   test("finalPlanString reads the post-AQE plan, not the initial one") {
     val df = SparkEntry.queries("q01_agg_pricing")(spark, sf)
     // before execution the AQE string has no codegen markers — the
