@@ -153,6 +153,31 @@ object Curation {
     }
   }
 
+  /** Per-key mergeable rollup fragment: count, sum, and an HLL
+    * distinct-fingerprint sketch as binary state — everything a
+    * serving rollup needs while staying INCREMENTALLY maintainable
+    * (c09). count/sum merge by addition; count-distinct does not
+    * merge, which is exactly what the sketch column is for.
+    */
+  def sketchRollup(f: DataFrame, keyCol: String, sumCol: String,
+                   fp: Column): DataFrame =
+    f.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col(sumCol)).as("sum_chars"),
+      hll_sketch_agg(fp).as("fp_sketch"))
+
+  /** Merge any union of [[sketchRollup]] fragments (persisted or
+    * fresh) back into one serving rollup per key: additive merges for
+    * count/sum, lossless HLL union for the sketch, estimate surfaced
+    * as `est`. Equality of the additive columns with a full recompute
+    * is the c09 oracle's claim.
+    */
+  def mergeRollups(parts: DataFrame, keyCol: String): DataFrame =
+    parts.groupBy(col(keyCol)).agg(
+      sum(col("n_docs")).as("n_docs"),
+      sum(col("sum_chars")).as("sum_chars"),
+      hll_sketch_estimate(hll_union_agg(col("fp_sketch"))).as("est"))
+
   /** Snapshot diff between two corpus epochs: rows added, removed, or
     * content-changed, by primary key + content fingerprint. Input
     * frames carry (pk, fingerprint) — the caller picks the

@@ -199,6 +199,39 @@ object CurationQueries {
             concat(col("text"), lit(" rev")))
             .otherwise(col("text"))).as("new_fp"))
       Curation.snapshotDiff(prev, cur, "doc_id")
+    }),
+
+    // Incremental aggregate maintenance — the materialized-rollup
+    // pattern a 100 TB pipeline lives on: epoch 1's per-source rollup
+    // is PERSISTED (counts, sums, and an HLL fingerprint sketch as
+    // binary state), epoch 2 contributes only ITS delta, and the
+    // serving rollup merges the two WITHOUT rescanning epoch 1.
+    // count/sum merge by addition; count-distinct is the textbook
+    // non-mergeable aggregate, which is exactly why the sketch column
+    // exists (Spark's DataSketches HLL state unions losslessly across
+    // persistence). The oracle recomputes the rollup from the FULL
+    // table — equality proves the merge path reproduces the
+    // full-recompute semantics; est_ok (the q17 band discipline)
+    // proves the sketch estimate survived write → read → union within
+    // 5% of the exact distinct.
+    "c09_incremental_rollup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-c09-").toString + "/rollup"
+      def rollup(f: DataFrame) =
+        Curation.sketchRollup(f, "source", "n_chars", md5(col("text")))
+      rollup(docs.filter(col("doc_id") >= 100)).write.parquet(dir)
+      val merged = Curation.mergeRollups(
+        s.read.parquet(dir)
+          .unionByName(rollup(docs.filter(col("doc_id") < 100))),
+        "source")
+      val exact = docs.groupBy(col("source"))
+        .agg(countDistinct(md5(col("text"))).as("n_distinct_fp"))
+      merged.join(exact, "source")
+        .select(col("source"), col("n_docs"), col("sum_chars"),
+          col("n_distinct_fp"),
+          (abs(col("est") - col("n_distinct_fp")) <=
+            lit(0.05) * col("n_distinct_fp")).as("est_ok"))
     })
   )
 
@@ -363,6 +396,18 @@ object CurationQueries {
                  old_fp, new_fp
           FROM prev FULL OUTER JOIN cur ON prev.doc_id = cur.doc_id
           WHERE prev.doc_id IS NULL OR cur.doc_id IS NULL
-             OR old_fp <> new_fp"""
+             OR old_fp <> new_fp""",
+    // c09: the oracle is the FULL recompute — counts/sums must agree
+    // with the engine's persisted-base + delta merge exactly, and the
+    // sketch-estimate band flag is asserted TRUE (q17 discipline: a
+    // drifting estimate breaks the gate, not just a spec)
+    "c09_incremental_rollup" ->
+      """SELECT source,
+                count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                CAST(count(DISTINCT md5(text)) AS BIGINT)
+                  AS n_distinct_fp,
+                TRUE AS est_ok
+         FROM documents GROUP BY source"""
   )
 }

@@ -232,7 +232,35 @@ object TextQueries {
     // so the verdict column hash-verifies with no float tolerance.
     // In-row, no shuffle; the token array binds ONCE via withColumn.
     "t18_gopher_rules" -> ((s, d) =>
-      gopherRules(Tables.documents(s, d)))
+      gopherRules(Tables.documents(s, d))),
+
+    // Character-diversity quality signals, in-row: Simpson/Gini
+    // impurity as an EXACT integer fraction (n² − Σc², n² — no float
+    // anywhere, hash-exact by construction) plus Shannon entropy in
+    // nats. Multiplicities come from char-sorted run lengths, so the
+    // Shannon fold visits terms in the same (char-sorted) order in
+    // both engines — the only cross-engine wobble left is ln itself
+    // (≤1 ulp), absorbed by the single end round to 6 dp (never
+    // per-term — the skill-note discipline). Low diversity flags
+    // mojibake/binary spill; the exact Gini is the gate-stable form.
+    "t19_char_diversity" -> ((s, d) => {
+      val t = Tables.documents(s, d)
+        .withColumn("cs", split(col("text"), ""))
+        .withColumn("runs", Analysis.sortedRunLengths(col("cs")))
+      t.select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_total"),
+        size(array_distinct(col("cs"))).cast("long")
+          .as("n_chars_distinct"),
+        (length(col("text")).cast("long") * length(col("text"))
+          - aggregate(col("runs"), lit(0L), (acc, c) => acc + c * c))
+          .as("gini_num"),
+        (length(col("text")).cast("long") * length(col("text")))
+          .as("gini_den"),
+        round(aggregate(col("runs"), lit(0.0), (acc, c) =>
+          acc + (c.cast("double") / length(col("text")).cast("double"))
+            * log(length(col("text")).cast("double")
+              / c.cast("double"))), 6).as("shannon_nats"))
+    })
   )
 
   /** t18 body, callable from specs on planted frames: per-doc integer
@@ -243,24 +271,10 @@ object TextQueries {
     val t = docs
       .withColumn("toks", TextOps.tokenize(col("text")))
       .withColumn("g2", Analysis.ngrams(col("toks"), 2))
-    // top_count (max token multiplicity) via sorted runs — O(n log n)
-    // and two linear passes, vs the naive O(n·distinct) count-per-
-    // distinct-token scan; the sort and the run-start list are
-    // let-bound (graft.expressions.Bind) so they evaluate once per
-    // row. starts = 1-based run starts plus an n+1 sentinel; run
-    // lengths are consecutive-start differences.
-    import graft.expressions.Bind
-    val topCount = when(size(col("toks")) === 0, lit(0L)).otherwise(
-      Bind.once(array_sort(col("toks"))) { st =>
-        Bind.once(concat(filter(transform(st, (x, i) =>
-            when(i === lit(0) ||
-              element_at(st, greatest(i, lit(1))) =!= x,
-              (i + 1).cast("long"))),
-          e => e.isNotNull), array(size(st).cast("long") + 1))) { starts =>
-          array_max(transform(sequence(lit(1), size(starts) - 1),
-            j => element_at(starts, j + 1) - element_at(starts, j)))
-        }
-      })
+    // top_count (max token multiplicity) via sorted-run lengths —
+    // O(n log n) vs the naive O(n·distinct) count-per-distinct scan
+    val topCount = when(size(col("toks")) === 0, lit(0L))
+      .otherwise(array_max(Analysis.sortedRunLengths(col("toks"))))
     val stats = t.select(col("doc_id"),
       size(col("toks")).cast("long").as("n_tokens"),
       aggregate(col("toks"), lit(0L), (acc, w) => acc + length(w))
@@ -656,6 +670,33 @@ object TextQueries {
                   AND (8 * top_count <= n_tokens)
                   AND (n_stop_distinct >= 2)
                   AND (20 * n_dup_2grams <= n_2grams)) AS keep
-          FROM s"""
+          FROM s""",
+
+    // t19: char multiplicities ordered by char (list_sort over the
+    // distinct chars = the engine's sorted-run order), integer Gini,
+    // and the same char-ordered sequential Shannon fold
+    "t19_char_diversity" ->
+      """WITH t AS (
+            SELECT doc_id, CAST(length(text) AS BIGINT) AS n,
+                   string_split(text, '') AS cs
+            FROM documents),
+          c AS (
+            SELECT doc_id, n, cs,
+                   list_transform(list_sort(list_distinct(cs)),
+                     ch -> CAST(len(list_filter(cs, x -> x = ch))
+                       AS BIGINT)) AS counts
+            FROM t)
+          SELECT doc_id,
+                 n AS n_chars_total,
+                 CAST(len(list_distinct(cs)) AS BIGINT)
+                   AS n_chars_distinct,
+                 CAST(n * n - list_sum(list_transform(counts,
+                   c -> c * c)) AS BIGINT) AS gini_num,
+                 CAST(n * n AS BIGINT) AS gini_den,
+                 round(list_sum(list_transform(counts,
+                   c -> (CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                     * ln(CAST(n AS DOUBLE) / CAST(c AS DOUBLE)))), 6)
+                   AS shannon_nats
+          FROM c"""
   )
 }

@@ -138,6 +138,32 @@ object Analysis {
       lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams))
       .otherwise(lit(0.0))
 
+  /** Multiplicities of an array's values as sorted-run lengths:
+    * `array_sort` groups equal values into adjacent runs, run starts
+    * are boundary positions, lengths are consecutive-start
+    * differences (an n+1 sentinel closes the last run). O(n log n) +
+    * two linear passes vs the naive O(n·distinct)
+    * count-per-distinct-value scan; the sort and the start list are
+    * let-bound ([[graft.expressions.Bind]]) so Catalyst cannot inline
+    * them into per-element re-evaluation. Output order = value-sorted
+    * — deterministic, so float folds over it are reproducible
+    * cross-engine (t19's Shannon term).
+    */
+  def sortedRunLengths(arr: Column): Column = {
+    import graft.expressions.Bind
+    when(size(arr) === 0, array().cast("array<bigint>")).otherwise(
+      Bind.once(array_sort(arr)) { st =>
+        Bind.once(concat(filter(transform(st, (x, i) =>
+            when(i === lit(0) ||
+              element_at(st, greatest(i, lit(1))) =!= x,
+              (i + 1).cast("long"))),
+          e => e.isNotNull), array(size(st).cast("long") + 1))) { starts =>
+          transform(sequence(lit(1), size(starts) - 1),
+            j => element_at(starts, j + 1) - element_at(starts, j))
+        }
+      })
+  }
+
   /** Whole-document content fingerprint (exact-dedup key). */
   def fingerprint(text: Column): Column = md5(text)
 

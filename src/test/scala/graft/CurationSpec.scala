@@ -145,4 +145,48 @@ class CurationSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("c09 mergeable rollup: persisted epoch + delta merge equals full recompute; sketch unions, not adds") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // epoch 1: 40 docs over 2 sources; epoch 2: 20 docs, of which 10
+    // REPEAT epoch-1 content — a sketch that merged by addition
+    // (instead of union) would estimate ~60 distinct, the truth is 50
+    val e1 = (0 until 40).map(i =>
+      (i.toLong, s"src${i % 2}", s"unique text $i", 100L + i))
+    val e2 = (40 until 60).map { i =>
+      val txt = if (i < 50) s"unique text ${i - 40}" // dup of epoch 1
+        else s"unique text $i"
+      (i.toLong, s"src${i % 2}", txt, 100L + i)
+    }
+    val dir = java.nio.file.Files
+      .createTempDirectory("c09-spec-").toString + "/rollup"
+    def df(rows: Seq[(Long, String, String, Long)]) =
+      rows.toDF("doc_id", "source", "text", "n_chars")
+    Curation.sketchRollup(df(e1), "source", "n_chars", md5($"text"))
+      .write.parquet(dir)
+    val merged = Curation.mergeRollups(
+        spark.read.parquet(dir).unionByName(
+          Curation.sketchRollup(df(e2), "source", "n_chars",
+            md5($"text"))),
+        "source")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap // est is LONG
+    val full = df(e1 ++ e2)
+    val exact = full.groupBy($"source")
+      .agg(count(lit(1)), sum($"n_chars"),
+        countDistinct(md5($"text")))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    for (src <- Seq("src0", "src1")) {
+      val (mN, mS, mEst) = merged(src)
+      val (eN, eS, eD) = exact(src)
+      assert(mN == eN && mS == eS,
+        s"$src additive merge must equal full recompute")
+      // union semantics: estimate tracks the 25 distinct per source,
+      // nowhere near the 30 an additive merge would give
+      assert(math.abs(mEst - eD) <= 0.05 * eD,
+        s"$src sketch estimate $mEst vs exact $eD")
+    }
+  }
 }

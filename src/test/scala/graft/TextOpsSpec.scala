@@ -309,4 +309,42 @@ class TextOpsSpec extends AnyFunSuite {
     assert(flags(6L) == Seq(true, true, true, true, false))
     assert((2L to 6L).forall(id => !out(id).getAs[Boolean]("keep")))
   }
+
+  test("sortedRunLengths: multiplicities in value-sorted order; empty array") {
+    import spark.implicits._
+    val got = Seq(
+      (1L, Seq("b", "a", "b", "c", "b")),
+      (2L, Seq("x")),
+      (3L, Seq.empty[String]))
+      .toDF("id", "arr")
+      .select($"id", Analysis.sortedRunLengths($"arr"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(got(1L) == Seq(1L, 3L, 1L)) // a:1, b:3, c:1 — char-sorted
+    assert(got(2L) == Seq(1L))
+    assert(got(3L) == Seq.empty)
+  }
+
+  test("t19 char diversity: hand-computed gini and shannon on 'aab'") {
+    import spark.implicits._
+    val r = graft.queries.TextQueries.queries("t19_char_diversity")
+    // drive the same expression directly over a planted frame via the
+    // public pieces: n=3, counts a:2 b:1 → gini 4/9, shannon =
+    // (2/3)ln(3/2) + (1/3)ln 3
+    val df = Seq((1L, "aab")).toDF("doc_id", "text")
+      .withColumn("cs", split($"text", ""))
+      .withColumn("runs", Analysis.sortedRunLengths($"cs"))
+    val row = df.select(
+      (length($"text").cast("long") * length($"text")
+        - aggregate($"runs", lit(0L), (acc, c) => acc + c * c))
+        .as("gini_num"),
+      aggregate($"runs", lit(0.0), (acc, c) =>
+        acc + (c.cast("double") / length($"text").cast("double"))
+          * log(length($"text").cast("double") / c.cast("double"))))
+      .head()
+    assert(row.getLong(0) == 4L)
+    val expected = (2.0 / 3) * math.log(3.0 / 2) +
+      (1.0 / 3) * math.log(3.0)
+    assert(math.abs(row.getDouble(1) - expected) < 1e-12)
+    assert(r != null)
+  }
 }
