@@ -38,34 +38,67 @@ object AsOfJoin {
     * @return left columns + `asof_id` + `asof_time` (nulls = no match)
     */
   def asofLookup(left: DataFrame, right: DataFrame, key: String,
-      leftTime: String, rightTime: String, rightId: String): DataFrame = {
+      leftTime: String, rightTime: String, rightId: String): DataFrame =
+    asofLookupTolerant(left, right, key, leftTime, rightTime, rightId,
+      tolerance = Long.MaxValue, forward = false)
+
+  /** [[asofLookup]] with the rest of pandas/polars `merge_asof`'s
+    * surface: a match-window `tolerance` and a `forward` direction.
+    * backward (default): greatest `rightTime <= leftTime` with
+    * `leftTime − rightTime <= tolerance`; forward: smallest
+    * `rightTime >= leftTime` with `rightTime − leftTime <=
+    * tolerance`. Forward is backward on NEGATED times — the scan, its
+    * single shuffle, and the O(1) carried state are identical; in
+    * both directions the gap test `__t − asof_time` (scan domain) is
+    * the direction-correct distance, and out-of-tolerance matches
+    * null out to the left-outer no-match shape. Ties at equal time
+    * resolve to the greatest id backward / the LOWEST id forward (the
+    * id order flips with the time negation — matching polars, which
+    * keeps the first row in sort order on ties).
+    */
+  def asofLookupTolerant(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, rightId: String,
+      tolerance: Long, forward: Boolean): DataFrame = {
+    require(tolerance >= 0, s"tolerance must be >= 0, got $tolerance")
+    val sign = if (forward) -1L else 1L
     val payloadType = StructType(left.schema.fields)
+    // scan domain: times (and, for the tie order, ids) are multiplied
+    // by `sign`; forward thereby becomes the same
+    // greatest-at-or-before scan
     val probes = left.select(
       col(key).as("__k"),
-      col(leftTime).cast("long").as("__t"),
+      (col(leftTime).cast("long") * sign).as("__t"),
       lit(1).as("__side"),
       lit(null).cast("long").as("__rid"),
       struct(left.columns.toSeq.map(col): _*).as("__payload"))
     val quotes = right.select(
       col(key).as("__k"),
-      col(rightTime).cast("long").as("__t"),
+      (col(rightTime).cast("long") * sign).as("__t"),
       lit(0).as("__side"),
-      col(rightId).cast("long").as("__rid"),
+      (col(rightId).cast("long") * sign).as("__rid"),
       lit(null).cast(payloadType).as("__payload"))
     // Quotes sort before probes at equal time (side 0 < 1), so an
     // exactly-simultaneous quote is visible to the probe ("at or
     // before" is inclusive); equal-time quotes resolve to the max id
-    // (last in id-ascending order). Probe rows carry a null __rid so
-    // they never shadow a quote in the ignoreNulls scan.
+    // in scan order (last in id-ascending order). Probe rows carry a
+    // null __rid so they never shadow a quote in the ignoreNulls scan.
     val w = Window.partitionBy("__k")
       .orderBy(col("__t").asc, col("__side").asc, col("__rid").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    probes.unionByName(quotes)
-      .withColumn("asof_id", last(col("__rid"), ignoreNulls = true).over(w))
-      .withColumn("asof_time",
+    val scanned = probes.unionByName(quotes)
+      .withColumn("__aid", last(col("__rid"), ignoreNulls = true).over(w))
+      .withColumn("__at",
         last(when(col("__side") === 0, col("__t")), ignoreNulls = true)
           .over(w))
       .filter(col("__side") === 1)
+    // gap in scan domain = the direction-correct distance (backward:
+    // lt−rt; forward: rt−lt); beyond tolerance → no-match nulls
+    val inTol = (col("__t") - col("__at")) <= tolerance
+    scanned
+      .withColumn("asof_id",
+        when(inTol, col("__aid") * sign))
+      .withColumn("asof_time",
+        when(inTol, col("__at") * sign))
       .select(left.columns.toSeq.map(c => col(s"__payload.`$c`")) ++
         Seq(col("asof_id"), col("asof_time")): _*)
   }

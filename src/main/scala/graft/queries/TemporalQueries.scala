@@ -45,6 +45,26 @@ object TemporalQueries {
             .as("ms_since_view"))
     }),
 
+    // Directional + toleranced as-of (merge_asof's full surface):
+    // each purchase joined FORWARD to the user's first view within 6
+    // hours AFTER it — the same one-shuffle union+scan as aj01 on
+    // negated times, with out-of-tolerance matches nulled to the
+    // no-match shape. Ties at equal time go to the lowest view id.
+    "aj02_asof_forward_tol" -> ((s, d) => {
+      val e = ev(s, d)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("t"))
+      val views = e.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"),
+          col("t").as("vt"))
+      AsOfJoin.asofLookupTolerant(purchases, views, "user_id", "t",
+          "vt", "view_id", tolerance = 21600000L, forward = true)
+        .select(col("event_id"),
+          coalesce(col("asof_id"), lit(-1L)).as("view_id"),
+          coalesce(col("asof_time") - col("t"), lit(-1L))
+            .as("ms_until_view"))
+    }),
+
     // Interval join: per purchase, activity of the same user in the
     // 2h window starting at the purchase (bucketed equi-join — a hash
     // join on (user, bin), never a nested-loop; see RangeJoin).
@@ -189,6 +209,25 @@ object TemporalQueries {
           SELECT p.event_id,
                  CAST(coalesce(j.view_id, -1) AS BIGINT) AS view_id,
                  CAST(coalesce(j.since, -1) AS BIGINT) AS ms_since_view
+          FROM p LEFT JOIN j ON p.event_id = j.event_id AND j.rn = 1""",
+    // aj02: first view at-or-after each purchase within the 6-hour
+    // tolerance; ties at equal time → lowest view id (rn orders vt
+    // ASC, view_id ASC)
+    "aj02_asof_forward_tol" ->
+      s"""WITH e AS ($evSql),
+          p AS (SELECT event_id, user_id, t FROM e
+                WHERE event_type = 'purchase'),
+          v AS (SELECT event_id AS view_id, user_id, t AS vt FROM e
+                WHERE event_type = 'view'),
+          j AS (SELECT p.event_id, v.view_id, v.vt - p.t AS until_ms,
+                  row_number() OVER (PARTITION BY p.event_id
+                    ORDER BY v.vt ASC, v.view_id ASC) AS rn
+                FROM p JOIN v ON p.user_id = v.user_id
+                  AND v.vt >= p.t AND v.vt - p.t <= 21600000)
+          SELECT p.event_id,
+                 CAST(coalesce(j.view_id, -1) AS BIGINT) AS view_id,
+                 CAST(coalesce(j.until_ms, -1) AS BIGINT)
+                   AS ms_until_view
           FROM p LEFT JOIN j ON p.event_id = j.event_id AND j.rn = 1""",
     "ij01_interval_join" ->
       s"""WITH e AS ($evSql),

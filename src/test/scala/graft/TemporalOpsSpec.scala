@@ -46,6 +46,45 @@ class TemporalOpsSpec extends AnyFunSuite {
     assert(out == 107L)
   }
 
+  test("asofLookupTolerant: backward tolerance nulls stale quotes; forward finds the next one") {
+    import spark.implicits._
+    val quotes = Seq((1L, 10L, 100L), (1L, 40L, 101L))
+      .toDF("k", "qt", "qid")
+    val probes = Seq((1L, 12L, 1L), (1L, 30L, 2L), (1L, 39L, 3L),
+      (1L, 45L, 4L)).toDF("k", "pt", "pid")
+    // backward, tolerance 5: only gaps <= 5 survive
+    val back = AsOfJoin.asofLookupTolerant(probes, quotes, "k", "pt",
+        "qt", "qid", tolerance = 5L, forward = false)
+      .select($"pid", $"asof_id", $"asof_time")
+      .as[(Long, Option[Long], Option[Long])].collect().sortBy(_._1)
+    assert(back.toSeq == Seq(
+      (1L, Some(100L), Some(10L)),  // gap 2 <= 5
+      (2L, None, None),             // quote@10 is 20 stale
+      (3L, None, None),             // quote@10 is 29 stale
+      (4L, Some(101L), Some(40L)))) // gap 5 inclusive
+    // forward, tolerance 10: first quote at-or-after within 10
+    val fwd = AsOfJoin.asofLookupTolerant(probes, quotes, "k", "pt",
+        "qt", "qid", tolerance = 10L, forward = true)
+      .select($"pid", $"asof_id", $"asof_time")
+      .as[(Long, Option[Long], Option[Long])].collect().sortBy(_._1)
+    assert(fwd.toSeq == Seq(
+      (1L, None, None),             // next quote @40 is 28 away
+      (2L, Some(101L), Some(40L)),  // 10 away, inclusive
+      (3L, Some(101L), Some(40L)),  // 1 away
+      (4L, None, None)))            // nothing after 45
+  }
+
+  test("asofLookupTolerant forward: equal-time quotes resolve to the MIN id") {
+    import spark.implicits._
+    val quotes = Seq((1L, 10L, 100L), (1L, 10L, 107L), (1L, 10L, 103L))
+      .toDF("k", "qt", "qid")
+    val probes = Seq((1L, 10L, 1L)).toDF("k", "pt", "pid")
+    val out = AsOfJoin.asofLookupTolerant(probes, quotes, "k", "pt",
+        "qt", "qid", tolerance = 0L, forward = true)
+      .select($"asof_id").as[Long].head()
+    assert(out == 100L)
+  }
+
   test("intervalJoin: inclusive bounds, bucket-boundary straddling") {
     import spark.implicits._
     // bucketWidth 10; interval [8, 22] spans bins 0,1,2 — points at
