@@ -31,6 +31,31 @@ object CorpusStreams {
         deleteCol, buckets)
     }
 
+  /** foreachBatch incremental-rollup maintenance — the streaming face
+    * of c09: each micro-batch writes its own mergeable rollup
+    * FRAGMENT ([[Curation.sketchRollup]]: count + sum + HLL sketch
+    * state) into a batch_id-partitioned directory; serving reads
+    * [[Curation.mergeRollups]] over all fragments. Per-batch cost is
+    * O(batch) — history is never rescanned — and a batch REPLAY after
+    * failure dynamic-overwrites its own batch_id partition, so
+    * at-least-once delivery cannot double-count (asserted in
+    * EventStreamsSpec). Fragment count grows with batches; compact by
+    * periodically merging fragments into one (mergeRollups output is
+    * itself NOT re-mergeable once the sketch collapses to an
+    * estimate, so compaction unions the sketch column and keeps it
+    * binary — the same additive/union merge, estimate deferred to
+    * serving).
+    */
+  def rollupSink(delta: DataFrame, rollupDir: String, keyCol: String,
+      sumCol: String, fpCol: String): DataStreamWriter[Row] =
+    delta.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      Curation.sketchRollup(batch, keyCol, sumCol, col(fpCol))
+        .withColumn("batch_id", lit(id))
+        .write.partitionBy("batch_id").mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(rollupDir)
+    }
+
   final case class DocInput(doc_id: Long, ts: Timestamp, text: String)
   final case class BucketDoc(doc_id: Long, t: Long)
   final case class BucketState(docs: List[BucketDoc])

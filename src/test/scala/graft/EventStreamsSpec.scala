@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.streaming.EventStreams
+import graft.operators.Curation
+import graft.streaming.{CorpusStreams, EventStreams}
 import graft.streaming.EventStreams.{SessionInput, UserSession}
 import java.sql.Timestamp
 
@@ -486,6 +487,53 @@ class EventStreamsSpec extends AnyFunSuite {
     untouched.foreach { b =>
       assert(bucketFiles(b) == before(b), s"bucket $b was rewritten")
     }
+  }
+
+  test("streaming rollup sink: fragments merge to the batch answer; replay is idempotent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files
+      .createTempDirectory("rollup-sink-").toString + "/frags"
+    val mem = MemoryStream[(Long, String, String, Long)](spark)
+    val q = CorpusStreams.rollupSink(
+      mem.toDS().toDF("doc_id", "source", "text", "n_chars"),
+      dir, "source", "n_chars", "text").start()
+    val b1 = (0 until 30).map(i =>
+      (i.toLong, s"s${i % 2}", s"text $i", 10L + i))
+    val b2 = (30 until 50).map { i => // 10 rows repeat batch-1 content
+      val t = if (i < 40) s"text ${i - 30}" else s"text $i"
+      (i.toLong, s"s${i % 2}", t, 10L + i)
+    }
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    def serving = Curation.mergeRollups(spark.read.parquet(dir)
+        .drop("batch_id"), "source")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val first = serving
+    val full = (b1 ++ b2).toDF("doc_id", "source", "text", "n_chars")
+      .groupBy($"source").agg(count(lit(1)), sum($"n_chars"),
+        countDistinct($"text"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    for (src <- Seq("s0", "s1")) {
+      val (n, s, est) = first(src); val (en, es, ed) = full(src)
+      assert(n == en && s == es, s"$src additive merge mismatch")
+      assert(math.abs(est - ed) <= math.max(1L, (0.05 * ed).toLong),
+        s"$src estimate $est vs exact $ed")
+    }
+    // at-least-once replay: re-deliver batch 0's fragment write — the
+    // dynamic overwrite of its own batch_id partition must leave the
+    // serving rollup unchanged (no double counting)
+    graft.operators.Curation.sketchRollup(
+        b1.toDF("doc_id", "source", "text", "n_chars"),
+        "source", "n_chars", col("text"))
+      .withColumn("batch_id", lit(0L))
+      .write.partitionBy("batch_id").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic").parquet(dir)
+    assert(serving == first, "batch replay double-counted")
   }
 
   test("streaming first-per-day dedup converges to the batch answer") {
