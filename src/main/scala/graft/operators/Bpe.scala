@@ -208,6 +208,18 @@ object Bpe {
     }
   }
 
+  /** Inverse of the encode marking — drop piece separators, then word
+    * boundaries: `#a##b# #c#` → `ab c`. Total and lossless because
+    * the fail-loud marker guard ([[mark]]) bans `#` in token content,
+    * so every `#` in an encoded string is structural. The bpe04
+    * round-trip gate asserts decode∘encode = identity corpus-wide —
+    * the property that makes the encoded column a safe storage
+    * format.
+    */
+  def decode(encoded: Column): Column =
+    replace(replace(encoded, lit(Sep + Sep), lit("")),
+      lit(Sep), lit(""))
+
   /** Subword count of an [[encode]] result: every `##` separates two
     * pieces of one word and every word is one piece plus its `##`
     * count, so pieces = n_tokens + occurrences of `##` (an empty

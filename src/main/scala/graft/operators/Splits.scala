@@ -242,4 +242,34 @@ object Splits {
       .unionByName(edgeKept)
       .select(docs.columns.map(col): _*) // join put the key first; restore
   }
+
+  /** Deterministic contrastive negative sampling (sp11): for each
+    * anchor, the k pseudo-random candidates with a DIFFERENT label,
+    * chosen by ranking every (anchor, candidate) pair on a 52-bit md5
+    * prefix — uniform, seedless-reproducible, and exactly
+    * representable in a double, so the bounded-heap top-k
+    * ([[Similarity.topKPerQuery]]) and the oracle's `ORDER BY rank,
+    * id` agree bit-for-bit (ties, should 52 bits ever collide, break
+    * to the smaller id in both).
+    *
+    * Scale shape: anchors broadcast (a training batch is bounded);
+    * the corpus streams once through the label-mismatch nested-loop
+    * filter and folds into k-sized per-anchor heaps map-side — no
+    * corpus shuffle, no per-anchor window sort. For anchor sets too
+    * big to broadcast, bucket both sides by label and join each
+    * anchor bucket against the complement buckets instead.
+    */
+  def contrastiveNegatives(corpus: DataFrame, anchors: DataFrame,
+      k: Int, idCol: String = "vec_id",
+      labelCol: String = "label"): DataFrame = {
+    val a = broadcast(anchors.select(col(idCol).as("q_id"),
+      col(labelCol).as("__a_label")))
+    val pairs = corpus
+      .select(col(idCol).as("n_id"), col(labelCol).as("__label"))
+      .join(a, col("__label") =!= col("__a_label"))
+      .select(col("q_id"), col("n_id"),
+        conv(substring(md5(concat(col("q_id"), lit("_"), col("n_id"))),
+          1, 13), 16, 10).cast("long").cast("double").as("rk"))
+    Similarity.topKPerQuery(pairs, "rk", scoreAsc = true, k)
+  }
 }

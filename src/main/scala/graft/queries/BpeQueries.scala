@@ -81,6 +81,22 @@ object BpeQueries {
         Bpe.pieceCount(toks, Bpe.encode(toks, merges)).as("n_pieces"))
     }),
 
+    // Decode round-trip: decode(encode(toks)) must reproduce the
+    // cleaned token stream for EVERY document — the losslessness
+    // property that lets a pipeline store the encoded column and
+    // reconstruct text on demand. In-row, zero-shuffle; the flag is
+    // oracle-asserted TRUE (q17 band discipline: a broken round-trip
+    // fails the gate, not just a spec).
+    "bpe04_decode_roundtrip" -> ((s, d) => {
+      val merges = trainedMerges(s, d)
+      Tables.documents(s, d)
+        .withColumn("__toks", bpeTokens(col("text")))
+        .select(col("doc_id"),
+          size(col("__toks")).as("n_tokens"),
+          (Bpe.decode(Bpe.encode(col("__toks"), merges)) ===
+            array_join(col("__toks"), " ")).as("roundtrip_ok"))
+    }),
+
     // Vocab dump: the trained subword inventory with corpus
     // occurrence counts — the artifact a tokenizer ships. Same shape
     // as training's word-freq reduce plus one in-row encode.
@@ -160,6 +176,12 @@ object BpeQueries {
          |        AS piece, freq
          |      FROM v$NumMerges)
          |GROUP BY 1""".stripMargin,
+    // bpe04: the oracle asserts the round-trip HOLDS (token counts
+    // from the mirrored tokenizer; flag literal TRUE) — a decode that
+    // loses or mangles a single document hash-fails the gate
+    "bpe04_decode_roundtrip" ->
+      s"""SELECT doc_id, CAST(len($tokSql) AS INTEGER) AS n_tokens,
+          TRUE AS roundtrip_ok FROM documents""",
     "bpe02_encode_pieces" -> {
       val froms = (1 to NumMerges).map(k => s"b$k AS m$k").mkString(", ")
       val enc = (1 to NumMerges).foldLeft("dm.marked")((c, k) =>

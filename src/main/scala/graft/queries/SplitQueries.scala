@@ -50,6 +50,18 @@ object SplitQueries {
           "doc_id", "source", Salt, scale = 4.0)
         .select(col("doc_id"), col("source"))),
 
+    // Contrastive negative sampling over the embeddings table: per
+    // anchor (vec_id < 50), the 5 different-label candidates ranked
+    // lowest by a 52-bit md5 pair hash — deterministic pseudo-random
+    // negatives for contrastive training. Anchors broadcast, corpus
+    // streams once into per-anchor bounded heaps; no corpus shuffle,
+    // no per-anchor window.
+    "sp11_contrastive_negatives" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Splits.contrastiveNegatives(emb,
+        emb.filter(col("vec_id") < 50), k = 5)
+    }),
+
     // Per-source token-budget cap: greedy hash-priority prefix until
     // each source has spent its token budget. buckets=8 (not the
     // 1024 default) so the bucketed fast path AND the boundary-bucket
@@ -178,6 +190,22 @@ object SplitQueries {
                   CAST(d.doc_id AS VARCHAR) || '|$Salt'), 1, 15))
                   AS BIGINT) AS DOUBLE)
                 < rate * 1152921504606846976.0""",
+    // sp11: same 52-bit pair hash (exact in a double), rank within
+    // anchor by (hash, id) — the heap's tie order
+    "sp11_contrastive_negatives" ->
+      """WITH a AS (
+            SELECT vec_id AS q_id, label AS a_label
+            FROM embeddings WHERE vec_id < 50),
+          p AS (
+            SELECT a.q_id, e.vec_id AS n_id,
+                   CAST(CAST(('0x' || substring(
+                     md5(a.q_id || '_' || e.vec_id), 1, 13))
+                     AS BIGINT) AS DOUBLE) AS rk
+            FROM embeddings e, a WHERE e.label <> a.a_label)
+          SELECT q_id, n_id, rk,
+                 CAST(row_number() OVER (PARTITION BY q_id
+                   ORDER BY rk, n_id) AS INTEGER) AS rn
+          FROM p QUALIFY rn <= 5""",
     // The oracle states the SEMANTICS (one exact running-sum window
     // in hash-priority order); the Spark side must produce the same
     // set through its bucketed two-level plan.

@@ -245,4 +245,31 @@ class BpeSpec extends AnyFunSuite {
       .as[String].collect().head
     assert(rebuilt == "low lower lowest newest unseen words qqq")
   }
+
+  test("decode inverts encode — plain and sliced — on random corpora") {
+    import spark.implicits._
+    val vocab = Vector("ab", "abc", "bca", "c", "cab")
+    (1 to 4).foreach { seed =>
+      val rnd = new scala.util.Random(400 + seed)
+      val texts = (0 until 12).map(_ =>
+        Seq.fill(2 + rnd.nextInt(10))(vocab(rnd.nextInt(5)))
+          .mkString(" "))
+      val d = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val toks = TextOps.tokenize(col("text"))
+      val merges = Bpe.trainMerges(d, toks, 8)
+      val plain = d.select(col("doc_id"),
+          Bpe.decode(Bpe.encode(toks, merges)).as("r"))
+        .as[(Long, String)].collect().toMap
+      val sliced = Bpe.decode(col("encoded"))
+      val viaSlices = Bpe.encodeSliced(d, toks, merges, sliceSize = 3)
+        .select(col("doc_id"), sliced.as("r"))
+        .as[(Long, String)].collect().toMap
+      texts.zipWithIndex.foreach { case (t, i) =>
+        assert(plain(i.toLong) == t, s"seed=${400 + seed} plain doc $i")
+        assert(viaSlices(i.toLong) == t,
+          s"seed=${400 + seed} sliced doc $i")
+      }
+    }
+  }
 }

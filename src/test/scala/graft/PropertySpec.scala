@@ -244,6 +244,38 @@ class PropertySpec extends AnyFunSuite {
       assert(again == kept)
     }
   }
+
+  test("contrastiveNegatives: k per anchor, never the anchor's label, " +
+      "deterministic, heap plan (no per-anchor window)") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(40, 120)
+      labels <- Gen.choose(3, 6)
+    } yield (n, labels)
+    forAll(gen, n = 5) { case (n, labels) =>
+      val rows = (0L until n.toLong).map(i => (i, (i % labels).toInt))
+        .toDF("vec_id", "label")
+      val anchors = rows.filter($"vec_id" < 8)
+      val df = graft.operators.Splits
+        .contrastiveNegatives(rows, anchors, k = 4)
+      val out = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+      val labelOf = (0L until n.toLong).map(i => i -> (i % labels).toInt).toMap
+      out.foreach { case (q, nid, _) =>
+        assert(labelOf(nid) != labelOf(q),
+          s"negative $nid shares anchor $q's label") }
+      out.groupBy(_._1).foreach { case (q, rs) =>
+        assert(rs.length == 4 && rs.map(_._3).sorted.toSeq == Seq(1, 2, 3, 4),
+          s"anchor $q ranks") }
+      val again = graft.operators.Splits
+        .contrastiveNegatives(rows, anchors, k = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+      assert(again.sorted.toSeq == out.sorted.toSeq)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("graft_topk") && !plan.contains("Window"),
+        s"negatives must fold into the bounded heap, not a window:\n$plan")
+    }
+  }
 }
 
 private object TextOpsFixtures {
