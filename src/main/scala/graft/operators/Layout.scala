@@ -121,4 +121,53 @@ object Layout {
       .write.option("maxRecordsPerFile", targetRows)
       .mode("overwrite").parquet(outPath)
   }
+
+  /** ANALYZE-style per-column statistics in ONE scan (c10): row
+    * count, null count, distinct count, min/max — the table the
+    * planner's join-reorder / broadcast decisions and a data-quality
+    * monitor both read. Numeric columns report min/max as doubles
+    * (pass an expression to numeric-ize dates: `unix_millis`),
+    * string columns lexicographically. All stats fold in a single
+    * aggregation; the multi-column exact `countDistinct` plans as one
+    * Expand pass (rows × columns map-side, one shuffle). At 100 TB
+    * swap exact NDV for `approx_count_distinct` (one HLL per column,
+    * no Expand) — the estimate is what a planner needs, and the q17
+    * band discipline gates it; the exact form is used here because
+    * the gate hash-compares values.
+    */
+  def tableStats(df: DataFrame,
+                 numericCols: Seq[(String, Column)],
+                 stringCols: Seq[String]): DataFrame = {
+    val aggs = numericCols.flatMap { case (name, e) => Seq(
+        sum(e.isNull.cast("long")).as(s"${name}__nulls"),
+        countDistinct(e).as(s"${name}__ndv"),
+        min(e).cast("double").as(s"${name}__min"),
+        max(e).cast("double").as(s"${name}__max"))
+      } ++ stringCols.flatMap { c => Seq(
+        sum(col(c).isNull.cast("long")).as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__ndv"),
+        min(col(c)).as(s"${c}__min"),
+        max(col(c)).as(s"${c}__max"))
+      }
+    val one = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val rows =
+      numericCols.map { case (name, _) =>
+        struct(lit(name).as("column"), col("__n").as("n_rows"),
+          col(s"${name}__nulls").as("n_nulls"),
+          col(s"${name}__ndv").as("ndv"),
+          col(s"${name}__min").as("min_n"),
+          col(s"${name}__max").as("max_n"),
+          lit(null).cast("string").as("min_s"),
+          lit(null).cast("string").as("max_s"))
+      } ++ stringCols.map { c =>
+        struct(lit(c).as("column"), col("__n").as("n_rows"),
+          col(s"${c}__nulls").as("n_nulls"),
+          col(s"${c}__ndv").as("ndv"),
+          lit(null).cast("double").as("min_n"),
+          lit(null).cast("double").as("max_n"),
+          col(s"${c}__min").as("min_s"),
+          col(s"${c}__max").as("max_s"))
+      }
+    one.select(explode(array(rows: _*)).as("s")).select(col("s.*"))
+  }
 }

@@ -169,6 +169,26 @@ object RelationalQueries {
           sum($"n_chars").as("sum_chars"))
     }),
 
+    // ANALYZE-style column statistics in one scan (the planner-food /
+    // data-quality table): per column — rows, nulls, exact NDV,
+    // min/max (numeric as doubles, dates via unix_millis, strings
+    // lexicographic). One aggregation; the multi-column exact
+    // countDistinct plans as a single Expand pass. The 100 TB form
+    // swaps exact NDV for approx_count_distinct (no Expand) — see
+    // Layout.tableStats.
+    "ly04_table_stats" -> ((s, d) => {
+      import s.implicits._
+      graft.operators.Layout.tableStats(Tables.orders(s, d),
+        numericCols = Seq(
+          "o_orderkey" -> $"o_orderkey",
+          "o_custkey" -> $"o_custkey",
+          "o_totalprice" -> $"o_totalprice",
+          // NTZ in this testdata generation; UTC session makes the
+          // cast value-preserving (Tables.events discipline)
+          "o_orderdate" -> unix_millis($"o_orderdate".cast("timestamp"))),
+        stringCols = Seq("o_orderstatus", "o_orderpriority"))
+    }),
+
     // J1 chained — 5-way star join, all dims broadcast.
     "q04_join_star" -> ((s, d) => {
       import s.implicits._
@@ -495,6 +515,35 @@ object RelationalQueries {
       """SELECT lang, count(*) AS n_docs,
          CAST(sum(n_chars) AS BIGINT) AS sum_chars
          FROM documents GROUP BY lang""",
+    // ly04: one UNION ALL branch per column, numeric vs string stat
+    // slots mirrored; dates numeric-ized via epoch_ms like q11/aj01
+    "ly04_table_stats" -> {
+      def num(c: String, e: String) =
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+              CAST(sum(CASE WHEN $e IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_nulls,
+              CAST(count(DISTINCT $e) AS BIGINT) AS ndv,
+              CAST(min($e) AS DOUBLE) AS min_n,
+              CAST(max($e) AS DOUBLE) AS max_n,
+              CAST(NULL AS VARCHAR) AS min_s,
+              CAST(NULL AS VARCHAR) AS max_s
+            FROM orders"""
+      def str(c: String) =
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+              CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_nulls,
+              CAST(count(DISTINCT $c) AS BIGINT) AS ndv,
+              CAST(NULL AS DOUBLE) AS min_n,
+              CAST(NULL AS DOUBLE) AS max_n,
+              min($c) AS min_s, max($c) AS max_s
+            FROM orders"""
+      Seq(num("o_orderkey", "o_orderkey"),
+        num("o_custkey", "o_custkey"),
+        num("o_totalprice", "o_totalprice"),
+        num("o_orderdate", "epoch_ms(o_orderdate)"),
+        str("o_orderstatus"), str("o_orderpriority"))
+        .mkString("\nUNION ALL\n")
+    },
     "bk01_bucketed_join" ->
       """SELECT o_orderpriority, count(*) AS n_items,
          round(sum(l_quantity), 2) AS sum_qty

@@ -139,4 +139,28 @@ class LayoutSpec extends AnyFunSuite {
     assert(got.orderBy("lang").collect().toSeq ==
       raw.orderBy("lang").collect().toSeq)
   }
+
+  test("ly04 tableStats: planted nulls, dupes, min/max; one scan") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(5L), Some("b")), (Some(5L), None),
+      (Some(2L), Some("a")), (None, Some("a")))
+      .toDF("x", "s")
+    val stats = graft.operators.Layout.tableStats(df,
+        numericCols = Seq("x" -> col("x")), stringCols = Seq("s"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val x = stats("x")
+    assert(x.getLong(1) == 4 && x.getLong(2) == 1 && // rows, nulls
+      x.getLong(3) == 2 &&                           // ndv (non-null)
+      x.getDouble(4) == 2.0 && x.getDouble(5) == 5.0)
+    val sCol = stats("s")
+    assert(sCol.getLong(2) == 1 && sCol.getLong(3) == 2 &&
+      sCol.getString(6) == "a" && sCol.getString(7) == "b")
+    // single aggregation: exactly one scan of the input in the plan
+    val plan = graft.operators.Layout.tableStats(df,
+        Seq("x" -> col("x")), Seq("s"))
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Union"),
+      s"tableStats must be one scan, not per-column branches:\n$plan")
+  }
 }
