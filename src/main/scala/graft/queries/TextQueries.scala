@@ -237,29 +237,29 @@ object TextQueries {
     // Character-diversity quality signals, in-row: Simpson/Gini
     // impurity as an EXACT integer fraction (n² − Σc², n² — no float
     // anywhere, hash-exact by construction) plus Shannon entropy in
-    // nats. Multiplicities come from char-sorted run lengths, so the
-    // Shannon fold visits terms in the same (char-sorted) order in
-    // both engines — the only cross-engine wobble left is ln itself
-    // (≤1 ulp), absorbed by the single end round to 6 dp (never
-    // per-term — the skill-note discipline). Low diversity flags
-    // mojibake/binary spill; the exact Gini is the gate-stable form.
+    // nats, folded in char-ascending order so both engines sum
+    // identically (the only cross-engine wobble is ln itself, ≤1 ulp,
+    // absorbed by the single end round to 6 dp — never per-term). Low
+    // diversity flags mojibake/binary spill. Computed by the NATIVE
+    // byte-histogram kernel (expressions/CharDiversityStats): the
+    // composed split+sort HOF form allocates one string per char and
+    // measured 15.7×/decade super-linear from GC pressure; the kernel
+    // is one codegen'd 256-slot table pass (value parity spec'd in
+    // ExpressionSpec).
     "t19_char_diversity" -> ((s, d) => {
-      val t = Tables.documents(s, d)
-        .withColumn("cs", split(col("text"), ""))
-        .withColumn("runs", Analysis.sortedRunLengths(col("cs")))
-      t.select(col("doc_id"),
-        length(col("text")).cast("long").as("n_chars_total"),
-        size(array_distinct(col("cs"))).cast("long")
-          .as("n_chars_distinct"),
-        (length(col("text")).cast("long") * length(col("text"))
-          - aggregate(col("runs"), lit(0L), (acc, c) => acc + c * c))
-          .as("gini_num"),
-        (length(col("text")).cast("long") * length(col("text")))
-          .as("gini_den"),
-        round(aggregate(col("runs"), lit(0.0), (acc, c) =>
-          acc + (c.cast("double") / length(col("text")).cast("double"))
-            * log(length(col("text")).cast("double")
-              / c.cast("double"))), 6).as("shannon_nats"))
+      import org.apache.spark.sql.graftbridge.ColumnBridge._
+      val st = column(graft.expressions.CharDiversityStats(
+        expression(col("text"))))
+      Tables.documents(s, d)
+        .withColumn("__st", st)
+        .select(col("doc_id"),
+          col("__st")("n_total").as("n_chars_total"),
+          col("__st")("n_distinct").as("n_chars_distinct"),
+          (col("__st")("n_total") * col("__st")("n_total")
+            - col("__st")("sum_sq")).as("gini_num"),
+          (col("__st")("n_total") * col("__st")("n_total"))
+            .as("gini_den"),
+          round(col("__st")("shannon"), 6).as("shannon_nats"))
     })
   )
 

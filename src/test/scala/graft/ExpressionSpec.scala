@@ -233,4 +233,62 @@ class ExpressionSpec extends AnyFunSuite {
       "SELECT graft_minhash(42, 4) AS s").head().getSeq[String](0)
     assert(sig.size == 4 && sig.forall(_.length == 8))
   }
+
+  test("CharDiversityStats ≡ composed split+sortedRunLengths form on ASCII, " +
+      "codegen and interpreted") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftbridge.ColumnBridge._
+    import graft.text.Analysis
+    val rng = new scala.util.Random(0x719L)
+    val alphabet = "abcdefg hij"
+    // NOTE "" is kernel-only below: Spark's split("", "") yields [""],
+    // so the composed form would divide by length 0 — the kernel is
+    // strictly more total than the HOF chain it replaces
+    val texts = Seq("a", "aab") ++ Seq.fill(40)(
+      Seq.fill(1 + rng.nextInt(120))(
+        alphabet(rng.nextInt(alphabet.length))).mkString)
+    val df = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    def composed = {
+      val t = df.withColumn("cs", split(col("text"), ""))
+        .withColumn("runs", Analysis.sortedRunLengths(col("cs")))
+      t.select(col("id"),
+        length(col("text")).cast("long"),
+        size(array_distinct(col("cs"))).cast("long"),
+        aggregate(col("runs"), lit(0L), (acc, c) => acc + c * c),
+        aggregate(col("runs"), lit(0.0), (acc, c) =>
+          acc + (c.cast("double") / length(col("text")).cast("double"))
+            * log(length(col("text")).cast("double")
+              / c.cast("double"))))
+    }
+    def native = df.select(col("id"),
+      column(graft.expressions.CharDiversityStats(
+        expression(col("text")))).as("s"))
+      .select(col("id"), col("s")("n_total"), col("s")("n_distinct"),
+        col("s")("sum_sq"), col("s")("shannon"))
+    for (flag <- Seq("true", "false")) {
+      spark.conf.set("spark.sql.codegen.wholeStage", flag)
+      try {
+        val c = composed.collect().map(r => r.getLong(0) -> (r.getLong(1),
+          r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+        val n = native.collect().map(r => r.getLong(0) -> (r.getLong(1),
+          r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+        // the empty doc: composed aggregates give 0/0.0, kernel too
+        c.foreach { case (id, (cn, cd, cs, csh)) =>
+          val (nn, nd, ns, nsh) = n(id)
+          assert(cn == nn && cd == nd && cs == ns, s"id=$id ints")
+          assert(java.lang.Double.doubleToRawLongBits(csh) ==
+            java.lang.Double.doubleToRawLongBits(nsh),
+            s"id=$id shannon $csh vs $nsh") }
+      } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+    // kernel edge: empty string → all-zero stats, no crash
+    val empty = Seq((0, "")).toDF("id", "text").select(
+      column(graft.expressions.CharDiversityStats(
+        expression(col("text")))).as("s"))
+      .select(col("s")("n_total"), col("s")("n_distinct"),
+        col("s")("sum_sq"), col("s")("shannon")).head()
+    assert(empty.getLong(0) == 0 && empty.getLong(1) == 0 &&
+      empty.getLong(2) == 0 && empty.getDouble(3) == 0.0)
+  }
 }
