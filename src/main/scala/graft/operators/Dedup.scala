@@ -170,6 +170,57 @@ object Dedup {
       .filter(col("containment") >= threshold)
   }
 
+  /** EXACT set-similarity self-join via prefix filtering (the
+    * AllPairs/PPJoin family — Bayardo et al. 2007; Xiao et al. 2008
+    * Lemma 1): same relation as [[jaccardPairs]] — (a < b,
+    * jaccard ≥ threshold), NO false negatives — but candidates come
+    * only from shared PREFIX elements. Order every doc's shingle set
+    * rarest-first (global (df, shingle) order) and keep the first
+    * n − ⌈t·n⌉ + 1 elements: any pair with J ≥ t must intersect in
+    * both prefixes (a no-prefix-overlap pair has all common elements
+    * inside both suffixes, so i ≤ ⌈t·n⌉ − 1 < t·n ≤ i —
+    * contradiction). The exact LOSSLESS scale path between d02's
+    * all-shared-shingle emission and d03's probabilistic LSH.
+    *
+    * Scale shape: the df table is one shuffle of shingle counts;
+    * per-doc rarest-first sort is doc-local; candidate emission
+    * reuses the chained-generator per-shingle doc lists, but over
+    * PREFIX occurrences only — a stop-shingle shared by every doc
+    * sits at the END of the frequency order, outside almost every
+    * prefix, so the hot-shingle cartesian bomb that forces d02's
+    * `maxShingleDf` cap largely defuses itself (planted-skew
+    * measurement in DedupSimilaritySpec). Verification joins each
+    * candidate pair's full sets — candidate-bounded, exact.
+    */
+  def prefixFilterPairs(sh: DataFrame, threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val dfTab = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val prefixes = sh.join(dfTab, "shingle")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("shingle"))))
+        .as("ss"))
+      .select(col("doc_id"), explode(slice(col("ss"), lit(1),
+        (size(col("ss")) -
+          ceil(lit(threshold) * size(col("ss"))) + 1).cast("int")))
+        .as("p"))
+      .select(col("doc_id"), col("p")("shingle").as("shingle"))
+    val cands = prefixes.groupBy(col("shingle"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .select(col("ds"), posexplode(col("ds")).as(Seq("pos", "a")))
+      .select(col("a"),
+        explode(slice(col("ds"), col("pos") + lit(2), size(col("ds"))))
+          .as("b"))
+      .distinct()
+    val inter = sh.select(col("doc_id").as("a"), col("shingle"))
+      .join(cands, Seq("a"))
+      .join(sh.select(col("doc_id").as("b"), col("shingle")),
+        Seq("b", "shingle"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("i"))
+    scoreJaccard(inter, sizes, threshold)
+  }
+
   private def scoreJaccard(inter: DataFrame, sizes: DataFrame,
                            threshold: Double): DataFrame =
     inter

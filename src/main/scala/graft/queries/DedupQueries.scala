@@ -190,6 +190,18 @@ object DedupQueries {
         docs.filter(col("doc_id") < 100), "doc_id", docTokens(s))
     }),
 
+    // EXACT corpus-wide Jaccard pairs via prefix filtering (AllPairs/
+    // PPJoin): the same relation as d02 but over the FULL corpus —
+    // no 500-doc slice, no LSH miss probability, no df cap —
+    // candidates only from shared rarest-first prefix shingles.
+    // The lossless exact path at scale; shares d02's oracle shape
+    // unrestricted.
+    "d20_prefix_filter_pairs" -> ((s, d) => {
+      val sh = Dedup.shingles(Tables.documents(s, d), "doc_id",
+        docTokens(s))
+      Dedup.prefixFilterPairs(sh, threshold = 0.5)
+    }),
+
     // WITHIN-doc repeated-window strip: cut every 3-token run a
     // document repeats internally (keep-first), splice in-row — the
     // doc-local complement of d16's cross-corpus cuts. Entirely
@@ -1042,6 +1054,11 @@ object DedupQueries {
          FROM documents GROUP BY md5(text)""",
     "d02_jaccard_pairs" ->
       s"""WITH ${shingleCte("WHERE doc_id < 500")}, $jaccardCte
+          SELECT a, b, jaccard FROM jac WHERE jaccard >= 0.5""",
+    // d20: the same exact relation, FULL corpus — the oracle knows
+    // nothing about prefixes; a lost candidate = a missing row
+    "d20_prefix_filter_pairs" ->
+      s"""WITH ${shingleCte()}, $jaccardCte
           SELECT a, b, jaccard FROM jac WHERE jaccard >= 0.5""",
     // the planted-boilerplate cap row: denominators from the FULL
     // (planted) shingle sets, intersections only from shingles at or

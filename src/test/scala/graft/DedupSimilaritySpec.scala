@@ -125,6 +125,69 @@ class DedupSimilaritySpec extends AnyFunSuite {
     } finally sh.unpersist()
   }
 
+  test("prefixFilterPairs ≡ jaccardPairs on random corpora (lossless)") {
+    import spark.implicits._
+    val vocab = Vector("a", "b", "c", "d")
+    (1 to 6).foreach { seed =>
+      val rnd = new scala.util.Random(500 + seed)
+      val docs = (0L until 25L).map { id =>
+        id -> Seq.fill(4 + rnd.nextInt(14))(vocab(rnd.nextInt(4)))
+          .mkString(" ")
+      }.toDF("doc_id", "text")
+      val sh = Dedup.shingles(docs, "doc_id", TextOps.tokenize(col("text")))
+      val exact = Dedup.jaccardPairs(sh, 0.5)
+        .select($"a", $"b", $"jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      val pf = Dedup.prefixFilterPairs(sh, 0.5)
+        .select($"a", $"b", $"jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(pf == exact, s"seed=${500 + seed}")
+    }
+  }
+
+  test("prefix filtering self-defuses the hot shingle: full exact result, " +
+      "no cap, prefix-candidate volume stays tiny") {
+    import spark.implicits._
+    // the same corpus shape that forces jaccardPairs' lossy
+    // maxShingleDf cap: one shingle in 40% of docs
+    val n = 2000
+    val hot = "hot1 hot2 hot3 "
+    def uniq(d: Int) = (1 to 10).map(i => s"d${d}_$i").mkString(" ")
+    val rows = Seq(
+      (1L, hot + (1 to 10).map(i => s"p$i").mkString(" ")),
+      (2L, hot + (1 to 9).map(i => s"p$i").mkString(" ") + " p10x")) ++
+      (3 to n).map(d =>
+        (d.toLong, (if (d % 10 < 4) hot else "") + uniq(d)))
+    val sh = Dedup.shingles(rows.toDF("doc_id", "text"),
+      "doc_id", TextOps.tokenize(col("text"))).persist()
+    try {
+      // UNCAPPED and exact — finds precisely the planted pair
+      val got = Dedup.prefixFilterPairs(sh, 0.5)
+        .select($"a", $"b").as[(Long, Long)].collect().toSeq.sorted
+      assert(got == Seq((1L, 2L)))
+      // the defusing mechanism, asserted structurally: rarest-first
+      // prefixes of the short docs exclude the hot shingles (df ~800
+      // sorts after every df≤2 shingle, and each 11-13-token doc's
+      // prefix keeps only ~half its ~10 shingles), so the hot
+      // shingle's prefix df — the pair-emission driver — collapses
+      // from ~800 to ~2 and its quadratic term vanishes
+      val dfTab = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
+      val prefixDf = sh.join(dfTab, "shingle")
+        .groupBy($"doc_id")
+        .agg(sort_array(collect_list(struct($"df", $"shingle"))).as("ss"))
+        .select(explode(slice($"ss", lit(1),
+          (size($"ss") - ceil(lit(0.5) * size($"ss")) + 1).cast("int")))
+          .as("p"))
+        .select($"p.shingle")
+        .groupBy($"shingle").agg(count(lit(1)).as("pdf"))
+      val hotPrefixDf = prefixDf
+        .filter($"shingle".startsWith("hot"))
+        .agg(coalesce(max($"pdf"), lit(0L))).head.getLong(0)
+      assert(hotPrefixDf <= 4,
+        s"hot shingle still drives prefix candidates: pdf=$hotPrefixDf")
+    } finally sh.unpersist()
+  }
+
   test("minhashLshPairs recovers the same planted pair") {
     import spark.implicits._
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
