@@ -39,8 +39,16 @@ object Bench {
       // hygiene, same reason JMH GCs between iterations
       System.gc()
       val t0 = System.nanoTime()
+      // Materialize EVERY output column executor-side (toRdd.foreach),
+      // not count(): under count() the optimizer prunes all columns,
+      // so a projection-only query (d19's in-row strip, t19's kernel)
+      // measured its SCAN, not its work — d19 timed 0.21 s under
+      // count() vs 1.0 s materialized at sf0.1. No driver collection,
+      // so the measured cost is still compute, not transfer.
       val ok =
-        try { fn(spark, sfDir).count(); true }
+        try {
+          fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ()); true
+        }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           errors += name

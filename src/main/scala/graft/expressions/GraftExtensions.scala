@@ -13,6 +13,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Optimizer rule: composed HOF dot/norm idioms → fused native
+    // kernels (bit-identical, codegen'd; see plans/KernelSubstitution)
+    ext.injectOptimizerRule(_ => graft.plans.KernelSubstitution)
+
     ext.injectFunction((
       new FunctionIdentifier("graft_lemmatize"),
       new ExpressionInfo(classOf[LemmatizeWord].getName,

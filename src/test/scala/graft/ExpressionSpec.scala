@@ -170,6 +170,17 @@ class ExpressionSpec extends AnyFunSuite {
   test("vector kernels are bit-identical to the composed HOF forms") {
     import spark.implicits._
     import graft.operators.Similarity
+    // KernelSubstitution would rewrite the composed side into the very
+    // kernel under test, making this parity vacuous — exclude it and
+    // prove the exclusion took (no kernel in the composed plan)
+    spark.conf.set("spark.sql.optimizer.excludedRules",
+      "graft.plans.KernelSubstitution")
+    try {
+    val vacuousGuard = Seq((Seq(1f), Seq(1f))).toDF("a", "b")
+      .select(Similarity.dotComposed(col("a"), col("b")))
+      .queryExecution.executedPlan.toString
+    assert(!vacuousGuard.contains("graft_dot"),
+      "rule exclusion failed; parity test would be vacuous")
     val rng = new scala.util.Random(0xE01L)
     val rows = Seq.fill(200)((
       Seq.fill(64)(rng.nextFloat() * 2 - 1),
@@ -203,6 +214,53 @@ class ExpressionSpec extends AnyFunSuite {
     sq.zip(sqNative).foreach { case (c, n) =>
       assert(java.lang.Double.doubleToRawLongBits(n) ==
         java.lang.Double.doubleToRawLongBits(c)) }
+    } finally spark.conf.unset("spark.sql.optimizer.excludedRules")
+  }
+
+  test("KernelSubstitution: composed dot/norm idioms rewrite to the kernels") {
+    import graft.operators.Similarity
+    // parquet-backed input — a local literal relation would be
+    // constant-folded before the plan shape can be observed
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet").limit(20)
+    val composed = emb.select(col("vec_id"),
+      Similarity.dotComposed(col("embedding"), col("embedding")).as("d"),
+      Similarity.normComposed(col("embedding")).as("n"))
+    val plan = composed.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_dot"), s"dot idiom not fused:\n$plan")
+    assert(plan.contains("graft_norm"), s"norm idiom not fused:\n$plan")
+    // and the rewrite is value-identical to the kernels it claims
+    val native = emb.select(col("vec_id"),
+      Similarity.dot(col("embedding"), col("embedding")).as("d"),
+      Similarity.norm(col("embedding")).as("n"))
+    val c = composed.collect().map(r => r.getLong(0) ->
+      (r.getDouble(1), r.getDouble(2))).toMap
+    native.collect().foreach { r =>
+      val (cd, cn) = c(r.getLong(0))
+      assert(java.lang.Double.doubleToRawLongBits(cd) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)))
+      assert(java.lang.Double.doubleToRawLongBits(cn) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(2)))
+    }
+  }
+
+  test("KernelSubstitution is conservative: near-miss shapes untouched") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet").limit(5)
+    // merge operands flipped: (acc, v) -> v + acc is NOT the idiom
+    val flipped = emb.select(aggregate(
+      zip_with(col("embedding"), col("embedding"),
+        (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => v + acc).as("d"))
+    val p1 = flipped.queryExecution.executedPlan.toString
+    assert(!p1.contains("graft_dot"), s"flipped merge fused:\n$p1")
+    // non-zero seed is NOT the idiom
+    val seeded = emb.select(aggregate(
+      zip_with(col("embedding"), col("embedding"),
+        (x, y) => x.cast("double") * y.cast("double")),
+      lit(1.0), (acc, v) => acc + v).as("d"))
+    val p2 = seeded.queryExecution.executedPlan.toString
+    assert(!p2.contains("graft_dot"), s"seeded aggregate fused:\n$p2")
   }
 
   test("vector kernels: null element poisons, null array nulls out") {
