@@ -213,8 +213,17 @@ object Dedup {
         explode(slice(col("ds"), col("pos") + lit(2), size(col("ds"))))
           .as("b"))
       .distinct()
+    // length filter (Arasu et al. 2006): J ≥ t forces
+    // t·max(na,nb) ≤ min(na,nb) — prune size-mismatched candidates
+    // BEFORE paying the full-set intersection join
+    val candsL = cands
+      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+      .filter(lit(threshold) * greatest(col("na"), col("nb")) <=
+        least(col("na"), col("nb")))
+      .select(col("a"), col("b"))
     val inter = sh.select(col("doc_id").as("a"), col("shingle"))
-      .join(cands, Seq("a"))
+      .join(candsL, Seq("a"))
       .join(sh.select(col("doc_id").as("b"), col("shingle")),
         Seq("b", "shingle"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("i"))

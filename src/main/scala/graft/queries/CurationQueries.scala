@@ -232,6 +232,37 @@ object CurationQueries {
           col("n_distinct_fp"),
           (abs(col("est") - col("n_distinct_fp")) <=
             lit(0.05) * col("n_distinct_fp")).as("est_ok"))
+    }),
+
+    // Malformed-record quarantine at JSONL ingest: every 7th line is
+    // planted truncated mid-string (an unterminated JSON object — the
+    // classic partial-write corruption); `from_json` + required-field
+    // probe routes each line to ok/quarantined WITHOUT failing the
+    // job, quarantined lines keep their raw text for forensics, and
+    // nothing is silently dropped (row count preserved — the oracle
+    // states the expected routing per line, so a parser that eats or
+    // mis-routes a record breaks the hash). The ingest face every
+    // 100 TB pipeline needs: one bad shard must cost one quarantine
+    // bucket, not the batch.
+    "c10_quarantine_ingest" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val docs = Tables.documents(s, d)
+      val lines = docs.select(col("doc_id"),
+        when(col("doc_id") % 7 === 3,
+          concat(lit("{\"id\":"), col("doc_id"),
+            lit(",\"lang\":\""), col("lang")))
+          .otherwise(to_json(struct(col("doc_id").as("id"),
+            col("lang"), col("n_chars")))).as("raw"))
+      val schema = StructType(Seq(
+        StructField("id", LongType), StructField("lang", StringType),
+        StructField("n_chars", LongType)))
+      lines.withColumn("j", from_json(col("raw"), schema))
+        .select(col("doc_id"),
+          when(col("j")("id").isNull, "quarantined").otherwise("ok")
+            .as("status"),
+          col("j")("lang").as("lang"),
+          col("j")("n_chars").as("n_chars"),
+          when(col("j")("id").isNull, col("raw")).as("raw_kept"))
     })
   )
 
@@ -408,6 +439,22 @@ object CurationQueries {
                 CAST(count(DISTINCT md5(text)) AS BIGINT)
                   AS n_distinct_fp,
                 TRUE AS est_ok
-         FROM documents GROUP BY source"""
+         FROM documents GROUP BY source""",
+    // c10: the oracle states the expected per-line routing — planted
+    // id%7=3 truncations quarantine with their raw text, everything
+    // else parses back to its source fields, and the row count is the
+    // table's (nothing eaten)
+    "c10_quarantine_ingest" ->
+      """SELECT doc_id,
+                CASE WHEN doc_id % 7 = 3 THEN 'quarantined'
+                     ELSE 'ok' END AS status,
+                CASE WHEN doc_id % 7 = 3 THEN NULL
+                     ELSE lang END AS lang,
+                CASE WHEN doc_id % 7 = 3 THEN NULL
+                     ELSE n_chars END AS n_chars,
+                CASE WHEN doc_id % 7 = 3
+                     THEN '{"id":' || doc_id || ',"lang":"' || lang
+                     ELSE NULL END AS raw_kept
+         FROM documents"""
   )
 }

@@ -146,6 +146,33 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("c10 quarantine routing: each corruption class quarantines, valid lines parse, nothing dropped") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("lang", StringType),
+      StructField("n_chars", LongType)))
+    val lines = Seq(
+      1L -> """{"id":1,"lang":"en","n_chars":10}""", // valid
+      2L -> """{"id":2,"lang":"de""",                // truncated
+      3L -> "",                                      // empty line
+      4L -> "not json at all",                       // garbage
+      5L -> """{"lang":"fr","n_chars":5}""",         // missing id field
+      6L -> """{"id":6}"""                           // valid, sparse
+    ).toDF("line_id", "raw")
+    val out = lines.withColumn("j", from_json($"raw", schema))
+      .select($"line_id",
+        when($"j"("id").isNull, "quarantined").otherwise("ok")
+          .as("status"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "ok", 2L -> "quarantined",
+      3L -> "quarantined", 4L -> "quarantined",
+      5L -> "quarantined", // no id ⇒ not ingestible, by policy
+      6L -> "ok"))
+    assert(out.size == 6) // row count preserved: nothing eaten
+  }
+
   test("c09 mergeable rollup: persisted epoch + delta merge equals full recompute; sketch unions, not adds") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
