@@ -190,19 +190,24 @@ object Curation {
     */
   def snapshotDiff(prev: DataFrame, cur: DataFrame,
                    pkCol: String): DataFrame = {
-    val Seq(oldFp, newFp) = Seq(prev, cur).map(df =>
+    // normalize each side's fingerprint to a fixed output name, so
+    // the two sides may carry the SAME column name without the join
+    // turning ambiguous
+    def side(df: DataFrame, outName: String): DataFrame =
       df.columns.filter(_ != pkCol) match {
-        case Array(fp) => fp
+        case Array(fp) =>
+          df.select(col(pkCol), col(fp).as(outName))
         case other => throw new IllegalArgumentException(
           s"snapshotDiff side must be ($pkCol, fingerprint), got " +
             other.mkString(","))
-      })
-    prev.join(cur, Seq(pkCol), "full_outer")
+      }
+    side(prev, "old_fp").join(side(cur, "new_fp"),
+        Seq(pkCol), "full_outer")
       .withColumn("status",
-        when(col(oldFp).isNull, "added")
-          .when(col(newFp).isNull, "removed")
-          .when(col(oldFp) =!= col(newFp), "changed"))
+        when(col("old_fp").isNull, "added")
+          .when(col("new_fp").isNull, "removed")
+          .when(col("old_fp") =!= col("new_fp"), "changed"))
       .filter(col("status").isNotNull)
-      .select(col(pkCol), col("status"), col(oldFp), col(newFp))
+      .select(col(pkCol), col("status"), col("old_fp"), col("new_fp"))
   }
 }

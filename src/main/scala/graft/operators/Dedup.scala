@@ -123,6 +123,32 @@ object Dedup {
     scoreJaccard(inter, sizes, threshold)
   }
 
+  /** MinHash estimator CALIBRATION (d21): for every exact-Jaccard
+    * pair ≥ `minJaccard`, the number of agreeing slots in the two
+    * docs' `numHashes`-slot MinHash signatures — the estimator's raw
+    * statistic (E[matches/k] = J, Broder 1997) laid beside the exact
+    * value it estimates. Because the md5-chunk permutation profile is
+    * deterministic and oracle-mirrored, the estimate itself
+    * hash-verifies: the gate certifies the engine's approximation
+    * machinery, not just its exact operators (the error BAND over the
+    * corpus is then a spec-side assertion on this output). Signatures
+    * come from the mergeable [[graft.expressions.MinHashAgg]] sketch;
+    * slot agreement is one in-row zip.
+    */
+  def minhashCalibration(sh: DataFrame, numHashes: Int,
+                         minJaccard: Double): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge._
+    val sketch = column(graft.expressions.MinHashAgg(
+      expression(col("shingle")), numHashes).toAggregateExpression())
+    val sigs = sh.groupBy(col("doc_id")).agg(sketch.as("mh"))
+    jaccardPairs(sh, minJaccard)
+      .join(sigs.select(col("doc_id").as("a"), col("mh").as("ma")), "a")
+      .join(sigs.select(col("doc_id").as("b"), col("mh").as("mb")), "b")
+      .select(col("a"), col("b"), col("jaccard"),
+        size(filter(zip_with(col("ma"), col("mb"), (x, y) => x === y),
+          p => p)).as("est_matches"))
+  }
+
   /** Asymmetric shingle-containment pairs: containment(a→b) =
     * |S(a)∩S(b)| / |S(a)| ≥ threshold, emitted DIRECTED (both a→b
     * and b→a can qualify independently). The dedup signal Jaccard

@@ -190,6 +190,17 @@ object DedupQueries {
         docs.filter(col("doc_id") < 100), "doc_id", docTokens(s))
     }),
 
+    // MinHash calibration: exact Jaccard ≥ 0.2 pairs on the fixed
+    // 500-doc slice (the d02 bounded-exact discipline) laid beside
+    // their 16-slot signature agreement — the estimator statistic is
+    // itself hash-verified via the oracle-mirrored md5-chunk profile.
+    "d21_minhash_calibration" -> ((s, d) => {
+      val sh = Dedup.shingles(
+        Tables.documents(s, d).filter(col("doc_id") < 500),
+        "doc_id", docTokens(s))
+      Dedup.minhashCalibration(sh, numHashes = 16, minJaccard = 0.2)
+    }),
+
     // EXACT corpus-wide Jaccard pairs via prefix filtering (AllPairs/
     // PPJoin): the same relation as d02 but over the FULL corpus —
     // no 500-doc slice, no LSH miss probability, no df cap —
@@ -1060,6 +1071,24 @@ object DedupQueries {
     "d20_prefix_filter_pairs" ->
       s"""WITH ${shingleCte()}, $jaccardCte
           SELECT a, b, jaccard FROM jac WHERE jaccard >= 0.5""",
+    // d21: exact pairs + the 16 mirrored md5-chunk minima per doc;
+    // est_matches = slot-agreement count
+    "d21_minhash_calibration" -> {
+      val mins = (0 until 16).map(h =>
+        s"min(substring(md5('${h / 4}|' || shingle), " +
+          s"${(h % 4) * 8 + 1}, 8)) AS m$h").mkString(", ")
+      val eq = (0 until 16)
+        .map(h => s"CASE WHEN sa.m$h = sb.m$h THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH ${shingleCte("WHERE doc_id < 500")}, $jaccardCte,
+          sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id)
+          SELECT jac.a, jac.b, jac.jaccard,
+                 CAST($eq AS INTEGER) AS est_matches
+          FROM jac
+          JOIN sig sa ON jac.a = sa.doc_id
+          JOIN sig sb ON jac.b = sb.doc_id
+          WHERE jac.jaccard >= 0.2"""
+    },
     // the planted-boilerplate cap row: denominators from the FULL
     // (planted) shingle sets, intersections only from shingles at or
     // under the df cap — exactly jaccardPairs(maxShingleDf = 50)

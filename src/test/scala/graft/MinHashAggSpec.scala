@@ -53,4 +53,25 @@ class MinHashAggSpec extends AnyFunSuite {
       assert(mh.forall(_.matches("[0-9a-f]{8}"))) // 32-bit chunks
     }
   }
+
+  test("d21 calibration: est/k tracks exact jaccard within the binomial band") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val sh = graft.operators.Dedup.shingles(docs, "doc_id",
+      graft.text.TextOps.tokenize(col("text")))
+    val out = graft.operators.Dedup
+      .minhashCalibration(sh, numHashes = 16, minJaccard = 0.2)
+      .collect()
+      .map(r => (r.getDouble(2), r.getInt(3) / 16.0))
+    assert(out.nonEmpty)
+    // per-pair: |est − J| ≤ 4σ with σ = √(J(1−J)/16) ≤ 0.125 ⇒ ≤ 0.5
+    // always; the informative check is the aggregate: ≥ 85% of pairs
+    // inside 2σ-ish (0.25) and the mean bias is small
+    val diffs = out.map { case (j, e) => math.abs(e - j) }
+    assert(diffs.count(_ <= 0.25).toDouble / diffs.length >= 0.85,
+      s"calibration spread: ${diffs.sorted.mkString(",")}")
+    val bias = out.map { case (j, e) => e - j }.sum / out.length
+    assert(math.abs(bias) <= 0.1, s"estimator bias $bias")
+  }
 }

@@ -245,6 +245,32 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("snapshotDiff: random epochs match a naive set diff exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, md5}
+    val gen = Gen.choose(1L, Long.MaxValue)
+    forAll(gen, n = 6) { seed =>
+      val rnd = new scala.util.Random(seed)
+      val ids = (0L until 40L)
+      val prevIds = ids.filter(_ => rnd.nextDouble() < 0.8).toSet
+      val curIds = ids.filter(_ => rnd.nextDouble() < 0.8).toSet
+      val changedIds = ids.filter(_ => rnd.nextDouble() < 0.3).toSet
+      def text(i: Long, cur: Boolean) =
+        if (cur && changedIds(i)) s"doc $i v2" else s"doc $i v1"
+      val prev = prevIds.toSeq.map(i => (i, text(i, cur = false)))
+        .toDF("id", "t").select($"id", md5($"t").as("fp"))
+      val cur = curIds.toSeq.map(i => (i, text(i, cur = true)))
+        .toDF("id", "t").select($"id", md5($"t").as("fp"))
+      val got = graft.operators.Curation.snapshotDiff(prev, cur, "id")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val exp = (
+        (curIds -- prevIds).map(_ -> "added") ++
+        (prevIds -- curIds).map(_ -> "removed") ++
+        (prevIds & curIds).filter(changedIds).map(_ -> "changed")).toMap
+      assert(got == exp, s"seed=$seed")
+    }
+  }
+
   test("contrastiveNegatives: k per anchor, never the anchor's label, " +
       "deterministic, heap plan (no per-anchor window)") {
     import spark.implicits._
