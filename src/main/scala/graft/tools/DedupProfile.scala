@@ -35,6 +35,13 @@ object DedupProfile {
       Dedup.minhashLshPairs(sh).count()))
     (1 to 2).foreach(i => time(s"full-d05#$i")(
       Dedup.minhashLshPairsFast(sh).count()))
+    // the exact family head-to-head: unbounded all-shared-shingle
+    // emission (d02's engine, corpus-wide) vs prefix-filtered (d20) —
+    // both compute the identical lossless relation
+    (1 to 2).foreach(i => time(s"exact-allpairs#$i")(
+      Dedup.jaccardPairs(sh, 0.5).count()))
+    (1 to 2).foreach(i => time(s"exact-prefix#$i")(
+      Dedup.prefixFilterPairs(sh, 0.5).count()))
     spark.stop()
   }
 }
