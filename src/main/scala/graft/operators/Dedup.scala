@@ -1208,6 +1208,30 @@ object Dedup {
     */
   def intraDocStrip(docs: DataFrame, idCol: String, tokens: Column,
                     window: Int = 3): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge._
+    val t = docs.select(col(idCol).cast("long").as("doc_id"),
+      tokens.as("__toks"))
+    // native one-pass seen-set kernel (expressions/IntraDocStripExpr)
+    // — the composed array_sort form below is its executable spec
+    // (random-corpus parity in ExpressionSpec); measured 86.9 → a few
+    // seconds at pseudo-sf10 (SCALE.md)
+    val st = column(graft.expressions.IntraDocStripExpr(
+      expression(col("__toks")), window))
+    t.select(col("doc_id"), st.as("__r"))
+      .select(col("doc_id"),
+        col("__r")("clean_text").as("clean_text"),
+        col("__r")("n_removed").as("n_removed"))
+  }
+
+  /** The composed Catalyst-HOF reference form of [[intraDocStrip]] —
+    * kept as the kernel's executable spec (ExpressionSpec asserts
+    * parity on random corpora); the kernel replaced it in the d19
+    * query path after the sort+exists chain measured 86.9 s at
+    * pseudo-sf10.
+    */
+  def intraDocStripComposed(docs: DataFrame, idCol: String,
+                            tokens: Column,
+                            window: Int = 3): DataFrame = {
     require(window >= 2, s"window must be >= 2, got $window")
     val W = window
     val t = docs.select(col(idCol).cast("long").as("doc_id"),

@@ -217,6 +217,55 @@ class ExpressionSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.optimizer.excludedRules")
   }
 
+  test("IntraDocStripExpr ≡ composed sort+exists form on random corpora") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    import graft.text.TextOps
+    val vocab = Vector("a", "b", "c")
+    (1 to 6).foreach { seed =>
+      val rnd = new scala.util.Random(600 + seed)
+      val docs = (0L until 15L).map { id =>
+        id -> Seq.fill(1 + rnd.nextInt(24))(vocab(rnd.nextInt(3)))
+          .mkString(" ")
+      }.toDF("doc_id", "text")
+      def run(f: (org.apache.spark.sql.DataFrame, String,
+          org.apache.spark.sql.Column, Int) =>
+          org.apache.spark.sql.DataFrame) =
+        f(docs, "doc_id", TextOps.tokenize(col("text")), 3)
+          .collect()
+          .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+          .toMap
+      val kernel = run(Dedup.intraDocStrip)
+      val composed = run(Dedup.intraDocStripComposed)
+      assert(kernel == composed, s"seed=${600 + seed}")
+    }
+  }
+
+  test("GopherStatsExpr ≡ composed HOF stats on random corpora (incl. stopwords)") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftbridge.ColumnBridge._
+    import graft.text.TextOps
+    // vocab mixes stop words ("the","a","is") with content words and
+    // repeats so every statistic takes non-trivial values
+    val vocab = Vector("the", "a", "is", "data", "spark", "row", "row")
+    (1 to 6).foreach { seed =>
+      val rnd = new scala.util.Random(700 + seed)
+      val docs = (0L until 15L).map { id =>
+        id -> Seq.fill(rnd.nextInt(30))(vocab(rnd.nextInt(vocab.length)))
+          .mkString(" ")
+      }.toDF("doc_id", "text")
+      val kernel = docs.select(col("doc_id"),
+          column(graft.expressions.GopherStatsExpr(
+            expression(TextOps.tokenize(col("text"))),
+            TextOps.EnglishStopwords)).as("s"))
+        .select(col("doc_id"), col("s.*"))
+        .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+      val composed = graft.queries.TextQueries.gopherStatsComposed(docs)
+        .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+      assert(kernel == composed, s"seed=${700 + seed}")
+    }
+  }
+
   test("KernelSubstitution: composed dot/norm idioms rewrite to the kernels") {
     import graft.operators.Similarity
     // parquet-backed input — a local literal relation would be
