@@ -169,6 +169,23 @@ object Bpe {
       applyMerge(c, m.lhs, m.rhs))
   }
 
+  /** [[encode]] through the native kernel
+    * ([[graft.expressions.BpeEncodeExpr]]): identical output (the
+    * replace chain stays as the executable spec and oracle mirror;
+    * random-corpus parity in BpeSpec), but all rules apply in one
+    * symbol-array pass per word with O(1) presence-count skipping —
+    * one string build instead of one corpus copy per rule, and NO
+    * plan-depth ceiling: a production 30k-rule tokenizer encodes in
+    * one expression, superseding the sliced/checkpointed path for
+    * plan-depth reasons (the slice path remains for engines without
+    * this kernel).
+    */
+  def encodeKernel(tokens: Column, merges: Seq[Merge]): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge._
+    column(graft.expressions.BpeEncodeExpr(expression(tokens),
+      merges.sortBy(_.rank).map(m => (m.lhs, m.rhs))))
+  }
+
   /** Production-sized encode: apply an arbitrarily long rule list
     * (30k+ merges — a real tokenizer) by slicing it into
     * ≤`sliceSize`-rule chunks and `localCheckpoint`ing between

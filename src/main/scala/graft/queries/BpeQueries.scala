@@ -78,7 +78,8 @@ object BpeQueries {
       docs.select(
         $"doc_id",
         size(toks).as("n_tokens"),
-        Bpe.pieceCount(toks, Bpe.encode(toks, merges)).as("n_pieces"))
+        Bpe.pieceCount(toks, Bpe.encodeKernel(toks, merges))
+          .as("n_pieces"))
     }),
 
     // Decode round-trip: decode(encode(toks)) must reproduce the
@@ -93,7 +94,7 @@ object BpeQueries {
         .withColumn("__toks", bpeTokens(col("text")))
         .select(col("doc_id"),
           size(col("__toks")).as("n_tokens"),
-          (Bpe.decode(Bpe.encode(col("__toks"), merges)) ===
+          (Bpe.decode(Bpe.encodeKernel(col("__toks"), merges)) ===
             array_join(col("__toks"), " ")).as("roundtrip_ok"))
     }),
 
@@ -107,7 +108,7 @@ object BpeQueries {
         .select(explode(bpeTokens($"text")).as("word"))
         .groupBy($"word").agg(count(lit(1)).as("freq"))
         .select(explode(Bpe.symbols(
-            Bpe.encode(array($"word"), merges))).as("piece"),
+            Bpe.encodeKernel(array($"word"), merges))).as("piece"),
           $"freq")
         .groupBy($"piece").agg(sum($"freq").as("occurrences"))
     }))

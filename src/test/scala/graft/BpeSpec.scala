@@ -246,6 +246,45 @@ class BpeSpec extends AnyFunSuite {
     assert(rebuilt == "low lower lowest newest unseen words qqq")
   }
 
+  test("encodeKernel ≡ chained-replace encode on random corpora and at 256 merges") {
+    import spark.implicits._
+    val vocab = Vector("ab", "abc", "bca", "c", "cab", "aa")
+    (1 to 5).foreach { seed =>
+      val rnd = new scala.util.Random(800 + seed)
+      val d = (0 until 15).map(i => (i.toLong,
+          Seq.fill(2 + rnd.nextInt(12))(vocab(rnd.nextInt(6)))
+            .mkString(" ")))
+        .toDF("doc_id", "text")
+      val toks = TextOps.tokenize(col("text"))
+      val merges = Bpe.trainMerges(d, toks, 10)
+      val chain = d.select(col("doc_id"),
+          Bpe.encode(toks, merges).as("e"))
+        .as[(Long, String)].collect().toMap
+      val kernel = d.select(col("doc_id"),
+          Bpe.encodeKernel(toks, merges).as("e"))
+        .as[(Long, String)].collect().toMap
+      assert(kernel == chain, s"seed=${800 + seed}")
+    }
+    // deep rule list: kernel ≡ the sliced/checkpointed path that
+    // exists for plan-depth reasons the kernel doesn't have
+    val rnd = new scala.util.Random(0xBEE)
+    val letters = "abcd"
+    val big = (0 until 60).map(i => (i.toLong,
+        Seq.fill(3 + rnd.nextInt(6))(
+          Seq.fill(2 + rnd.nextInt(8))(
+            letters(rnd.nextInt(4))).mkString).mkString(" ")))
+      .toDF("doc_id", "text")
+    val toksB = TextOps.tokenize(col("text"))
+    val deep = Bpe.trainMerges(big, toksB, 256)
+    val sliced = Bpe.encodeSliced(big, toksB, deep, sliceSize = 64)
+      .select(col("doc_id"), col("encoded"))
+      .as[(Long, String)].collect().toMap
+    val kernelDeep = big.select(col("doc_id"),
+        Bpe.encodeKernel(toksB, deep).as("e"))
+      .as[(Long, String)].collect().toMap
+    assert(kernelDeep == sliced, s"256-merge kernel/sliced divergence")
+  }
+
   test("decode inverts encode — plain and sliced — on random corpora") {
     import spark.implicits._
     val vocab = Vector("ab", "abc", "bca", "c", "cab")
