@@ -135,17 +135,37 @@ object Layout {
     * band discipline gates it; the exact form is used here because
     * the gate hash-compares values.
     */
+  /** [[tableStats]] with HLL-estimated NDV (`approx_count_distinct`)
+    * — the 100 TB form the exact version's scaladoc promises: one
+    * sketch per column folds in the SAME single aggregation with NO
+    * Expand pass (plan-asserted in LayoutSpec), so stats cost stops
+    * scaling with column count × row count. Estimates carry ~2%
+    * standard error; everything else (rows, nulls, min/max) stays
+    * exact. Measured vs the exact form in SCALE.md.
+    */
+  def tableStatsApprox(df: DataFrame,
+                       numericCols: Seq[(String, Column)],
+                       stringCols: Seq[String]): DataFrame =
+    statsImpl(df, numericCols, stringCols,
+      e => approx_count_distinct(e, rsd = 0.02))
+
   def tableStats(df: DataFrame,
                  numericCols: Seq[(String, Column)],
-                 stringCols: Seq[String]): DataFrame = {
+                 stringCols: Seq[String]): DataFrame =
+    statsImpl(df, numericCols, stringCols, e => countDistinct(e))
+
+  private def statsImpl(df: DataFrame,
+                        numericCols: Seq[(String, Column)],
+                        stringCols: Seq[String],
+                        ndv: Column => Column): DataFrame = {
     val aggs = numericCols.flatMap { case (name, e) => Seq(
         sum(e.isNull.cast("long")).as(s"${name}__nulls"),
-        countDistinct(e).as(s"${name}__ndv"),
+        ndv(e).as(s"${name}__ndv"),
         min(e).cast("double").as(s"${name}__min"),
         max(e).cast("double").as(s"${name}__max"))
       } ++ stringCols.flatMap { c => Seq(
         sum(col(c).isNull.cast("long")).as(s"${c}__nulls"),
-        countDistinct(col(c)).as(s"${c}__ndv"),
+        ndv(col(c)).as(s"${c}__ndv"),
         min(col(c)).as(s"${c}__min"),
         max(col(c)).as(s"${c}__max"))
       }
