@@ -625,6 +625,34 @@ object Similarity {
     * literal-folded expression inside the scan, no ML transform or
     * UDF in the hot path.
     */
+  /** Cluster-balanced corpus selection — the curation step after
+    * semantic clustering (the DataComp/SemDeDup lineage: sample per
+    * cluster, not per corpus, so rare clusters survive the budget and
+    * dominant clusters can't crowd it out): every vector is assigned
+    * to its nearest centroid, and each cell keeps its `quota` lowest
+    * rows under a salted 52-bit md5 priority (uniform,
+    * seedless-reproducible and exactly representable in a double —
+    * the sp11 discipline, ties to the smaller id). Selection is the
+    * bounded [[graft.expressions.TopKAgg]] heap per cell, never a
+    * per-cell window sort: cell assignment is a literal-folded
+    * expression inside the scan, only cells × quota rows cross the
+    * exchange, and the corpus itself never sorts or shuffles.
+    */
+  def clusterBalancedSample(corpus: DataFrame,
+      centroids: Array[Array[Double]], quota: Int, salt: String = "e22",
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val scored = corpus.select(
+      element_at(nearestCells(col(vecCol), centroids, 1), 1).as("q_id"),
+      col(idCol).as("n_id"),
+      conv(substring(md5(concat(col(idCol).cast("string"),
+        lit("|" + salt))), 1, 13), 16, 10)
+        .cast("long").cast("double").as("priority"))
+    topKPerQuery(scored, "priority", scoreAsc = true, quota)
+      .select(col("q_id").as("cell"), col("n_id").as(idCol),
+        col("priority").cast("long").as("priority"),
+        col("rn").as("pick_rank"))
+  }
+
   def semDedupPairs(corpus: DataFrame, centroids: Array[Array[Double]],
                     threshold: Double, idCol: String = "vec_id",
                     vecCol: String = "embedding"): DataFrame = {

@@ -461,6 +461,22 @@ object DedupQueries {
         candK = 12, selK = 5, lambda = 0.7)
     }),
 
+    // Cluster-balanced selection over the TRAINED quantizer: the e18
+    // fixed-point Lloyd fit supplies the cells, then each cell keeps
+    // its 40 lowest rows under a salted 52-bit md5 priority (exact in
+    // a double; ties → smaller id) via the bounded TopKAgg heap — the
+    // per-cluster-quota curation step of a DataComp-style pipeline,
+    // with every stage (fit, assignment, priority, rank) in the
+    // DuckDB gate. Corpus scans twice (fit reuses e18's shape) and
+    // never sorts; only cells × quota rows cross the final exchange.
+    "e22_cluster_balanced_sample" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val trained = Similarity.collectCentroids(
+        Similarity.lloydFit(emb, col("embedding"),
+          Similarity.randomPlanes(8, 64, seed = 7L), iters = 2))
+      Similarity.clusterBalancedSample(emb, trained, quota = 40)
+    }),
+
     // SemDeDup search stage: fixed coarse cells (e08's seeded
     // centroids), cell-local cosine pairs ≥ 0.4, closed into semantic
     // dup clusters. Same fixed-500 slice as e03/e04 — with literal
@@ -1002,8 +1018,12 @@ object DedupQueries {
     * m2-CTE means (e18's hash gate is exactly that proof), so cell
     * assignment and scoring agree exactly.
     */
-  private def ivfTrainedOracleSql: String =
-    s"""WITH ctr0 AS ($centroidTableSql),
+  /** The e18 two-iteration fixed-point Lloyd fit as a CTE chain
+    * ending in `ctr(cell, cvec)` — shared by the e19 trained-search
+    * and e22 cluster-balanced-sample oracles.
+    */
+  private def trainedCtrCtes: String =
+    s"""ctr0 AS ($centroidTableSql),
         cc1 AS (
           SELECT vec_id, cell, embedding FROM (
             SELECT vec_id, ctr0.cell, embedding,
@@ -1055,8 +1075,41 @@ object DedupQueries {
           SELECT CAST(dense_rank() OVER (ORDER BY cell) - 1
                       AS INTEGER) AS cell,
                  list(c ORDER BY dim) AS cvec
-          FROM m2 GROUP BY cell),
+          FROM m2 GROUP BY cell)"""
+
+  private def ivfTrainedOracleSql: String =
+    s"""WITH $trainedCtrCtes,
         $ivfSearchBodySql"""
+
+  /** e22's oracle: trained cells + nearest-cell assignment (the
+    * shared tie rule: squared distance, then cell), the 52-bit
+    * salted md5 priority, and a per-cell rank capped at the quota —
+    * each stage the exact mirror of the Spark operator chain.
+    */
+  private def clusterBalancedOracleSql: String =
+    s"""WITH $trainedCtrCtes,
+        asg AS (
+          SELECT vec_id, cell FROM (
+            SELECT vec_id, ctr.cell,
+                   CAST(row_number() OVER (
+                     PARTITION BY vec_id
+                     ORDER BY ${sqDistSql("embedding", "cvec")},
+                              ctr.cell) AS INTEGER) AS rn
+            FROM embeddings, ctr)
+          WHERE rn = 1),
+        pri AS (
+          SELECT cell, vec_id,
+                 CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)
+                   || '|e22'), 1, 13)) AS BIGINT) AS priority
+          FROM asg),
+        ranked AS (
+          SELECT cell, vec_id, priority,
+                 CAST(row_number() OVER (
+                   PARTITION BY cell ORDER BY priority, vec_id)
+                   AS INTEGER) AS pick_rank
+          FROM pri)
+        SELECT cell, vec_id, priority, pick_rank
+        FROM ranked WHERE pick_rank <= 40"""
 
   val oracleSql: Map[String, String] = Map(
     "d01_dedup_exact" ->
@@ -1645,6 +1698,7 @@ object DedupQueries {
                    / CAST(count(*) AS DOUBLE) / 16777216.0 AS centroid
           FROM p2 GROUP BY cell, dim""",
     "e19_ivf_trained" -> ivfTrainedOracleSql,
+    "e22_cluster_balanced_sample" -> clusterBalancedOracleSql,
     "e10_pq_encode" ->
       s"""WITH $pqCodesCtes
           SELECT vec_id, m, code FROM codes""",

@@ -260,7 +260,20 @@ object TextQueries {
           (col("__st")("n_total") * col("__st")("n_total"))
             .as("gini_den"),
           round(col("__st")("shannon"), 6).as("shannon_nats"))
-    })
+    }),
+
+    // Bigram-LM fluency score — the conditional-probability step up
+    // from t12's unigram MLE and the cheap stand-in for CCNet's
+    // KenLM perplexity filter (Wenzek et al. 2020): a top-V MLE
+    // bigram model P(w2|w1) = c(w1 w2) / c(w1 ·) fit on the corpus
+    // (bounded ≤V-row driver collect behind the plan-literal
+    // contract), every document scored in-row over its own bigram
+    // stream. Two corpus scans (fit + score), one gram-key shuffle
+    // for the fit; scoring is a broadcast-literal map lookup — no
+    // join, no shuffle, so the score pass is the same 100 TB shape
+    // as t12. Docs need >= 2 tokens to have a bigram stream.
+    "t20_bigram_logprob" -> ((s, d) =>
+      bigramScored(Tables.documents(s, d)))
   )
 
   /** t18 body, callable from specs on planted frames: per-doc integer
@@ -336,6 +349,51 @@ object TextQueries {
 
   /** Unigram model size for t12 — shared with its oracle. */
   private val UnigramV = 20
+
+  /** Bigram model size for t20 — shared with its oracle. */
+  private val BigramV = 30
+
+  /** t20's bigram-LM scoring stage, callable from specs on planted
+    * (doc_id, text) frames: top-V MLE conditional model
+    * P(w2|w1) = c(w1 w2) / c(w1 ·) with count-desc/gram-asc
+    * tie-break, OOV bigrams at the ln(0.5/total) floor (t12's
+    * discipline), per-doc mean log-prob rounded once. Context counts
+    * c(w1 ·) derive from the gram counts themselves (one extra
+    * vocabulary-sized aggregate — never a second corpus scan), and
+    * only the ≤V model rows are collected. Returns
+    * (doc_id, n_bigrams, avg_logprob) for every document with at
+    * least one bigram.
+    */
+  def bigramScored(docs: DataFrame): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), TextOps.tokenize(col("text")).as("__toks"))
+      .select(col("doc_id"),
+        Analysis.ngrams(col("__toks"), 2).as("grams"))
+      .filter(size(col("grams")) > 0)
+    val counts = grams.select(explode(col("grams")).as("g"))
+      .groupBy(col("g")).count()
+    val totalRow = counts.agg(sum(col("count"))).head
+    // no bigram anywhere (corpus of <2-token docs): the scored frame
+    // below is empty, but the floor literal must stay finite
+    val total = if (totalRow.isNullAt(0)) 1.0
+      else totalRow.getLong(0).toDouble
+    val ctx = counts
+      .groupBy(substring_index(col("g"), " ", 1).as("w1"))
+      .agg(sum(col("count")).as("ccnt"))
+    val model = counts
+      .orderBy(col("count").desc, col("g").asc).limit(BigramV)
+      .join(ctx, substring_index(col("g"), " ", 1) === col("w1"))
+      .select(col("g"), col("count"), col("ccnt"))
+      .collect()
+      .map(r => r.getString(0) ->
+        math.log(r.getLong(1).toDouble / r.getLong(2).toDouble))
+      .toMap
+    val floorLp = math.log(0.5 / total)
+    grams.select(col("doc_id"),
+      size(col("grams")).as("n_bigrams"),
+      Analysis.unigramAvgLogProb(col("grams"), model, floorLp)
+        .as("avg_logprob"))
+  }
 
   /** t12's unigram-LM scoring stage, shared with t17: top-V MLE model
     * fit on the corpus (bounded driver collect, plan-literal
@@ -726,6 +784,33 @@ object TextQueries {
                    c -> (CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
                      * ln(CAST(n AS DOUBLE) / CAST(c AS DOUBLE)))), 6)
                    AS shannon_nats
-          FROM c"""
+          FROM c""",
+
+    // t20: the same top-V MLE bigram fit in SQL — bigrams via t09's
+    // positional list_transform, context counts c(w1 ·) from the
+    // gram counts themselves, ln(cnt/ctx) conditional
+    // probabilities, the 0.5-count OOV floor and the per-doc mean
+    // rounded once (t12's float discipline)
+    "t20_bigram_logprob" ->
+      s"""WITH t AS (SELECT doc_id, $tokSql AS toks FROM documents),
+          g AS (SELECT doc_id,
+                  list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i + 1]) AS grams
+                FROM t WHERE len(toks) >= 2),
+          u AS (SELECT doc_id, unnest(grams) AS b FROM g),
+          c AS (SELECT b, count(*) AS cnt FROM u GROUP BY 1),
+          ctx AS (SELECT string_split(b, ' ')[1] AS w1,
+                    sum(cnt) AS ccnt FROM c GROUP BY 1),
+          tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM c),
+          v AS (SELECT b, ln(cnt / CAST(ccnt AS DOUBLE)) AS lp
+                FROM c JOIN ctx ON string_split(c.b, ' ')[1] = ctx.w1
+                ORDER BY cnt DESC, b LIMIT $BigramV),
+          sc AS (SELECT u.doc_id,
+                   coalesce(v.lp, ln(0.5 / (SELECT total FROM tot)))
+                     AS lp
+                 FROM u LEFT JOIN v USING (b))
+          SELECT doc_id, CAST(count(*) AS INTEGER) AS n_bigrams,
+                 round(sum(lp) / count(*), 6) AS avg_logprob
+          FROM sc GROUP BY doc_id"""
   )
 }

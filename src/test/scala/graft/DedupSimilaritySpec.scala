@@ -616,4 +616,56 @@ class DedupSimilaritySpec extends AnyFunSuite {
       assert(got == exp, s"seed=${300 + seed}")
     }
   }
+
+  test("clusterBalancedSample: quota bound, cluster coverage, and " +
+      "agreement with the window-sort reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    // 3 planted clusters of very different sizes around orthogonal-ish
+    // centers — the skew a per-corpus sample would mirror and a
+    // per-cluster quota must flatten
+    val centers = Seq(
+      Array.fill(8)(0.0).updated(0, 10.0),
+      Array.fill(8)(0.0).updated(3, -10.0),
+      Array.fill(8)(0.0).updated(6, 10.0))
+    val sizes = Seq(60, 25, 5)
+    val vecs = centers.zip(sizes).zipWithIndex.flatMap {
+      case ((c, n), ci) => (0 until n).map { j =>
+        val id = ci * 1000L + j
+        (id, c.map(x => (x + rnd.nextGaussian() * 0.1).toFloat))
+      }
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val ctrs = centers.map(_.map(identity)).toArray
+    val quota = 10
+    val got = Similarity.clusterBalancedSample(df, ctrs, quota)
+      .collect().map(r =>
+        (r.getInt(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    // quota respected per cell; the 5-row cluster keeps all 5
+    val byCell = got.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(byCell == Map(0 -> quota, 1 -> quota, 2 -> 5))
+    // ranks are 1..n_kept per cell and follow priority order
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1 to rows.length))
+      assert(sorted.map(_._3).toSeq ==
+        sorted.map(_._3).sortBy(identity).toSeq)
+    }
+    // agreement with the window-sort reference over the same
+    // assignment + priority columns (the heap must pick exactly the
+    // quota lowest priorities, ties to smaller id)
+    val ref = df.select(
+        element_at(Similarity.nearestCells($"embedding", ctrs, 1), 1)
+          .as("cell"),
+        $"vec_id",
+        conv(substring(md5(concat($"vec_id".cast("string"),
+          lit("|e22"))), 1, 13), 16, 10).cast("long").as("priority"))
+      .withColumn("pick_rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"cell").orderBy($"priority", $"vec_id")))
+      .filter($"pick_rank" <= quota)
+      .collect().map(r =>
+        (r.getInt(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(got.toSet == ref)
+  }
 }

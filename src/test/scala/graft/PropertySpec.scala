@@ -302,6 +302,57 @@ class PropertySpec extends AnyFunSuite {
         s"negatives must fold into the bounded heap, not a window:\n$plan")
     }
   }
+
+  test("bigramScored ≡ naive driver bigram LM on random corpora") {
+    import spark.implicits._
+    // small vocab so counts collide and the top-V cut + OOV floor
+    // both exercise; naive reference recomputes fit and score from
+    // scratch on the driver
+    val word = Gen.oneOf((0 until 40).map(i => f"w$i%02d"))
+    val doc = Gen.chooseNum(0, 8)
+      .flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    (1 to 4).foreach { round =>
+      val texts = Iterator.continually(doc.sample).flatten
+        .take(60).toVector
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }
+      val got = graft.queries.TextQueries
+        .bigramScored(docs.toDF("doc_id", "text"))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2))))
+        .toMap
+      // naive reference
+      val toks = docs.map { case (id, t) =>
+        id -> t.split("\\s+").filter(_.nonEmpty).toSeq }
+      val grams = toks.map { case (id, ws) =>
+        id -> ws.sliding(2).filter(_.length == 2)
+          .map(_.mkString(" ")).toVector }
+        .filter(_._2.nonEmpty)
+      val counts = grams.flatMap(_._2)
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val total = counts.values.sum.toDouble
+      val ctx = counts.toSeq
+        .groupBy(_._1.split(" ")(0)).view
+        .mapValues(_.map(_._2).sum.toDouble).toMap
+      val model = counts.toSeq
+        .sortBy { case (g, c) => (-c, g) }.take(30)
+        .map { case (g, c) =>
+          g -> math.log(c / ctx(g.split(" ")(0))) }.toMap
+      val floor = math.log(0.5 / total)
+      // reference left unrounded; the Spark side rounds to 6 decimals,
+      // so agreement within half an ulp-of-rounding is the bound
+      val exp = grams.map { case (id, gs) =>
+        id -> ((gs.length,
+          gs.map(g => model.getOrElse(g, floor)).sum / gs.length))
+      }.toMap
+      assert(got.keySet == exp.keySet, s"round=$round")
+      exp.foreach { case (id, (n, lp)) =>
+        assert(got(id)._1 == n, s"round=$round id=$id n")
+        assert(math.abs(got(id)._2 - lp) < 1e-6,
+          s"round=$round id=$id lp got=${got(id)._2} exp=$lp")
+      }
+    }
+  }
 }
 
 private object TextOpsFixtures {

@@ -347,4 +347,40 @@ class TextOpsSpec extends AnyFunSuite {
     assert(math.abs(row.getDouble(1) - expected) < 1e-12)
     assert(r != null)
   }
+
+  test("t20 bigram LM: hand-computed conditional log-probs") {
+    import spark.implicits._
+    // grams: d1 [a b, b a, a b, b c], d2 [a b, b c], d4 [b c, c a, a b]
+    // counts: "a b"=4 "b c"=3 "b a"=1 "c a"=1, total 9
+    // contexts: a·=4, b·=4, c·=1 → lp(a b)=ln(4/4)=0, lp(b a)=ln(1/4),
+    // lp(b c)=ln(3/4), lp(c a)=ln(1/1)=0; V=30 holds all 4, no OOV
+    val docs = Seq(
+      (1L, "a b a b c"), (2L, "a b c"), (3L, "x"), (4L, "b c a b")
+    ).toDF("doc_id", "text")
+    val got = graft.queries.TextQueries.bigramScored(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getDouble(2)))).toMap
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.keySet == Set(1L, 2L, 4L)) // single-token doc 3 dropped
+    assert(got(1L)._1 == 4 && got(2L)._1 == 2 && got(4L)._1 == 3)
+    assert(got(1L)._2 ==
+      r6((math.log(0.25) + math.log(0.75)) / 4))
+    assert(got(2L)._2 == r6(math.log(0.75) / 2))
+    assert(got(4L)._2 == r6(math.log(0.75) / 3))
+  }
+
+  test("t20 bigram LM: OOV grams past top-V hit the 0.5-count floor") {
+    import spark.implicits._
+    // 41 tokens → 40 distinct bigrams, all count 1 with context 1 →
+    // model lp = ln(1/1) = 0 for the 30 gram-asc winners; the other
+    // 10 take the floor ln(0.5/40)
+    val text = (0 until 41).map(i => f"t$i%02d").mkString(" ")
+    val got = graft.queries.TextQueries
+      .bigramScored(Seq((7L, text)).toDF("doc_id", "text"))
+      .collect()
+    assert(got.length == 1 && got(0).getInt(1) == 40)
+    val expected = 10 * math.log(0.5 / 40) / 40
+    assert(math.abs(got(0).getDouble(2) - expected) < 1e-6)
+  }
 }
