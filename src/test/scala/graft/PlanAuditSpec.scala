@@ -91,8 +91,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // |queries| × k rows per partition. A `Window` node here means the
     // corpus-sized shuffle into ≤|queries| reducers is back — the
     // round-6 audit's one scale-killer.
+    // e22's per-cell quota pick shares the same rule: quota selection
+    // must be the heap, never a per-cell window sort of the corpus.
     for (name <- Seq("e01_knn_brute", "e13_hamming_topk",
-        "e11_pq_adc_topk", "e14_ivfpq_topk", "e15_ivfpq_residual")) {
+        "e11_pq_adc_topk", "e14_ivfpq_topk", "e15_ivfpq_residual",
+        "e22_cluster_balanced_sample")) {
       val plan = PlanSummary.finalPlanString(
         SparkEntry.queries(name)(spark, sf))
       assert(!plan.contains("Window"),
