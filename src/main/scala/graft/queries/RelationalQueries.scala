@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core.Tables
@@ -356,21 +356,39 @@ object RelationalQueries {
       // percentile sketch at accuracy 10000 bounds RANK error by 1e-4,
       // checked against exact percentiles 10× out (rank ±1e-3) so the
       // value comparison absorbs interpolation edge effects.
+      //
+      // Scale shape (the round-9 sf10 bench caught the naive form at
+      // 3702 s): mixing count_distinct with the sketch aggs forced an
+      // Expand of the raw scan, and exact `percentile` over raw rows
+      // built per-group value maps from 60 M rows. Split instead:
+      // (1) one codegen scan for ALL sketches; (2) exact NDV as a
+      // two-phase distinct — no Expand; (3) exact percentile bounds
+      // from (flag, value) HISTOGRAMS via percentile-with-frequency —
+      // identical semantics by definition, but the imperative agg now
+      // reads ≤|distinct values| pre-summed rows instead of the
+      // corpus. The three 3-row results broadcast-join back on flag.
       val eps = 0.001
-      Tables.lineitem(s, d)
-        .groupBy($"l_returnflag")
-        .agg(
-          approx_count_distinct($"l_orderkey").as("hll"),
-          count_distinct($"l_orderkey").as("exact_orders"),
-          percentile_approx($"l_quantity", lit(0.5), lit(10000))
-            .as("p50"),
-          percentile($"l_quantity", lit(0.5 - eps)).as("p50_lo"),
-          percentile($"l_quantity", lit(0.5 + eps)).as("p50_hi"),
-          percentile_approx($"l_extendedprice", lit(0.95), lit(10000))
-            .as("p95"),
-          percentile($"l_extendedprice", lit(0.95 - eps)).as("p95_lo"),
-          percentile($"l_extendedprice", lit(0.95 + eps)).as("p95_hi"))
-        .select($"l_returnflag".as("flag"), $"exact_orders",
+      val li = Tables.lineitem(s, d).select($"l_returnflag".as("flag"),
+        $"l_orderkey", $"l_quantity", $"l_extendedprice")
+      val sk = li.groupBy($"flag").agg(
+        approx_count_distinct($"l_orderkey").as("hll"),
+        percentile_approx($"l_quantity", lit(0.5), lit(10000))
+          .as("p50"),
+        percentile_approx($"l_extendedprice", lit(0.95), lit(10000))
+          .as("p95"))
+      val nd = li.select($"flag", $"l_orderkey").distinct()
+        .groupBy($"flag").agg(count(lit(1)).as("exact_orders"))
+      def bounds(value: Column, p: Double, lo: String,
+                 hi: String): DataFrame =
+        li.groupBy($"flag", value.as("v")).agg(count(lit(1)).as("w"))
+          .groupBy($"flag").agg(
+            percentile($"v", lit(p - eps), $"w").as(lo),
+            percentile($"v", lit(p + eps), $"w").as(hi))
+      val qb = bounds($"l_quantity", 0.5, "p50_lo", "p50_hi")
+      val pb = bounds($"l_extendedprice", 0.95, "p95_lo", "p95_hi")
+      sk.join(nd, Seq("flag")).join(qb, Seq("flag"))
+        .join(pb, Seq("flag"))
+        .select($"flag", $"exact_orders",
           (abs($"hll" - $"exact_orders") <= $"exact_orders" * 0.15)
             .as("hll_ok"),
           ($"p50" >= $"p50_lo" && $"p50" <= $"p50_hi").as("p50_ok"),

@@ -35,12 +35,15 @@ object TextQueries {
     // F3/P6 — stop-word removal via higher-order filter (no UDF).
     "t02_stopword_filter" -> ((s, d) => {
       import s.implicits._
-      val toks = TextOps.tokenize($"text")
-      Tables.documents(s, d).select(
-        $"doc_id",
-        size(toks).as("n_tokens"),
-        size(TextOps.removeStopwords(toks, TextOps.EnglishStopwords))
-          .as("n_kept"))
+      // token array bound once (the Ngrams.ngramProfile lesson:
+      // unbound, the regex split re-runs per reference)
+      Tables.documents(s, d)
+        .select($"doc_id", TextOps.tokenize($"text").as("__toks"))
+        .select(
+          $"doc_id",
+          size($"__toks").as("n_tokens"),
+          size(TextOps.removeStopwords($"__toks",
+            TextOps.EnglishStopwords)).as("n_kept"))
     }),
 
     // A1/A2/T1 — explode → word count → deterministic top-20.
@@ -56,33 +59,42 @@ object TextQueries {
     // Language-ID: marker-word argmax with fixed-priority tie-break.
     "t04_langid" -> ((s, d) => {
       import s.implicits._
-      Tables.documents(s, d).select(
-        $"doc_id",
-        Analysis.langId(TextOps.tokenize($"text")).as("lang_pred"))
+      // langId let-binds internally; binding the array here too keeps
+      // the split out of the projection entirely
+      Tables.documents(s, d)
+        .select($"doc_id", TextOps.tokenize($"text").as("__toks"))
+        .select($"doc_id", Analysis.langId($"__toks").as("lang_pred"))
     }),
 
     // Quality scoring: exact integer ratios rounded once.
     "t05_quality" -> ((s, d) => {
       import s.implicits._
-      val toks = TextOps.tokenize($"text")
-      Tables.documents(s, d).select(
-        $"doc_id",
-        length($"text").as("n_chars"),
-        Analysis.tokenCount(toks).as("n_tokens"),
-        Analysis.distinctTokenCount(toks).as("n_distinct"),
-        Analysis.typeTokenRatio(toks).as("ttr"),
-        Analysis.meanTokenLen(toks).as("mean_len"),
-        Analysis.stopwordRatio(toks).as("stop_ratio"))
+      // ~10 helper references to the token array: bound once so the
+      // regex split runs once per row, not per reference
+      Tables.documents(s, d)
+        .select($"doc_id", $"text", TextOps.tokenize($"text").as("__toks"))
+        .select(
+          $"doc_id",
+          length($"text").as("n_chars"),
+          Analysis.tokenCount($"__toks").as("n_tokens"),
+          Analysis.distinctTokenCount($"__toks").as("n_distinct"),
+          Analysis.typeTokenRatio($"__toks").as("ttr"),
+          Analysis.meanTokenLen($"__toks").as("mean_len"),
+          Analysis.stopwordRatio($"__toks").as("stop_ratio"))
     }),
 
     // Document fingerprinting: exact md5 + min-shingle (1-hash MinHash).
     "t06_fingerprint" -> ((s, d) => {
       import s.implicits._
-      Tables.documents(s, d).select(
-        $"doc_id",
-        Analysis.fingerprint($"text").as("fp"),
-        Analysis.minShingleFingerprint(TextOps.tokenize($"text"))
-          .as("min_shingle_fp"))
+      // the 3-gram builder reads its input array 3× per gram via
+      // element_at; unbound, each read re-ran the regex split —
+      // ~3·|grams| splits per document (sf10: 1320 s → ~25 s bound)
+      Tables.documents(s, d)
+        .select($"doc_id", $"text", TextOps.tokenize($"text").as("__toks"))
+        .select(
+          $"doc_id",
+          Analysis.fingerprint($"text").as("fp"),
+          Analysis.minShingleFingerprint($"__toks").as("min_shingle_fp"))
     }),
 
     // Token counting two ways: whitespace words and a BPE-ish

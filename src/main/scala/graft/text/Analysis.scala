@@ -53,13 +53,27 @@ object Analysis {
     * deterministic priority-order tie-break; "und" (undetermined) when
     * no marker fires.
     */
-  def langId(tokens: Column): Column = {
-    val hits = LangMarkers.map { case (l, ms) => l -> markerHits(tokens, ms) }
-    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
-    hits.foldRight(lit("und")) { case ((l, h), els) =>
-      when(h === best && h > 0, lit(l)).otherwise(els)
-    } // foldRight → first lang in priority order wins ties
-  }
+  def langId(tokens: Column): Column =
+    // let-bind the token array AND the per-language hit counts:
+    // naively, `best` embeds every markerHits tree and each tie-break
+    // clause embeds `best` again, so Catalyst inlines ~24 marker
+    // passes (each re-running an unbound `tokens` expression — the
+    // regex split, at t04's call site) per row. Bound, it is one
+    // tokens eval + exactly 4 marker passes (sf10: 190 → ~2 s).
+    graft.expressions.Bind.once(tokens) { toks =>
+      graft.expressions.Bind.once(
+        array(LangMarkers.map { case (_, ms) => markerHits(toks, ms) }: _*)
+      ) { hits =>
+        val best = array_max(hits)
+        // h === best implies h > 0 ⇔ best > 0: same verdict as the
+        // original per-clause `h > 0` guard
+        LangMarkers.zipWithIndex.foldRight(lit("und")) {
+          case (((l, _), i), els) =>
+            when(element_at(hits, i + 1) === best && best > 0, lit(l))
+              .otherwise(els)
+        } // foldRight → first lang in priority order wins ties
+      }
+    }
 
   /** Mean per-token natural-log probability under a unigram model —
     * the cheap stand-in for perplexity-based quality filtering. The
