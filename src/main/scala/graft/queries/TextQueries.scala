@@ -377,13 +377,18 @@ object TextQueries {
     * least one bigram.
     */
   def bigramScored(docs: DataFrame): DataFrame = {
-    val grams = docs
+    val toks = docs
       .select(col("doc_id"), TextOps.tokenize(col("text")).as("__toks"))
+    val grams = toks
       .select(col("doc_id"),
         Analysis.ngrams(col("__toks"), 2).as("grams"))
       .filter(size(col("grams")) > 0)
+    // the gram-count aggregate is VOCAB²-bounded (tiny next to the
+    // corpus) but its lineage re-scans and re-builds every gram —
+    // persist it so the total, context and model reads pay the gram
+    // pass once, not three times (31 → ~19 s at sf0.1)
     val counts = grams.select(explode(col("grams")).as("g"))
-      .groupBy(col("g")).count()
+      .groupBy(col("g")).count().persist()
     val totalRow = counts.agg(sum(col("count"))).head
     // no bigram anywhere (corpus of <2-token docs): the scored frame
     // below is empty, but the floor literal must stay finite
@@ -400,11 +405,22 @@ object TextQueries {
       .map(r => r.getString(0) ->
         math.log(r.getLong(1).toDouble / r.getLong(2).toDouble))
       .toMap
+    counts.unpersist(blocking = false)
     val floorLp = math.log(0.5 / total)
-    grams.select(col("doc_id"),
-      size(col("grams")).as("n_bigrams"),
-      Analysis.unigramAvgLogProb(col("grams"), model, floorLp)
-        .as("avg_logprob"))
+    // scoring via the native single-pass kernel straight off the
+    // token array (expressions/BigramLogProb; the composed
+    // ngrams→unigramAvgLogProb form is its executable spec, parity
+    // in ExpressionSpec) — the gram-string arrays only ever exist in
+    // the fit pass
+    graft.core.PlanLiterals.requireMapTerms(model.size, "bigramScored")
+    import org.apache.spark.sql.graftbridge.ColumnBridge._
+    val st = column(graft.expressions.BigramLogProbExpr(
+      expression(col("__toks")), model, floorLp))
+    toks.select(col("doc_id"), st.as("__s"))
+      .select(col("doc_id"),
+        col("__s")("n_bigrams").as("n_bigrams"),
+        col("__s")("avg_logprob").as("avg_logprob"))
+      .filter(col("n_bigrams") > 0)
   }
 
   /** t12's unigram-LM scoring stage, shared with t17: top-V MLE model
@@ -416,14 +432,17 @@ object TextQueries {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
         TextOps.tokenize(col("text")).as("toks"))
+    // vocab-sized aggregate persisted so the total and model reads
+    // share one corpus pass (the t20 lesson)
     val counts = toks.select(explode(col("toks")).as("word"))
-      .groupBy(col("word")).count()
+      .groupBy(col("word")).count().persist()
     val total = counts.agg(sum(col("count"))).head.getLong(0).toDouble
     val model = counts
       .orderBy(col("count").desc, col("word")).limit(UnigramV)
       .collect()
       .map(r => r.getString(0) -> math.log(r.getLong(1) / total))
       .toMap
+    counts.unpersist(blocking = false)
     val floorLp = math.log(0.5 / total)
     toks.select(col("doc_id"), col("lang"),
       size(col("toks")).as("n_tokens"),

@@ -11,10 +11,25 @@ import org.apache.spark.sql.functions._
 object Analysis {
 
   /** Word n-grams of a token array, computed in-row (no explode →
-    * no shuffle): slide a window via `transform(sequence(...))`.
-    * Empty result for docs shorter than n.
+    * no shuffle) by the native one-sweep kernel
+    * ([[graft.expressions.NgramJoinExpr]]; the composed
+    * [[ngramsComposed]] form below is its executable spec — parity
+    * in ExpressionSpec). Empty result for docs shorter than n, and
+    * for a null input (the composed `when` guard's behavior).
     */
   def ngrams(tokens: Column, n: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge._
+    coalesce(
+      column(graft.expressions.NgramJoinExpr(expression(tokens), n)),
+      array().cast("array<string>"))
+  }
+
+  /** The composed Catalyst-HOF reference form of [[ngrams]]: slide a
+    * window via `transform(sequence(...))`, join with `concat_ws`.
+    * Kept as the kernel's executable spec; it re-reads its input n×
+    * per gram, so production call sites use the kernel.
+    */
+  def ngramsComposed(tokens: Column, n: Int): Column = {
     val grams = transform(
       sequence(lit(0), size(tokens) - n),
       i => concat_ws(" ", (1 to n).map(j => element_at(tokens, i + j)): _*))

@@ -398,4 +398,85 @@ class ExpressionSpec extends AnyFunSuite {
     assert(empty.getLong(0) == 0 && empty.getLong(1) == 0 &&
       empty.getLong(2) == 0 && empty.getDouble(3) == 0.0)
   }
+
+  test("NgramJoinExpr ≡ composed transform/concat_ws on random corpora " +
+      "(n = 1, 2, 3; codegen and interpreted; short docs empty)") {
+    import spark.implicits._
+    import graft.text.Analysis
+    val vocab = Vector("a", "bb", "ccc", "dddd", "x")
+    for (codegen <- Seq("true", "false")) {
+      spark.conf.set("spark.sql.codegen.wholeStage", codegen)
+      try {
+        (1 to 3).foreach { seed =>
+          val rnd = new scala.util.Random(1100 + seed)
+          val docs = (0L until 25L).map { id =>
+            id -> Seq.fill(rnd.nextInt(7))(
+              vocab(rnd.nextInt(vocab.length)))
+          }.toDF("doc_id", "toks")
+          for (n <- 1 to 3) {
+            val got = docs
+              .select(col("doc_id"), Analysis.ngrams(col("toks"), n))
+              .collect().map(r => r.getLong(0) -> r.getSeq[String](1))
+              .toMap
+            val exp = docs
+              .select(col("doc_id"),
+                Analysis.ngramsComposed(col("toks"), n))
+              .collect().map(r => r.getLong(0) -> r.getSeq[String](1))
+              .toMap
+            assert(got == exp, s"codegen=$codegen seed=$seed n=$n")
+          }
+        }
+      } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+  }
+
+  test("BigramLogProbExpr ≡ composed ngrams→avgLogProb on random corpora " +
+      "(codegen and interpreted)") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftbridge.ColumnBridge._
+    import graft.text.{Analysis, TextOps}
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+    // model covers some bigrams, misses others → both branches hit
+    val model = Map("aa bb" -> -0.3, "bb cc" -> -1.7, "cc aa" -> -0.05)
+    val floor = math.log(0.5 / 97.0)
+    for (codegen <- Seq("true", "false")) {
+      spark.conf.set("spark.sql.codegen.wholeStage", codegen)
+      try {
+        (1 to 4).foreach { seed =>
+          val rnd = new scala.util.Random(900 + seed)
+          val docs = (0L until 20L).map { id =>
+            id -> Seq.fill(rnd.nextInt(12))(
+              vocab(rnd.nextInt(vocab.length))).mkString(" ")
+          }.toDF("doc_id", "text")
+            .select(col("doc_id"),
+              TextOps.tokenize(col("text")).as("__toks"))
+          val kernel = docs.select(col("doc_id"),
+              column(graft.expressions.BigramLogProbExpr(
+                expression(col("__toks")), model, floor)).as("s"))
+            .select(col("doc_id"), col("s")("n_bigrams"),
+              col("s")("avg_logprob"))
+            .collect()
+            .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2))))
+            .toMap
+          val composed = docs
+            .select(col("doc_id"),
+              Analysis.ngramsComposed(col("__toks"), 2).as("g"))
+            .select(col("doc_id"), size(col("g")).as("n"),
+              Analysis.unigramAvgLogProb(col("g"), model, floor)
+                .as("lp"))
+            .collect()
+            .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2))))
+            .toMap
+          composed.foreach { case (id, (n, lp)) =>
+            assert(kernel(id)._1 == n,
+              s"codegen=$codegen seed=$seed id=$id n")
+            assert(java.lang.Double.doubleToRawLongBits(kernel(id)._2) ==
+              java.lang.Double.doubleToRawLongBits(lp),
+              s"codegen=$codegen seed=$seed id=$id " +
+                s"${kernel(id)._2} vs $lp")
+          }
+        }
+      } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+  }
 }
