@@ -44,9 +44,23 @@ object Dsir {
   /** Hashed unigram+bigram feature buckets of a token array — pure
     * in-row expression (md5 oracle-profile hash; swap
     * [[FeatureHashing.bucketFast]] in deployments, the f05
-    * discipline).
+    * discipline), computed by the native one-sweep kernel
+    * [[graft.expressions.HashedGramBucketsExpr]]. The composed form
+    * below is its executable spec (parity in ExpressionSpec).
     */
   def featureBuckets(tokens: Column, numBuckets: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge._
+    column(graft.expressions.HashedGramBucketsExpr(
+      expression(tokens), numBuckets))
+  }
+
+  /** The composed Catalyst-HOF reference form of [[featureBuckets]]:
+    * bigram string array via `zip_with(slice, slice)`, then
+    * [[FeatureHashing.bucketOracle]] per feature. Kept as the
+    * kernel's executable spec; it builds a hex string + base-16
+    * parse per feature, so production call sites use the kernel.
+    */
+  def featureBucketsComposed(tokens: Column, numBuckets: Int): Column = {
     val bigrams = when(size(tokens) >= 2,
       zip_with(slice(tokens, lit(1), size(tokens) - 1),
         slice(tokens, lit(2), size(tokens) - 1),

@@ -202,17 +202,78 @@ object Similarity {
     * force in the spec. Real corpora with closer neighbors need far
     * fewer tables — tune per corpus.
     *
-    * Plan shape for scale: bucket rows carry only ids (vectors are NOT
-    * exploded ×numTables); candidates are deduped *before* the cosine
-    * is computed; queries broadcast twice (id+bucket, then id+vector);
-    * the corpus is scanned once for bucketing and once for scoring
-    * candidates — no all-pairs join anywhere.
+    * Plan shape for scale: the query set is the SMALL side of an ANN
+    * lookup by contract, so it is collected once (bounded by
+    * `PlanLiterals`) and shipped as plan literals — id, vector, norm
+    * and per-table bucket ids per query. The corpus is then scanned
+    * exactly ONCE: each corpus row computes its own `numTables`
+    * bucket ids in-row, probes the query literals with
+    * `arrays_overlap`, and scores the matching queries in the same
+    * row — no corpus explode ×numTables, no candidate-pair exchange,
+    * no shuffle of corpus vectors at all; the only exchange is the
+    * |queries|·k bounded-heap merge of [[topKPerQuery]]. The former
+    * bucket-join form survives as [[lshKnnJoined]] (the executable
+    * spec, value-parity-pinned in DedupSimilaritySpec, and the path
+    * for query sets too large to ship as literals).
     */
   def lshKnn(corpus: DataFrame, queries: DataFrame, k: Int,
              numPlanes: Int = 4, numTables: Int = 16,
              dim: Int = 64, seed: Long = 42L,
              idCol: String = "vec_id",
              vecCol: String = "embedding"): DataFrame = {
+    require(numPlanes <= 30, s"numPlanes $numPlanes overflows bucket key")
+    val planeSets = (0 until numTables)
+      .map(t => randomPlanes(numPlanes, dim, seed + 1000L * t))
+    // injective (table, bucket) key: bkt < 2^numPlanes by construction
+    def buckets(vec: Column): Column = array(
+      planeSets.zipWithIndex.map { case (ps, t) =>
+        lit(t.toLong * (1L << numPlanes)) + lshBucket(vec, ps)
+      }: _*)
+
+    val qRows = queries.select(col(idCol).as("q_id"),
+      col(vecCol).cast("array<double>").as("q_vec"),
+      norm(col(vecCol)).as("q_nrm"),
+      buckets(col(vecCol)).as("q_tb")).collect()
+    graft.core.PlanLiterals.requireDoubles(
+      qRows.length.toLong * (dim + numTables + 2), "lshKnn query literals")
+
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      norm(col(vecCol)).as("n_nrm"), buckets(col(vecCol)).as("n_tb"))
+    if (qRows.isEmpty)
+      return topKPerQuery(c.limit(0).select(col("n_id").as("q_id"),
+        col("n_id"), lit(0.0).as("cos")), "cos", scoreAsc = false, k)
+    val qlit = array(qRows.map { r =>
+      struct(lit(r.get(0)).as("q_id"),
+        typedLit(r.getSeq[Double](1)).as("q_vec"),
+        lit(r.getDouble(2)).as("q_nrm"),
+        typedLit(r.getSeq[Long](3)).as("q_tb"))
+    }: _*)
+
+    val scored = c
+      .select(col("n_id"), col("n_vec"), col("n_nrm"),
+        explode(filter(qlit, q => arrays_overlap(q("q_tb"), col("n_tb"))
+          && q("q_id") =!= col("n_id"))).as("q"))
+      .select(col("q")("q_id").as("q_id"), col("n_id"),
+        cosineFromNorms(col("q")("q_vec"), col("n_vec"),
+          col("q")("q_nrm"), col("n_nrm")).as("cos"))
+    topKPerQuery(scored, "cos", scoreAsc = false, k)
+  }
+
+  /** The bucket-join reference form of [[lshKnn]]: explode corpus and
+    * query bucket ids, equi-join on the (table, bucket) key, dedup
+    * candidate pairs, then join vectors back for scoring. Identical
+    * candidate set and scores (parity in DedupSimilaritySpec); kept as
+    * the executable spec and the path for a query side too large to
+    * ship as plan literals — at sf10 the in-row form replaces this
+    * form's shuffle of the full corpus vector table through the
+    * candidate join (279 → ~20 s, the e-family "corpus never
+    * shuffles" rule).
+    */
+  def lshKnnJoined(corpus: DataFrame, queries: DataFrame, k: Int,
+                   numPlanes: Int = 4, numTables: Int = 16,
+                   dim: Int = 64, seed: Long = 42L,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
     val planeSets = (0 until numTables)
       .map(t => randomPlanes(numPlanes, dim, seed + 1000L * t))
     def buckets(vec: Column): Column = array(

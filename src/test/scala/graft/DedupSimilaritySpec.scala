@@ -296,6 +296,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall=$recall")
   }
 
+  test("lshKnn in-row ≡ lshKnnJoined (ids, bit-identical cosines, " +
+      "rank order) on sf0.001 embeddings") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 10)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(2)),
+        r.getInt(3))
+    }.toSet
+    val inRow = key(Similarity.lshKnn(emb, q, 10))
+    val joined = key(Similarity.lshKnnJoined(emb, q, 10))
+    assert(inRow == joined,
+      s"in-row vs joined diverge: ${(inRow diff joined).take(3)} / " +
+        s"${(joined diff inRow).take(3)}")
+  }
+
   test("simhash multi-band is exhaustive for Hamming distance ≤ 3") {
     import spark.implicits._
     // 26 docs: perturbations of a 60-token base + unrelated noise.

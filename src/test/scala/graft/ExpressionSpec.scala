@@ -430,6 +430,37 @@ class ExpressionSpec extends AnyFunSuite {
     }
   }
 
+  test("HashedGramBucketsExpr ≡ composed featureBuckets on random corpora " +
+      "(codegen and interpreted; empty and 1-token docs)") {
+    import spark.implicits._
+    import graft.operators.Dsir
+    val vocab = Vector("alpha", "bb", "c", "dddd", "ee_x", "über")
+    for (codegen <- Seq("true", "false")) {
+      spark.conf.set("spark.sql.codegen.wholeStage", codegen)
+      try {
+        (1 to 3).foreach { seed =>
+          val rnd = new scala.util.Random(1300 + seed)
+          val docs = (0L until 25L).map { id =>
+            id -> Seq.fill(rnd.nextInt(6))(
+              vocab(rnd.nextInt(vocab.length)))
+          }.toDF("doc_id", "toks")
+          for (m <- Seq(7, 1024)) {
+            val got = docs
+              .select(col("doc_id"), Dsir.featureBuckets(col("toks"), m))
+              .collect().map(r => r.getLong(0) -> r.getSeq[Long](1))
+              .toMap
+            val exp = docs
+              .select(col("doc_id"),
+                Dsir.featureBucketsComposed(col("toks"), m))
+              .collect().map(r => r.getLong(0) -> r.getSeq[Long](1))
+              .toMap
+            assert(got == exp, s"codegen=$codegen seed=$seed m=$m")
+          }
+        }
+      } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+  }
+
   test("BigramLogProbExpr ≡ composed ngrams→avgLogProb on random corpora " +
       "(codegen and interpreted)") {
     import spark.implicits._
