@@ -65,11 +65,30 @@ object Dedup {
     * array passes over the doc's shingle set). Docs with no shingles
     * yield an empty array (the aggregation form drops them too).
     *
-    * Bind `shingles` to its own projected column first — it is read
-    * numHashes times (the [[shingles]] / Ngrams token-binding rule).
+    * Computed by the native one-sweep kernel
+    * [[graft.expressions.MinHashBandsExpr]] (ceil(numHashes/4) md5
+    * digests per shingle against a thread-local MessageDigest); the
+    * composed form below is its executable spec.
     */
   def bandSignaturesInRow(shingles: Column, numHashes: Int,
                           rowsPerBand: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge._
+    column(graft.expressions.MinHashBandsExpr(
+      expression(shingles), numHashes, rowsPerBand))
+  }
+
+  /** The composed Catalyst-HOF reference form of
+    * [[bandSignaturesInRow]] (parity in ExpressionSpec). It runs one
+    * `transform` pass per PERMUTATION — numHashes array passes, each
+    * re-digesting every shingle, because subexpression elimination
+    * cannot reach inside separate lambda scopes — so production call
+    * sites use the kernel.
+    *
+    * Bind `shingles` to its own projected column first — it is read
+    * numHashes times (the [[shingles]] / Ngrams token-binding rule).
+    */
+  def bandSignaturesInRowComposed(shingles: Column, numHashes: Int,
+                                  rowsPerBand: Int): Column = {
     require(numHashes % rowsPerBand == 0,
       "numHashes must be a multiple of rowsPerBand")
     val mins = (0 until numHashes).map(h =>
@@ -366,6 +385,44 @@ object Dedup {
       .select(col("doc_id"), col("bs.b").as("b"), col("bs.sig").as("sig"))
   }
 
+  /** [[lshBandSignaturesFast]] computed IN-ROW from a shingle-set
+    * array by the native one-sweep kernel
+    * [[graft.expressions.MinHashBandsFastExpr]] — same FNV-1a+fmix64
+    * permutations, same signed-long minima, same `'|'`-joined band
+    * FNV (parity in ExpressionSpec); the [[bandSignaturesInRow]]
+    * analogue for the production hash profile.
+    */
+  def bandSignaturesInRowFast(shingles: Column, numHashes: Int,
+                              rowsPerBand: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge._
+    column(graft.expressions.MinHashBandsFastExpr(
+      expression(shingles), numHashes, rowsPerBand))
+  }
+
+  /** [[minhashLshPairsDocs]] on the FNV-1a production profile — the
+    * zero-corpus-shuffle form of [[minhashLshPairsFast]] (identical
+    * output; parity in DedupSimilaritySpec).
+    */
+  def minhashLshPairsFastDocs(docs: DataFrame, idCol: String,
+                              tokens: Column, n: Int = 3,
+                              numHashes: Int = 16, rowsPerBand: Int = 4,
+                              threshold: Double = 0.5): DataFrame = {
+    val sets = shingleSets(docs, idCol, tokens, n)
+    val bands = sets
+      .select(col("doc_id"),
+        explode(bandSignaturesInRowFast(col("shset"), numHashes,
+          rowsPerBand)).as("bs"))
+      .select(col("doc_id"), col("bs.b").as("b"), col("bs.sig").as("sig"))
+    val cands = lshCandidates(bands)
+    val candIds = cands
+      .select(explode(array(col("a"), col("b"))).as("doc_id")).distinct()
+    val candSets = sets.join(candIds, Seq("doc_id"), "left_semi")
+    val candSh = candSets
+      .select(col("doc_id"), explode(col("shset")).as("shingle"))
+    val sizes = candSets.select(col("doc_id"), size(col("shset")).as("n"))
+    verifyJaccard(candSh, cands, threshold, Some(sizes))
+  }
+
   /** Candidate pairs from shared LSH buckets (a < b, distinct). */
   def lshCandidates(bands: DataFrame): DataFrame =
     bands.as("x").join(bands.as("y"),
@@ -411,6 +468,55 @@ object Dedup {
     val cands = lshCandidates(lshBandSignatures(sh, numHashes,
       rowsPerBand))
     verifyJaccard(sh, cands, threshold)
+  }
+
+  /** Per-doc distinct shingle SETS (one array row per doc), the
+    * zero-explode complement of [[shingles]] — token expression bound
+    * before gram assembly for the same inline-blowup reason.
+    */
+  def shingleSets(docs: DataFrame, idCol: String, tokens: Column,
+                  n: Int = 3): DataFrame =
+    docs.select(col(idCol).as("doc_id"), tokens.as("__toks"))
+      .select(col("doc_id"),
+        array_distinct(Analysis.ngrams(col("__toks"), n)).as("shset"))
+
+  /** [[minhashLshPairs]] computed from the documents themselves with
+    * ZERO corpus-sized shuffle — identical output relation (same
+    * bands, same candidates, same exact-Jaccard verification; parity
+    * asserted in DedupSimilaritySpec).
+    *
+    * Where [[minhashLshPairs]] shuffles every (doc, shingle) row into
+    * a group-by to aggregate minhashes, here the band signatures come
+    * straight out of the scan projection
+    * ([[bandSignaturesInRow]], the native one-sweep kernel), so the
+    * only full-width exchange is the (doc_id, b, sig) band
+    * self-join — numBands small rows per document. Exact-Jaccard
+    * verification then re-shingles ONLY candidate documents: the
+    * candidate-id semi-join is pushed below the shingle projection
+    * (doc_id is a pass-through column), so the expensive gram pass
+    * runs once over the corpus (bands) plus once over the candidates
+    * (verify) instead of four corpus-sized times. Set sizes are
+    * `size(shset)` in-row — the separate count group-by disappears
+    * too.
+    */
+  def minhashLshPairsDocs(docs: DataFrame, idCol: String,
+                          tokens: Column, n: Int = 3,
+                          numHashes: Int = 16, rowsPerBand: Int = 4,
+                          threshold: Double = 0.5): DataFrame = {
+    val sets = shingleSets(docs, idCol, tokens, n)
+    val bands = sets
+      .select(col("doc_id"),
+        explode(bandSignaturesInRow(col("shset"), numHashes,
+          rowsPerBand)).as("bs"))
+      .select(col("doc_id"), col("bs.b").as("b"), col("bs.sig").as("sig"))
+    val cands = lshCandidates(bands)
+    val candIds = cands
+      .select(explode(array(col("a"), col("b"))).as("doc_id")).distinct()
+    val candSets = sets.join(candIds, Seq("doc_id"), "left_semi")
+    val candSh = candSets
+      .select(col("doc_id"), explode(col("shset")).as("shingle"))
+    val sizes = candSets.select(col("doc_id"), size(col("shset")).as("n"))
+    verifyJaccard(candSh, cands, threshold, Some(sizes))
   }
 
   /** [[minhashLshPairs]] on the FNV-1a production profile — same
@@ -469,6 +575,58 @@ object Dedup {
       .distinct()
     val idxSh = spark.read.parquet(s"$path/shingles")
     val sizes = newSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .unionByName(spark.read.parquet(s"$path/sizes"))
+    val inter = cands
+      .join(newSh.as("nx"), col("a") === col("nx.doc_id"))
+      .join(idxSh.as("ny"), col("b") === col("ny.doc_id") &&
+        col("nx.shingle") === col("ny.shingle"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("i"))
+    scoreJaccard(inter, sizes, threshold)
+  }
+
+  /** [[writeNearDupIndex]] from per-doc shingle SETS
+    * ([[shingleSets]]): band signatures come out of the scan
+    * projection via the in-row kernel instead of a corpus-wide
+    * group-by, and sizes are `size(shset)` — same stored rows in all
+    * three index tables (kernel ≡ aggregation parity), one shuffle
+    * fewer per table.
+    */
+  def writeNearDupIndexSets(sets: DataFrame, path: String,
+                            numHashes: Int = 16,
+                            rowsPerBand: Int = 4): Unit = {
+    sets.select(col("doc_id"),
+        explode(bandSignaturesInRowFast(col("shset"), numHashes,
+          rowsPerBand)).as("bs"))
+      .select(col("doc_id"), col("bs.b").as("b"), col("bs.sig").as("sig"))
+      .write.mode("overwrite").parquet(s"$path/bands")
+    sets.select(col("doc_id"), explode(col("shset")).as("shingle"))
+      .write.mode("overwrite").parquet(s"$path/shingles")
+    sets.select(col("doc_id"), size(col("shset")).as("n"))
+      .write.mode("overwrite").parquet(s"$path/sizes")
+  }
+
+  /** [[incrementalNearDups]] with the batch side given as shingle
+    * SETS: batch bands and sizes are in-row (kernel / `size`), the
+    * batch's exploded shingle rows feed the same verification joins —
+    * identical output relation (parity in DedupSimilaritySpec).
+    */
+  def incrementalNearDupsSets(spark: SparkSession, path: String,
+                              newSets: DataFrame, numHashes: Int = 16,
+                              rowsPerBand: Int = 4,
+                              threshold: Double = 0.5): DataFrame = {
+    val idxBands = spark.read.parquet(s"$path/bands")
+    val newBands = newSets.select(col("doc_id"),
+        explode(bandSignaturesInRowFast(col("shset"), numHashes,
+          rowsPerBand)).as("bs"))
+      .select(col("doc_id"), col("bs.b").as("b"), col("bs.sig").as("sig"))
+    val cands = newBands.as("x").join(idxBands.as("y"),
+        col("x.b") === col("y.b") && col("x.sig") === col("y.sig"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    val idxSh = spark.read.parquet(s"$path/shingles")
+    val newSh = newSets.select(col("doc_id"),
+      explode(col("shset")).as("shingle"))
+    val sizes = newSets.select(col("doc_id"), size(col("shset")).as("n"))
       .unionByName(spark.read.parquet(s"$path/sizes"))
     val inter = cands
       .join(newSh.as("nx"), col("a") === col("nx.doc_id"))
@@ -943,6 +1101,40 @@ object Dedup {
     val cands = sortedNeighborhoodCands(
       sortedNeighborhoodRanks(docs, idCol, sortKey), window)
     verifyJaccard(sh, cands, threshold)
+  }
+
+  /** [[sortedNeighborhoodPairs]] with verification on per-doc shingle
+    * SET arrays: each candidate pair joins its two `shset` arrays and
+    * the intersection is one in-row `array_intersect` instead of the
+    * exploded (pair × shingle) join + re-aggregation. SNM emits
+    * O(n·window) candidates — at 500k docs that is 5M pairs, and the
+    * exploded verify materializes ~|shingles|-per-doc rows PER PAIR
+    * before the count — so the in-row intersection removes the
+    * verify's row blowup entirely; the gram pass also drops from
+    * three persisted reads to two. Identical output for
+    * `threshold > 0` (zero-intersection pairs: inner-join drops them
+    * in the exploded form, the filter drops them here — parity in
+    * DedupSimilaritySpec).
+    */
+  def sortedNeighborhoodPairsSets(docs: DataFrame, idCol: String,
+                                  sortKey: Column, tokens: Column,
+                                  window: Int,
+                                  threshold: Double): DataFrame = {
+    require(threshold > 0,
+      "threshold must be > 0 (zero-intersection pairs are dropped)")
+    val sets = shingleSets(docs, idCol, tokens).persist()
+    val cands = sortedNeighborhoodCands(
+      sortedNeighborhoodRanks(docs, idCol, sortKey), window)
+    val sa = sets.select(col("doc_id").as("a"), col("shset").as("__sa"))
+    val sb = sets.select(col("doc_id").as("b"), col("shset").as("__sb"))
+    cands.join(sa, Seq("a")).join(sb, Seq("b"))
+      .select(col("a"), col("b"),
+        size(array_intersect(col("__sa"), col("__sb"))).as("__i"),
+        size(col("__sa")).as("__na"), size(col("__sb")).as("__nb"))
+      .select(col("a"), col("b"),
+        (col("__i").cast("double") /
+          (col("__na") + col("__nb") - col("__i"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** Fuzzy self-join on a short key: all id pairs whose keys are

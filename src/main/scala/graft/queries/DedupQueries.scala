@@ -75,12 +75,13 @@ object DedupQueries {
 
     // MinHash-LSH: shingle → 16 minhashes → 4 bands → bucket-join →
     // exact-Jaccard verify on candidates only.
-    "d03_minhash_lsh_pairs" -> ((s, d) => {
-      val sh = Dedup.shingles(Tables.documents(s, d), "doc_id",
-        docTokens(s))
-      Dedup.minhashLshPairs(sh, numHashes = 16, rowsPerBand = 4,
-        threshold = 0.5)
-    }),
+    "d03_minhash_lsh_pairs" -> ((s, d) =>
+      // zero-corpus-shuffle form: in-row kernel band signatures,
+      // verify re-shingles only candidate docs (≡ minhashLshPairs —
+      // parity in DedupSimilaritySpec; the oracle is plan-agnostic)
+      Dedup.minhashLshPairsDocs(Tables.documents(s, d), "doc_id",
+        docTokens(s), n = 3, numHashes = 16, rowsPerBand = 4,
+        threshold = 0.5)),
 
     // MinHash-LSH production hash profile: FNV-1a-64 permutations +
     // long band signatures — same pipeline as d03 at a fraction of
@@ -94,12 +95,11 @@ object DedupQueries {
     // statistics — per-pair band collisions are probabilistic in ANY
     // single hash family, and this corpus's 31-word vocabulary
     // correlates the luck.
-    "d05_minhash_lsh_fast" -> ((s, d) => {
-      val sh = Dedup.shingles(Tables.documents(s, d), "doc_id",
-        docTokens(s))
-      Dedup.minhashLshPairsFast(sh, numHashes = 16, rowsPerBand = 4,
-        threshold = 0.5)
-    }),
+    "d05_minhash_lsh_fast" -> ((s, d) =>
+      // zero-corpus-shuffle form (the d03 discipline, FNV profile)
+      Dedup.minhashLshPairsFastDocs(Tables.documents(s, d), "doc_id",
+        docTokens(s), n = 3, numHashes = 16, rowsPerBand = 4,
+        threshold = 0.5)),
 
     // Incremental near-dup against a PERSISTED signature index: docs
     // ≥ 100 play the existing corpus (shingled + hashed once, written
@@ -108,13 +108,15 @@ object DedupQueries {
     // exactly that restriction, so persistence round-trip + split
     // candidate generation are both hash-verified.
     "d12_incremental_neardup" -> ((s, d) => {
-      val sh = Dedup.shingles(Tables.documents(s, d), "doc_id",
+      // sets form: index bands/sizes and batch bands all in-row —
+      // no corpus-wide group-by on either side of the persistence
+      val sets = Dedup.shingleSets(Tables.documents(s, d), "doc_id",
         docTokens(s))
       val path = java.nio.file.Files
         .createTempDirectory("graft-lsh-idx-").toString
-      Dedup.writeNearDupIndex(sh.filter(col("doc_id") >= 100), path)
-      Dedup.incrementalNearDups(s, path,
-        sh.filter(col("doc_id") < 100), threshold = 0.5)
+      Dedup.writeNearDupIndexSets(sets.filter(col("doc_id") >= 100), path)
+      Dedup.incrementalNearDupsSets(s, path,
+        sets.filter(col("doc_id") < 100), threshold = 0.5)
     }),
 
     // Sorted-neighborhood dedup (Hernández–Stolfo): rank the corpus
@@ -123,7 +125,9 @@ object DedupQueries {
     // 10-wide sliding window, exact-verify Jaccard on the candidates
     // only. The complementary cheap first pass to d03's MinHash-LSH.
     "d13_sorted_neighborhood" -> ((s, d) =>
-      Dedup.sortedNeighborhoodPairs(Tables.documents(s, d), "doc_id",
+      // sets-verify form: in-row array_intersect per candidate pair
+      // (≡ the exploded verify — parity in DedupSimilaritySpec)
+      Dedup.sortedNeighborhoodPairsSets(Tables.documents(s, d), "doc_id",
         substring(translate(col("text"), " ", ""), 1, 16),
         docTokens(s), window = 10, threshold = 0.5)),
 
@@ -136,9 +140,9 @@ object DedupQueries {
     // to the corpus, so both id joins broadcast at scale.
     "d14_split_leakage" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val sh = Dedup.shingles(docs, "doc_id", docTokens(s))
-      val pairs = Dedup.minhashLshPairs(sh, numHashes = 16,
-        rowsPerBand = 4, threshold = 0.5)
+      val pairs = Dedup.minhashLshPairsDocs(docs, "doc_id",
+        docTokens(s), n = 3, numHashes = 16, rowsPerBand = 4,
+        threshold = 0.5)
       val sp = docs.select(col("doc_id"),
         Splits.splitName(
           Splits.hashBucket(col("doc_id"), "graft-split", 100),
@@ -552,9 +556,17 @@ object DedupQueries {
     // (RocksDb/MemoryStream spec); the in-row signature builder it
     // requires is value-identical to the aggregation form here.
     "st08_stream_neardup_cands" -> ((s, d) => {
-      val sh = Dedup.shingles(Tables.documents(s, d), "doc_id",
-        docTokens(s))
-      Dedup.lshCandidates(Dedup.lshBandSignatures(sh, 16, 4))
+      // in-row kernel signatures out of the scan projection — the
+      // exact shape the streaming side runs (and zero corpus shuffle;
+      // ≡ the lshBandSignatures aggregation form by spec parity)
+      val bands = Dedup
+        .shingleSets(Tables.documents(s, d), "doc_id", docTokens(s))
+        .select(col("doc_id"),
+          explode(Dedup.bandSignaturesInRow(col("shset"), 16, 4))
+            .as("bs"))
+        .select(col("doc_id"), col("bs.b").as("b"),
+          col("bs.sig").as("sig"))
+      Dedup.lshCandidates(bands)
         .filter(col("b") - col("a") <= 60)
     }),
 

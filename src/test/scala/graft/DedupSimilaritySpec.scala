@@ -296,6 +296,79 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall=$recall")
   }
 
+  test("minhashLshPairsDocs ≡ minhashLshPairs (zero-shuffle form) on " +
+      "the sf0.001 corpus") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val toks = graft.text.TextOps.tokenize(col("text"))
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(2)))
+    }.toSet
+    val fromSh = key(Dedup.minhashLshPairs(
+      Dedup.shingles(docs, "doc_id", toks)))
+    val fromDocs = key(Dedup.minhashLshPairsDocs(docs, "doc_id", toks))
+    assert(fromDocs == fromSh,
+      s"diverge: ${(fromDocs diff fromSh).take(3)} / " +
+        s"${(fromSh diff fromDocs).take(3)}")
+    assert(fromSh.nonEmpty, "fixture should contain near-dup pairs")
+  }
+
+  test("FNV in-row band kernel ≡ lshBandSignaturesFast aggregation; " +
+      "minhashLshPairsFastDocs and the sets index path ≡ the exploded " +
+      "forms on the sf0.001 corpus") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val toks = graft.text.TextOps.tokenize(col("text"))
+    val sh = Dedup.shingles(docs, "doc_id", toks)
+    val sets = Dedup.shingleSets(docs, "doc_id", toks)
+    // band-level parity
+    val aggBands = Dedup.lshBandSignaturesFast(sh, 16, 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val rowBands = sets.select(col("doc_id"),
+        explode(Dedup.bandSignaturesInRowFast(col("shset"), 16, 4))
+          .as("bs"))
+      .select(col("doc_id"), col("bs.b"), col("bs.sig"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(rowBands == aggBands,
+      s"band diverge: ${(rowBands diff aggBands).take(3)}")
+    // pair-level parity, both the one-shot and the persisted path
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(2)))
+    }.toSet
+    assert(key(Dedup.minhashLshPairsFastDocs(docs, "doc_id", toks)) ==
+      key(Dedup.minhashLshPairsFast(sh)))
+    val p1 = java.nio.file.Files
+      .createTempDirectory("graft-idx-parity-sh-").toString
+    val p2 = java.nio.file.Files
+      .createTempDirectory("graft-idx-parity-sets-").toString
+    Dedup.writeNearDupIndex(sh.filter(col("doc_id") >= 100), p1)
+    Dedup.writeNearDupIndexSets(sets.filter(col("doc_id") >= 100), p2)
+    val viaSh = key(Dedup.incrementalNearDups(spark, p1,
+      sh.filter(col("doc_id") < 100), threshold = 0.5))
+    val viaSets = key(Dedup.incrementalNearDupsSets(spark, p2,
+      sets.filter(col("doc_id") < 100), threshold = 0.5))
+    assert(viaSets == viaSh,
+      s"incremental diverge: ${(viaSets diff viaSh).take(3)}")
+  }
+
+  test("sortedNeighborhoodPairsSets ≡ sortedNeighborhoodPairs on the " +
+      "sf0.001 corpus") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val toks = graft.text.TextOps.tokenize(col("text"))
+    val sortKey = substring(translate(col("text"), " ", ""), 1, 16)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(2)))
+    }.toSet
+    val exploded = key(Dedup.sortedNeighborhoodPairs(docs, "doc_id",
+      sortKey, toks, window = 10, threshold = 0.5))
+    val viaSets = key(Dedup.sortedNeighborhoodPairsSets(docs, "doc_id",
+      sortKey, toks, window = 10, threshold = 0.5))
+    assert(viaSets == exploded,
+      s"diverge: ${(viaSets diff exploded).take(3)} / " +
+        s"${(exploded diff viaSets).take(3)}")
+  }
+
   test("lshKnn in-row ≡ lshKnnJoined (ids, bit-identical cosines, " +
       "rank order) on sf0.001 embeddings") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")

@@ -430,6 +430,37 @@ class ExpressionSpec extends AnyFunSuite {
     }
   }
 
+  test("MinHashBandsExpr ≡ composed bandSignaturesInRow on random " +
+      "shingle sets (codegen and interpreted; empty arrays)") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val vocab = Vector("a b c", "dd ee ff", "x y z", "q w e", "m n o",
+      "p1 p2 p3", "longer shingle text")
+    for (codegen <- Seq("true", "false")) {
+      spark.conf.set("spark.sql.codegen.wholeStage", codegen)
+      try {
+        (1 to 3).foreach { seed =>
+          val rnd = new scala.util.Random(1500 + seed)
+          val docs = (0L until 20L).map { id =>
+            id -> rnd.shuffle(vocab).take(rnd.nextInt(6)).toSeq
+          }.toDF("doc_id", "shset")
+          for ((nh, rpb) <- Seq((16, 4), (8, 2), (12, 3))) {
+            val got = docs.select(col("doc_id"),
+                Dedup.bandSignaturesInRow(col("shset"), nh, rpb).as("bs"))
+              .selectExpr("doc_id", "transform(bs, x -> struct(x.b, x.sig)) as bs")
+              .collect().map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
+            val exp = docs.select(col("doc_id"),
+                Dedup.bandSignaturesInRowComposed(col("shset"), nh, rpb)
+                  .as("bs"))
+              .selectExpr("doc_id", "transform(bs, x -> struct(x.b, x.sig)) as bs")
+              .collect().map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
+            assert(got == exp, s"codegen=$codegen seed=$seed nh=$nh rpb=$rpb")
+          }
+        }
+      } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+  }
+
   test("HashedGramBucketsExpr ≡ composed featureBuckets on random corpora " +
       "(codegen and interpreted; empty and 1-token docs)") {
     import spark.implicits._
