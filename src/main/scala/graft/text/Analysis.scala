@@ -151,7 +151,20 @@ object Analysis {
     * *bound* token column (see [[graft.operators.Dedup.shingles]]'
     * binding note) — `tokens` is referenced |distinct|+2 times.
     */
-  def topTokenFraction(tokens: Column): Column =
+  def topTokenFraction(tokens: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge._
+    when(size(tokens) > 0,
+      column(graft.expressions.MaxMultiplicityExpr(expression(tokens)))
+        .cast("double") / size(tokens))
+      .otherwise(lit(0.0))
+  }
+
+  /** The composed reference form of [[topTokenFraction]] — per
+    * distinct token, a full-array `filter` count (O(n·distinct)
+    * interpreted lambdas per doc). Kept as the kernel's executable
+    * spec (parity in ExpressionSpec).
+    */
+  def topTokenFractionComposed(tokens: Column): Column =
     when(size(tokens) > 0,
       array_max(transform(array_distinct(tokens),
         w => size(filter(tokens, t => t === w))))

@@ -27,8 +27,22 @@ object TextOps {
 
   /** Whitespace tokenization, dropping empty tokens (what both
     * `nltk.word_tokenize` on letters-only text and `ml.Tokenizer`
-    * produce on the cleaned string). */
-  def tokenize(c: Column): Column =
+    * produce on the cleaned string) — the native one-scan kernel
+    * [[graft.expressions.WhitespaceTokenizeExpr]]; the composed form
+    * below is its executable spec (parity in ExpressionSpec).
+    */
+  def tokenize(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge._
+    column(graft.expressions.WhitespaceTokenizeExpr(expression(c)))
+  }
+
+  /** The composed reference form of [[tokenize]]: regex split +
+    * empty-token filter. Kept as the kernel's executable spec; the
+    * regex matcher and the per-token interpreted `filter` lambda make
+    * it measurably slower on every text query, so production call
+    * sites use the kernel.
+    */
+  def tokenizeComposed(c: Column): Column =
     filter(split(c, "\\s+"), t => length(t) > 0)
 
   /** F3/F6-adjacent — per-row stop-word removal preserving order and

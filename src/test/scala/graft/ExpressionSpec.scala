@@ -430,6 +430,64 @@ class ExpressionSpec extends AnyFunSuite {
     }
   }
 
+  test("WhitespaceTokenizeExpr ≡ composed filter(split) on random and " +
+      "adversarial strings (codegen and interpreted)") {
+    import spark.implicits._
+    import graft.text.TextOps
+    val fixed = Seq("", " ", "  \t\n ", "a", " a ", "a b", "a  b",
+      "\tab\fc\rd\ne\t", "über  straße", "日本語 テスト",
+      "a b", "mixed    ws", "tab\tsep", "trail ")
+    val pieces = Vector("word", "ü", "日本", "x", "", " ", "\t", "\n",
+      "", "\r", "\f", "longer-token", " ")
+    for (codegen <- Seq("true", "false")) {
+      spark.conf.set("spark.sql.codegen.wholeStage", codegen)
+      try {
+        val rnd = new scala.util.Random(1700)
+        val rows = fixed ++ (1 to 40).map(_ =>
+          Seq.fill(rnd.nextInt(10))(pieces(rnd.nextInt(pieces.length)))
+            .mkString)
+        val docs = rows.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("id", "text")
+        val got = docs.select(col("id"), TextOps.tokenize(col("text")))
+          .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+        val exp = docs
+          .select(col("id"), TextOps.tokenizeComposed(col("text")))
+          .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+        assert(got == exp, s"codegen=$codegen: " +
+          got.keySet.filter(k => got(k) != exp(k)).take(3)
+            .map(k => s"$k: ${got(k)} vs ${exp(k)}").mkString("; "))
+      } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+  }
+
+  test("MaxMultiplicityExpr-backed topTokenFraction ≡ composed form " +
+      "on random corpora (codegen and interpreted)") {
+    import spark.implicits._
+    import graft.text.Analysis
+    val vocab = Vector("a", "a", "bb", "ccc", "d")
+    for (codegen <- Seq("true", "false")) {
+      spark.conf.set("spark.sql.codegen.wholeStage", codegen)
+      try {
+        (1 to 3).foreach { seed =>
+          val rnd = new scala.util.Random(1900 + seed)
+          val docs = (0L until 30L).map { id =>
+            id -> Seq.fill(rnd.nextInt(12))(
+              vocab(rnd.nextInt(vocab.length)))
+          }.toDF("doc_id", "toks")
+          val got = docs.select(col("doc_id"),
+              Analysis.topTokenFraction(col("toks")).as("f"))
+            .collect().map(r => r.getLong(0) ->
+              java.lang.Double.doubleToRawLongBits(r.getDouble(1))).toMap
+          val exp = docs.select(col("doc_id"),
+              Analysis.topTokenFractionComposed(col("toks")).as("f"))
+            .collect().map(r => r.getLong(0) ->
+              java.lang.Double.doubleToRawLongBits(r.getDouble(1))).toMap
+          assert(got == exp, s"codegen=$codegen seed=$seed")
+        }
+      } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+  }
+
   test("MinHashBandsExpr ≡ composed bandSignaturesInRow on random " +
       "shingle sets (codegen and interpreted; empty arrays)") {
     import spark.implicits._
