@@ -234,23 +234,37 @@ object Dedup {
     * sits at the END of the frequency order, outside almost every
     * prefix, so the hot-shingle cartesian bomb that forces d02's
     * `maxShingleDf` cap largely defuses itself (planted-skew
-    * measurement in DedupSimilaritySpec). Verification joins each
-    * candidate pair's full sets — candidate-bounded, exact.
+    * measurement in DedupSimilaritySpec). Verification is one in-row
+    * `array_intersect` per surviving candidate over the persisted
+    * per-doc rarest-first shingle arrays (the
+    * [[sortedNeighborhoodPairsSets]] pattern — the exploded
+    * (pair × shingle) join re-shuffled corpus shingles once per
+    * verify side), and a slim (doc, n) length filter (Arasu et al.
+    * 2006: J ≥ t forces t·max(na,nb) ≤ min(na,nb)) prunes
+    * size-mismatched candidates before any array ships.
+    * Losslessness (≡ [[jaccardPairs]]) is asserted on random corpora
+    * in DedupSimilaritySpec.
     */
   def prefixFilterPairs(sh: DataFrame, threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1], got $threshold")
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val dfTab = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    val prefixes = sh.join(dfTab, "shingle")
+    // per-doc shingle array in rarest-first (df, shingle) order — the
+    // prefix reads the order, the verify reads the set; persisted
+    // because three consumers would otherwise re-run the df join +
+    // doc aggregation over the corpus
+    val docSets = sh.join(dfTab, "shingle")
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("df"), col("shingle"))))
         .as("ss"))
-      .select(col("doc_id"), explode(slice(col("ss"), lit(1),
-        (size(col("ss")) -
-          ceil(lit(threshold) * size(col("ss"))) + 1).cast("int")))
-        .as("p"))
-      .select(col("doc_id"), col("p")("shingle").as("shingle"))
+      .select(col("doc_id"),
+        transform(col("ss"), p => p("shingle")).as("shset"))
+      .persist()
+    val prefixes = docSets
+      .select(col("doc_id"), explode(slice(col("shset"), lit(1),
+        (size(col("shset")) -
+          ceil(lit(threshold) * size(col("shset"))) + 1).cast("int")))
+        .as("shingle"))
     val cands = prefixes.groupBy(col("shingle"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .select(col("ds"), posexplode(col("ds")).as(Seq("pos", "a")))
@@ -258,21 +272,23 @@ object Dedup {
         explode(slice(col("ds"), col("pos") + lit(2), size(col("ds"))))
           .as("b"))
       .distinct()
-    // length filter (Arasu et al. 2006): J ≥ t forces
-    // t·max(na,nb) ≤ min(na,nb) — prune size-mismatched candidates
-    // BEFORE paying the full-set intersection join
+    val sizes = docSets.select(col("doc_id"), size(col("shset")).as("n"))
     val candsL = cands
       .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
       .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
       .filter(lit(threshold) * greatest(col("na"), col("nb")) <=
         least(col("na"), col("nb")))
       .select(col("a"), col("b"))
-    val inter = sh.select(col("doc_id").as("a"), col("shingle"))
-      .join(candsL, Seq("a"))
-      .join(sh.select(col("doc_id").as("b"), col("shingle")),
-        Seq("b", "shingle"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("i"))
-    scoreJaccard(inter, sizes, threshold)
+    val sa = docSets.select(col("doc_id").as("a"), col("shset").as("__sa"))
+    val sb = docSets.select(col("doc_id").as("b"), col("shset").as("__sb"))
+    candsL.join(sa, Seq("a")).join(sb, Seq("b"))
+      .select(col("a"), col("b"),
+        size(array_intersect(col("__sa"), col("__sb"))).as("__i"),
+        size(col("__sa")).as("__na"), size(col("__sb")).as("__nb"))
+      .select(col("a"), col("b"),
+        (col("__i").cast("double") /
+          (col("__na") + col("__nb") - col("__i"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   private def scoreJaccard(inter: DataFrame, sizes: DataFrame,

@@ -31,18 +31,49 @@ object Ngrams {
   }
 
   /** Corpus n-gram profile: one row per distinct n-gram with its
-    * document frequency and total occurrence count. Two-level
-    * aggregate — per-(doc, gram) counts first, then per-gram sums —
-    * so df needs no distinct-expand and both stats share one
-    * gram-key shuffle.
+    * document frequency and total occurrence count.
+    *
+    * The per-(doc, gram) count level is computed IN-ROW by the
+    * [[graft.expressions.ValueCountsExpr]] histogram kernel, so the
+    * only rows that ever exist (and the only shuffle) are per-doc
+    * DISTINCT grams flowing into one gram-key hash aggregate with
+    * map-side partials — the naive
+    * `explode → groupBy(doc, gram) → groupBy(gram)` chain (kept below
+    * as [[ngramProfileComposed]], its executable spec) shuffles the
+    * full corpus-sized gram explosion first.
     */
   def ngramProfile(docs: DataFrame, idCol: String, tokens: Column,
-                   n: Int): DataFrame =
+                   n: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge._
     // tokens bound to its own projection first: the gram builder reads
-    // its input array n× per gram via element_at, and Catalyst inlines
-    // a raw Column at every reference — with tokenize's regex split
-    // that re-runs the split ~n·|grams| times per document (the
-    // Dedup.shingles lesson, measured there at 9.3 s of 11.7 s).
+    // its input array per gram, and Catalyst inlines a raw Column at
+    // every reference (the Dedup.shingles lesson).
+    docs.select(col(idCol).as("doc_id"), tokens.as("__toks"))
+      .select(explode(column(graft.expressions.ValueCountsExpr(
+        expression(ngramsInRow(col("__toks"), n))))).as("vc"))
+      .groupBy(col("vc.value").as("gram"))
+      .agg(count(lit(1)).as("df"), sum(col("vc.cnt")).as("occurrences"))
+  }
+
+  /** The composed reference form of the per-row value histogram
+    * ([[graft.expressions.ValueCountsExpr]]): count each distinct
+    * value with a full-array filter, sorted by value. O(n·distinct)
+    * interpreted lambdas per row — kept ONLY as the kernel's
+    * executable spec (parity in ExpressionSpec; null-free arrays).
+    */
+  def valueCountsComposed(arr: Column): Column =
+    transform(array_sort(array_distinct(arr)),
+      v => struct(v.as("value"),
+        size(filter(arr, t => t === v)).cast("long").as("cnt")))
+
+  /** The composed reference form of [[ngramProfile]]: two-level
+    * aggregate — per-(doc, gram) counts first, then per-gram sums.
+    * Kept as the kernel path's executable spec (full-profile parity
+    * in ExpressionSpec); it shuffles every gram occurrence where the
+    * kernel path shuffles only per-doc distinct grams.
+    */
+  def ngramProfileComposed(docs: DataFrame, idCol: String, tokens: Column,
+                           n: Int): DataFrame =
     docs.select(col(idCol).as("doc_id"), tokens.as("__toks"))
       .select(col("doc_id"),
         explode(ngramsInRow(col("__toks"), n)).as("gram"))

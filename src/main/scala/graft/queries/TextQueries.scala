@@ -66,21 +66,33 @@ object TextQueries {
         .select($"doc_id", Analysis.langId($"__toks").as("lang_pred"))
     }),
 
-    // Quality scoring: exact integer ratios rounded once.
+    // Quality scoring: exact integer ratios rounded once. The four
+    // token statistics come from ONE native sweep (TokenStatsExpr —
+    // the composed per-stat helpers are its executable spec); the
+    // ratio columns are scalar arithmetic over the bound struct.
     "t05_quality" -> ((s, d) => {
       import s.implicits._
-      // ~10 helper references to the token array: bound once so the
-      // regex split runs once per row, not per reference
       Tables.documents(s, d)
         .select($"doc_id", $"text", TextOps.tokenize($"text").as("__toks"))
+        .select($"doc_id", length($"text").as("n_chars"),
+          Analysis.tokenStats($"__toks").as("__st"))
         .select(
           $"doc_id",
-          length($"text").as("n_chars"),
-          Analysis.tokenCount($"__toks").as("n_tokens"),
-          Analysis.distinctTokenCount($"__toks").as("n_distinct"),
-          Analysis.typeTokenRatio($"__toks").as("ttr"),
-          Analysis.meanTokenLen($"__toks").as("mean_len"),
-          Analysis.stopwordRatio($"__toks").as("stop_ratio"))
+          $"n_chars",
+          $"__st.n_tokens".cast("int").as("n_tokens"),
+          $"__st.n_distinct".cast("int").as("n_distinct"),
+          when($"__st.n_tokens" > 0,
+            round($"__st.n_distinct".cast("double") /
+              $"__st.n_tokens".cast("double"), 6)).otherwise(lit(0.0))
+            .as("ttr"),
+          when($"__st.n_tokens" > 0,
+            round($"__st.sum_len".cast("double") /
+              $"__st.n_tokens".cast("double"), 6)).otherwise(lit(0.0))
+            .as("mean_len"),
+          when($"__st.n_tokens" > 0,
+            round($"__st.n_stop".cast("double") /
+              $"__st.n_tokens".cast("double"), 6)).otherwise(lit(0.0))
+            .as("stop_ratio"))
     }),
 
     // Document fingerprinting: exact md5 + min-shingle (1-hash MinHash).

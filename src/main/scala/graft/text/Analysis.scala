@@ -144,6 +144,21 @@ object Analysis {
         .cast("double") / size(tokens).cast("double"), 6))
       .otherwise(lit(0.0))
 
+  /** All four of [[tokenCount]]/[[distinctTokenCount]]/token-length
+    * sum/stop-word hit count from ONE native sweep
+    * ([[graft.expressions.TokenStatsExpr]]) as
+    * struct(n_tokens, n_distinct, sum_len, n_stop) — t05's quality
+    * columns derive from these with scalar arithmetic instead of four
+    * interpreted higher-order passes per row. The individual composed
+    * helpers above remain the kernel's executable spec (parity in
+    * ExpressionSpec).
+    */
+  def tokenStats(tokens: Column,
+      stops: Seq[String] = TextOps.EnglishStopwords): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge._
+    column(graft.expressions.TokenStatsExpr(expression(tokens), stops))
+  }
+
   /** Fraction of tokens taken by the single most frequent token —
     * the Gopher-style "repetition" quality signal (a doc that is 40%
     * one word is boilerplate/spam). In-row histogram over the

@@ -48,8 +48,20 @@ object TextOps {
   /** F3/F6-adjacent — per-row stop-word removal preserving order and
     * duplicates (unlike `array_except`, which dedups — the reference's
     * Python `filter` keeps duplicates: `LogisticRegression.py:35-39`).
+    * Native one-sweep kernel ([[graft.expressions.StopwordRemoveExpr]],
+    * one hash probe per token); the composed form below is its
+    * executable spec.
     */
   def removeStopwords(tokens: Column, stops: Seq[String]): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge._
+    column(graft.expressions.StopwordRemoveExpr(expression(tokens), stops))
+  }
+
+  /** The composed reference form of [[removeStopwords]]: interpreted
+    * `filter` lambda + O(|stops|) `array_contains` per token. Kept as
+    * the kernel's executable spec (parity in ExpressionSpec).
+    */
+  def removeStopwordsComposed(tokens: Column, stops: Seq[String]): Column = {
     val stopArr = array(stops.map(lit): _*)
     filter(tokens, t => !array_contains(stopArr, t))
   }

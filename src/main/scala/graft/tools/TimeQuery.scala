@@ -11,8 +11,15 @@ object TimeQuery {
     graft.core.Tables.lineitem(spark, sfDir).count() // warmup
     args.tail.foreach { name =>
       val t0 = System.nanoTime()
-      val n = SparkEntry.queries(name)(spark, sfDir).count()
-      println(f"TIMED $name ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      // Materialize every output column executor-side, same as Bench —
+      // count() lets the optimizer prune projections, timing the scan
+      // instead of the work.
+      SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.toRdd.foreach(_ => ())
+      println(f"TIMED $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      spark.sparkContext.getPersistentRDDs.foreach {
+        case (_, rdd) => rdd.unpersist(blocking = false)
+      }
     }
     spark.stop()
   }

@@ -488,6 +488,108 @@ class ExpressionSpec extends AnyFunSuite {
     }
   }
 
+  test("StopwordRemoveExpr ≡ composed filter(!array_contains) on random " +
+      "arrays with duplicates, order and null elements") {
+    import spark.implicits._
+    import graft.text.TextOps
+    val vocab = Vector("the", "and", "cat", "dog", "is", "notastop",
+      "don't", "xyz", null, "of", "zzz")
+    val rnd = new scala.util.Random(2100)
+    val rows: Seq[Seq[String]] = Seq(Seq.empty[String], Seq(null), vocab) ++
+      (1 to 40).map(_ => Seq.fill(rnd.nextInt(15))(
+        vocab(rnd.nextInt(vocab.length))))
+    for (codegen <- Seq("true", "false")) {
+      spark.conf.set("spark.sql.codegen.wholeStage", codegen)
+      try {
+        val docs = rows.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("id", "toks")
+        def run(c: org.apache.spark.sql.Column) = docs.select($"id", c)
+          .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+        val got = run(TextOps.removeStopwords($"toks",
+          TextOps.EnglishStopwords))
+        val exp = run(TextOps.removeStopwordsComposed($"toks",
+          TextOps.EnglishStopwords))
+        assert(got == exp, s"codegen=$codegen")
+      } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+  }
+
+  test("TokenStatsExpr fields ≡ composed size/distinct/length-fold/" +
+      "stop-filter stats (incl. null elements nulling sum_len)") {
+    import spark.implicits._
+    import graft.text.{Analysis, TextOps}
+    val vocab = Vector("the", "week", "is", "über", "a", "a", null, "be")
+    val rnd = new scala.util.Random(2200)
+    val rows: Seq[Seq[String]] = Seq(Seq.empty[String], Seq(null)) ++
+      (1 to 40).map(_ => Seq.fill(rnd.nextInt(12))(
+        vocab(rnd.nextInt(vocab.length))))
+    for (codegen <- Seq("true", "false")) {
+      spark.conf.set("spark.sql.codegen.wholeStage", codegen)
+      try {
+        val docs = rows.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("id", "toks")
+        val got = docs.select($"id", Analysis.tokenStats($"toks").as("st"))
+          .select($"id", $"st.n_tokens", $"st.n_distinct", $"st.sum_len",
+            $"st.n_stop")
+          .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+            if (r.isNullAt(3)) None else Some(r.getLong(3)),
+            r.getLong(4))).toMap
+        val stopArr = array(TextOps.EnglishStopwords.map(lit): _*)
+        val exp = docs.select($"id",
+            size($"toks").cast("long"),
+            size(array_distinct($"toks")).cast("long"),
+            aggregate($"toks", lit(0L), (acc, t) => acc + length(t)),
+            size(filter($"toks", t => array_contains(stopArr, t)))
+              .cast("long"))
+          .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+            if (r.isNullAt(3)) None else Some(r.getLong(3)),
+            r.getLong(4))).toMap
+        assert(got == exp, s"codegen=$codegen: " +
+          got.keySet.filter(k => got(k) != exp(k)).take(3)
+            .map(k => s"$k: ${got(k)} vs ${exp(k)}").mkString("; "))
+      } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+  }
+
+  test("ValueCountsExpr ≡ composed sorted-distinct filter counts on " +
+      "random null-free arrays; ngramProfile ≡ composed two-level agg") {
+    import spark.implicits._
+    import graft.operators.Ngrams
+    val vocab = Vector("a", "b", "bb", "über", "z", "a a")
+    val rnd = new scala.util.Random(2300)
+    val rows: Seq[Seq[String]] = Seq(Seq.empty[String]) ++
+      (1 to 40).map(_ => Seq.fill(rnd.nextInt(14))(
+        vocab(rnd.nextInt(vocab.length))))
+    for (codegen <- Seq("true", "false")) {
+      spark.conf.set("spark.sql.codegen.wholeStage", codegen)
+      try {
+        val docs = rows.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("id", "arr")
+        import org.apache.spark.sql.graftbridge.ColumnBridge._
+        def entries(c: org.apache.spark.sql.Column) =
+          docs.select($"id", c.as("vc")).collect().map { r =>
+            r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+              .map(e => (e.getString(0), e.getLong(1)))
+          }.toMap
+        val got = entries(column(
+          graft.expressions.ValueCountsExpr(expression($"arr"))))
+        val exp = entries(Ngrams.valueCountsComposed($"arr"))
+        assert(got == exp, s"codegen=$codegen")
+      } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+    // corpus-level: kernel-path profile ≡ composed two-level aggregate
+    val corpus = (0L until 60L).map { id =>
+      (id, Seq.fill(3 + rnd.nextInt(20))(
+        vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }.toDF("doc_id", "text")
+    def profile(f: => org.apache.spark.sql.DataFrame) =
+      f.orderBy($"gram").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val toks = graft.text.TextOps.tokenize($"text")
+    assert(profile(Ngrams.ngramProfile(corpus, "doc_id", toks, 2)) ==
+      profile(Ngrams.ngramProfileComposed(corpus, "doc_id", toks, 2)))
+  }
+
   test("MinHashBandsExpr ≡ composed bandSignaturesInRow on random " +
       "shingle sets (codegen and interpreted; empty arrays)") {
     import spark.implicits._
