@@ -243,38 +243,35 @@ object DedupQueries {
     // Duplicate-cluster assignment: near-dup pairs (the d03 pipeline)
     // closed into connected components, each doc labeled with its
     // cluster's minimum id — the keep-one representative. DuckDB
-    // oracle walks the same pair list with a recursive CTE.
-    "d06_dup_clusters" -> ((s, d) => {
-      val sh = Dedup.shingles(Tables.documents(s, d), "doc_id",
-        docTokens(s))
+    // oracle walks the same pair list with a recursive CTE. Pairs
+    // come from the zero-corpus-shuffle form (≡ minhashLshPairs,
+    // parity in DedupSimilaritySpec) — same relation, no (doc,
+    // shingle) group-by exchange.
+    "d06_dup_clusters" -> ((s, d) =>
       Dedup.dupClusters(
-        Dedup.minhashLshPairs(sh, numHashes = 16, rowsPerBand = 4,
-          threshold = 0.5))
-    }),
+        Dedup.minhashLshPairsDocs(Tables.documents(s, d), "doc_id",
+          docTokens(s), n = 3, numHashes = 16, rowsPerBand = 4,
+          threshold = 0.5))),
 
     // PageRank-style centrality over d06's pair graph, 5 rounds of
     // Q40 fixed-point power iteration — integer-only arithmetic, so
     // the trajectory hash-verifies (see Dedup.centralityFixedPoint).
     // The canonical-pick signal complementing d10's quality argmax.
-    "d18_dup_centrality" -> ((s, d) => {
-      val sh = Dedup.shingles(Tables.documents(s, d), "doc_id",
-        docTokens(s))
+    "d18_dup_centrality" -> ((s, d) =>
       Dedup.centralityFixedPoint(
-        Dedup.minhashLshPairs(sh, numHashes = 16, rowsPerBand = 4,
-          threshold = 0.5), iters = 5)
-    }),
+        Dedup.minhashLshPairsDocs(Tables.documents(s, d), "doc_id",
+          docTokens(s), n = 3, numHashes = 16, rowsPerBand = 4,
+          threshold = 0.5), iters = 5)),
 
     // d06's relation computed by the O(log n)-round star-contraction
     // scheme instead of label propagation — the variant that survives
     // adversarially chainy graphs. Shares d06's recursive-CTE oracle
     // (same relation, different plan — the d07/d08 pattern).
-    "d09_dup_clusters_star" -> ((s, d) => {
-      val sh = Dedup.shingles(Tables.documents(s, d), "doc_id",
-        docTokens(s))
+    "d09_dup_clusters_star" -> ((s, d) =>
       Dedup.dupClustersStar(
-        Dedup.minhashLshPairs(sh, numHashes = 16, rowsPerBand = 4,
-          threshold = 0.5))
-    }),
+        Dedup.minhashLshPairsDocs(Tables.documents(s, d), "doc_id",
+          docTokens(s), n = 3, numHashes = 16, rowsPerBand = 4,
+          threshold = 0.5))),
 
     // Quality-aware duplicate resolution: d06's clusters scored by
     // token count; each cluster's best member (ties → min id) is the
@@ -283,10 +280,9 @@ object DedupQueries {
     // boilerplate mega-cluster.
     "d10_dedup_resolve" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val sh = Dedup.shingles(docs, "doc_id", docTokens(s))
       val clusters = Dedup.dupClusters(
-        Dedup.minhashLshPairs(sh, numHashes = 16, rowsPerBand = 4,
-          threshold = 0.5))
+        Dedup.minhashLshPairsDocs(docs, "doc_id", docTokens(s),
+          n = 3, numHashes = 16, rowsPerBand = 4, threshold = 0.5))
       val q = docs.select(col("doc_id"),
         size(docTokens(s)).cast("bigint").as("quality"))
       Dedup.resolveClusters(clusters, q)
