@@ -40,17 +40,21 @@ object RetrievalQueries {
     // single-partition window over bounded data (not a corpus
     // window), and the fusion aggregates ≤ 100 rows.
     "r01_rrf_fusion" -> ((s, d) => {
-      // partitionBy(lit(1)): same single-partition rank over the
-      // bounded ≤50-row top-k list, but with an explicit (constant)
-      // partition key so WindowExec doesn't emit its move-all-data
-      // warning — the empty-partition-spec warning is reserved for
-      // ACCIDENTAL corpus-wide windows, and letting r01 spam it into
-      // every bench log would mask a real one.
+      // Constant-but-NON-FOLDABLE partition key (the Vocabulary.scala
+      // trick): same single-partition rank over the bounded ≤50-row
+      // top-k list, but with an explicit partition key so WindowExec
+      // doesn't emit its move-all-data warning — the
+      // empty-partition-spec warning is reserved for ACCIDENTAL
+      // corpus-wide windows, and letting r01 spam it into every bench
+      // log would mask a real one. A literal key (partitionBy(lit(1)))
+      // does NOT work: EliminateWindowPartitions folds it back to the
+      // empty spec and the warning returns. pmod(doc_id, 1) is 0 for
+      // every row yet non-foldable.
       val bmList = Bm25.topK(Tables.documents(s, d), "doc_id",
           TextOps.tokenize(col("text")), RrfTerms, k = RrfListN)
         .select(col("doc_id").as("id"),
           row_number().over(
-            Window.partitionBy(lit(1))
+            Window.partitionBy(pmod(col("doc_id"), lit(1)))
               .orderBy(col("score").desc, col("doc_id").asc))
             .as("rn"))
       val emb = Tables.embeddings(s, d)
