@@ -66,9 +66,22 @@ object Analysis {
 
   /** Language-ID over a token array: argmax of marker-word hits with
     * deterministic priority-order tie-break; "und" (undetermined) when
-    * no marker fires.
+    * no marker fires. Native one-sweep kernel
+    * ([[graft.expressions.LangIdExpr]]: one hash probe per token into
+    * a marker→language-bitmask map); [[langIdComposed]] below is its
+    * executable spec.
     */
-  def langId(tokens: Column): Column =
+  def langId(tokens: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge._
+    column(graft.expressions.LangIdExpr(expression(tokens), LangMarkers))
+  }
+
+  /** The composed reference form of [[langId]] — one interpreted
+    * `filter` lambda per language per row, each running O(|markers|)
+    * `array_contains` per token. Kept as the kernel's executable spec
+    * (parity in ExpressionSpec).
+    */
+  def langIdComposed(tokens: Column): Column =
     // let-bind the token array AND the per-language hit counts:
     // naively, `best` embeds every markerHits tree and each tie-break
     // clause embeds `best` again, so Catalyst inlines ~24 marker

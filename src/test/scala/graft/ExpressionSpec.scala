@@ -590,6 +590,35 @@ class ExpressionSpec extends AnyFunSuite {
       profile(Ngrams.ngramProfileComposed(corpus, "doc_id", toks, 2)))
   }
 
+  test("LangIdExpr ≡ composed marker-argmax langId on random token " +
+      "arrays (ties, overlapping markers, und, null elements)") {
+    import spark.implicits._
+    import graft.text.Analysis
+    // vocab stresses: shared markers (que ∈ es+fr), every language,
+    // non-markers, nulls, and tie-inducing repeats
+    val vocab = Vector("the", "and", "der", "und", "el", "que", "le",
+      "les", "de", "dog", "xyz", null, "is", "est", "y", "et")
+    val rnd = new scala.util.Random(2400)
+    val rows: Seq[Seq[String]] = Seq(Seq.empty[String], Seq(null),
+      Seq("que"), Seq("the", "der"), Seq("xyz")) ++
+      (1 to 60).map(_ => Seq.fill(rnd.nextInt(12))(
+        vocab(rnd.nextInt(vocab.length))))
+    for (codegen <- Seq("true", "false")) {
+      spark.conf.set("spark.sql.codegen.wholeStage", codegen)
+      try {
+        val docs = rows.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("id", "toks")
+        def run(c: org.apache.spark.sql.Column) = docs.select($"id", c)
+          .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+        val got = run(Analysis.langId($"toks"))
+        val exp = run(Analysis.langIdComposed($"toks"))
+        assert(got == exp, s"codegen=$codegen: " +
+          got.keySet.filter(k => got(k) != exp(k)).take(3)
+            .map(k => s"$k: ${got(k)} vs ${exp(k)}").mkString("; "))
+      } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+  }
+
   test("MinHashBandsExpr ≡ composed bandSignaturesInRow on random " +
       "shingle sets (codegen and interpreted; empty arrays)") {
     import spark.implicits._
