@@ -55,9 +55,14 @@ object Bench {
           false
         }
       val dt = (System.nanoTime() - t0) / 1e9
-      // untimed sweep of this query's leftover pinned storage
+      // untimed sweep of this query's leftover pinned storage —
+      // BLOCKING, so block removal completes here instead of running
+      // asynchronously inside the next query's timed window (the
+      // round-9 e02-after-d20 lesson: d20's multi-GB persisted
+      // shingle arrays being dropped concurrently inflated the next
+      // query ~2× even though the sweep itself was untimed)
       sc.getPersistentRDDs.foreach { case (id, rdd) =>
-        if (!keepIds.contains(id)) rdd.unpersist(blocking = false)
+        if (!keepIds.contains(id)) rdd.unpersist(blocking = true)
       }
       name -> (if (ok) dt else -1.0)
     }
