@@ -239,13 +239,29 @@ object Dedup {
     * per-doc rarest-first shingle arrays (the
     * [[sortedNeighborhoodPairsSets]] pattern — the exploded
     * (pair × shingle) join re-shuffled corpus shingles once per
-    * verify side), and a slim (doc, n) length filter (Arasu et al.
-    * 2006: J ≥ t forces t·max(na,nb) ≤ min(na,nb)) prunes
-    * size-mismatched candidates before any array ships.
-    * Losslessness (≡ [[jaccardPairs]]) is asserted on random corpora
-    * in DedupSimilaritySpec.
+    * verify side). Two lossless pre-verify prunes run with NO extra
+    * join — each prefix occurrence carries its (position, set-size)
+    * ints through the candidate shuffle: the Arasu et al. 2006 length
+    * filter (J ≥ t forces t·max(na,nb) ≤ min(na,nb)) and the PPJoin
+    * POSITIONAL filter (Xiao et al. 2008: the first shared element's
+    * positions bound the overlap by min(na−ia, nb−jb), which must
+    * reach t/(1+t)·(na+nb)) — at the t=0.5 operating point the
+    * prefix is half of every doc, so the positional bound does the
+    * heavy candidate pruning. Losslessness (≡ [[jaccardPairs]]) is
+    * asserted on random corpora in DedupSimilaritySpec.
     */
-  def prefixFilterPairs(sh: DataFrame, threshold: Double): DataFrame = {
+  def prefixFilterPairs(sh: DataFrame, threshold: Double): DataFrame =
+    prefixFilterStages(sh, threshold).result
+
+  /** Intermediate frames of [[prefixFilterPairs]], exposed for
+    * stage-level profiling (tools.DedupProfile) and plan audits. */
+  private[graft] case class PrefixStages(docSets: DataFrame,
+                                         cands: DataFrame,
+                                         survivors: DataFrame,
+                                         result: DataFrame)
+
+  private[graft] def prefixFilterStages(sh: DataFrame,
+                                        threshold: Double): PrefixStages = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1], got $threshold")
     val dfTab = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
@@ -260,28 +276,49 @@ object Dedup {
       .select(col("doc_id"),
         transform(col("ss"), p => p("shingle")).as("shset"))
       .persist()
+    // prefix occurrences carry their 0-based position in the
+    // rarest-first array AND the doc's set size: both ride the
+    // per-shingle shuffle as two ints so the candidate filters below
+    // need NO join against a corpus-sized `sizes` table (the original
+    // form shuffled the full candidate set twice just to learn na/nb)
     val prefixes = docSets
-      .select(col("doc_id"), explode(slice(col("shset"), lit(1),
-        (size(col("shset")) -
-          ceil(lit(threshold) * size(col("shset"))) + 1).cast("int")))
-        .as("shingle"))
+      .select(col("doc_id"), size(col("shset")).as("n"),
+        posexplode(slice(col("shset"), lit(1),
+          (size(col("shset")) -
+            ceil(lit(threshold) * size(col("shset"))) + 1).cast("int")))
+          .as(Seq("pos", "shingle")))
+    // chained-generator pair emission over each prefix shingle's
+    // sorted (doc, pos, n) list; one aggregate folds the per-shared-
+    // shingle duplicates (the old `.distinct()`) AND computes the
+    // first-shared-element positions: positions within each doc are
+    // monotone in the global (df, shingle) order, so min(pa) and
+    // min(pb) over shared prefix shingles are attained at the SAME
+    // (globally rarest) shared element.
     val cands = prefixes.groupBy(col("shingle"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .select(col("ds"), posexplode(col("ds")).as(Seq("pos", "a")))
-      .select(col("a"),
-        explode(slice(col("ds"), col("pos") + lit(2), size(col("ds"))))
-          .as("b"))
-      .distinct()
-    val sizes = docSets.select(col("doc_id"), size(col("shset")).as("n"))
-    val candsL = cands
-      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
-      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+      .agg(sort_array(collect_list(
+        struct(col("doc_id"), col("pos"), col("n")))).as("ds"))
+      .select(col("ds"), posexplode(col("ds")).as(Seq("i", "pa")))
+      .select(col("pa"),
+        explode(slice(col("ds"), col("i") + lit(2), size(col("ds"))))
+          .as("pb"))
+      .groupBy(col("pa.doc_id").as("a"), col("pb.doc_id").as("b"))
+      .agg(min(col("pa.pos")).as("ia"), min(col("pb.pos")).as("jb"),
+        max(col("pa.n")).as("na"), max(col("pb.n")).as("nb"))
+    // Arasu length filter (J ≥ t ⇒ t·max ≤ min) + PPJoin positional
+    // filter (Xiao et al. 2008 Lemma 2): no shared element precedes
+    // the first shared one in either array, so
+    // overlap ≤ min(na − ia, nb − jb) (0-based), and J ≥ t needs
+    // overlap ≥ t/(1+t)·(na+nb).
+    val survivors = cands
       .filter(lit(threshold) * greatest(col("na"), col("nb")) <=
         least(col("na"), col("nb")))
+      .filter((lit(1.0) + lit(threshold)) *
+        least(col("na") - col("ia"), col("nb") - col("jb")) >=
+        lit(threshold) * (col("na") + col("nb")))
       .select(col("a"), col("b"))
     val sa = docSets.select(col("doc_id").as("a"), col("shset").as("__sa"))
     val sb = docSets.select(col("doc_id").as("b"), col("shset").as("__sb"))
-    candsL.join(sa, Seq("a")).join(sb, Seq("b"))
+    val result = survivors.join(sa, Seq("a")).join(sb, Seq("b"))
       .select(col("a"), col("b"),
         size(array_intersect(col("__sa"), col("__sb"))).as("__i"),
         size(col("__sa")).as("__na"), size(col("__sb")).as("__nb"))
@@ -289,6 +326,7 @@ object Dedup {
         (col("__i").cast("double") /
           (col("__na") + col("__nb") - col("__i"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    PrefixStages(docSets, cands, survivors, result)
   }
 
   private def scoreJaccard(inter: DataFrame, sizes: DataFrame,

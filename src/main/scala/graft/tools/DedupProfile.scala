@@ -42,6 +42,16 @@ object DedupProfile {
       Dedup.jaccardPairs(sh, 0.5).count()))
     (1 to 2).foreach(i => time(s"exact-prefix#$i")(
       Dedup.prefixFilterPairs(sh, 0.5).count()))
+    // d20 stage breakdown: docSets build, candidate emission +
+    // positional/length pruning, array verify (each stage re-times
+    // the ones before it — read the deltas)
+    val st = Dedup.prefixFilterStages(sh, 0.5)
+    (1 to 2).foreach(i => time(s"d20-docSets#$i")(st.docSets.count()))
+    (1 to 2).foreach(i => time(s"d20-cands#$i")(st.cands.count()))
+    (1 to 2).foreach(i =>
+      time(s"d20-survivors#$i")(st.survivors.count()))
+    (1 to 2).foreach(i => time(s"d20-verify#$i")(st.result.count()))
+    st.docSets.unpersist(blocking = true)
     spark.stop()
   }
 }

@@ -145,6 +145,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("PPJoin positional filter prunes a late-shared-prefix candidate " +
+      "before the array verify") {
+    import spark.implicits._
+    // Planted: docs 1 and 2 (n=4 each) share ONLY 'bb', which sits at
+    // 0-based position 2 in both rarest-first arrays ([a1,aa,bb,cc] /
+    // [b1,aa2,bb,cc2] — df-1 singletons first, then df-2 in name
+    // order). 'bb' is inside both prefixes (len 3), so (1,2) IS a
+    // candidate; the positional bound min(4-2, 4-2) = 2 cannot reach
+    // the t/(1+t)·(na+nb) = 8/3 overlap a J ≥ 0.5 pair needs, so the
+    // filter must drop it without shipping either shingle array.
+    val sh = (Seq("a1", "aa", "bb", "cc").map(1L -> _) ++
+      Seq("b1", "aa2", "bb", "cc2").map(2L -> _) ++
+      (Seq("aa", "cc", "aa2", "cc2") ++
+        (1 to 6).map(i => s"c$i")).map(3L -> _))
+      .toDF("doc_id", "shingle")
+    val st = Dedup.prefixFilterStages(sh, 0.5)
+    assert(st.cands.select($"a", $"b").as[(Long, Long)].collect()
+      .toSeq == Seq((1L, 2L)))
+    assert(st.survivors.count() == 0)
+    assert(st.result.count() == 0)
+    st.docSets.unpersist()
+  }
+
   test("prefix filtering self-defuses the hot shingle: full exact result, " +
       "no cap, prefix-candidate volume stays tiny") {
     import spark.implicits._
