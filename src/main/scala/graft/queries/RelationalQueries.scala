@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core.Tables
+import graft.operators.Quantiles
 
 /** Relational operator pack — covers SURVEY.md §2.1–2.8 on the
   * synthetic star schema, each with a DuckDB oracle.
@@ -364,9 +365,17 @@ object RelationalQueries {
       // (1) one codegen scan for ALL sketches; (2) exact NDV as a
       // two-phase distinct — no Expand; (3) exact percentile bounds
       // from (flag, value) HISTOGRAMS via percentile-with-frequency —
-      // identical semantics by definition, but the imperative agg now
-      // reads ≤|distinct values| pre-summed rows instead of the
-      // corpus. The three 3-row results broadcast-join back on flag.
+      // identical semantics by definition, and the imperative agg
+      // reads ≤NDV pre-summed rows instead of the corpus. BOUNDED-NDV
+      // PREMISE, measured: l_quantity NDV=50, l_extendedprice
+      // NDV=583k at pseudo-sf10, so the per-group map is ≤583k
+      // entries; the interleaved sf10 A/B (tools.QuantileProbe,
+      // SCALE.md round 9) has this form's warm floor at 13.9 s vs
+      // 51 s for the two-phase rank-select, whose 6 pinned prepass
+      // scans dominate when the frequency map is this small. For a
+      // GENUINELY near-unique double column (NDV ~ rows, map
+      // unbounded) swap in operators/Quantiles — the q23 discipline.
+      // The three 3-row results broadcast-join on flag.
       val eps = 0.001
       val li = Tables.lineitem(s, d).select($"l_returnflag".as("flag"),
         $"l_orderkey", $"l_quantity", $"l_extendedprice")
@@ -465,11 +474,19 @@ object RelationalQueries {
     // path with bounded memory is q17's approx_percentile sketch.
     "q23_exact_percentiles" -> ((s, d) => {
       import s.implicits._
-      Tables.lineitem(s, d).groupBy($"l_returnflag")
-        .agg(
-          round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90"),
-          round(expr("percentile(l_extendedprice, 0.99)"), 2).as("p99"))
+      // two-phase histogram rank-select (operators/Quantiles): the
+      // raw-row `percentile` builds a per-group value→count map
+      // bounded only by NDV (583k for this column at pseudo-sf10,
+      // row count in the worst case) inside a non-codegen
+      // ObjectHashAggregate — interleaved sf10 A/B (tools
+      // .QuantileProbe, SCALE.md round 9): 22.7/72.5/25.8 s across
+      // rounds, heap-spiking, vs 19.6/15.2/15.6 s for this form's
+      // three codegen scans + bounded windows. Same interpolated
+      // values (parity in ApproxSpec, DuckDB quantile_cont oracle).
+      Quantiles.exactPercentilesWide(
+        Tables.lineitem(s, d).select($"l_returnflag", $"l_extendedprice"),
+        "l_returnflag", "l_extendedprice",
+        Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99"), roundTo = 2)
     }),
 
     // Skew-salted join: 8-way salt on the fact side, replicated dim —

@@ -40,4 +40,52 @@ class ApproxSpec extends AnyFunSuite {
     assert(approxP50 >= bounds(0) && approxP50 <= bounds(1),
       s"p50=$approxP50 not in [${bounds(0)}, ${bounds(1)}]")
   }
+
+  private def assertQuantileParity(df: org.apache.spark.sql.DataFrame,
+                                   grp: String, v: String,
+                                   qs: Seq[Double], buckets: Int): Unit = {
+    val got = graft.operators.Quantiles
+      .exactPercentiles(df, grp, v, qs, buckets)
+      .collect().map(r => (r.get(0), r.getDouble(1)) -> r.getDouble(2))
+      .toMap
+    val want = df.groupBy(col(grp)).agg(
+      expr(s"percentile($v, array(${qs.mkString(",")}))").as("ps"))
+      .collect().flatMap { r =>
+        r.getSeq[Double](1).zip(qs).map { case (p, q) =>
+          (r.get(0), q) -> p
+        }
+      }.toMap
+    assert(got.keySet == want.keySet,
+      s"groups/qs mismatch: ${got.keySet} vs ${want.keySet}")
+    want.foreach { case (k, w) =>
+      val g = got(k)
+      assert(math.abs(g - w) <= math.abs(w).max(1.0) * 1e-12,
+        s"$k: two-phase $g vs built-in $w")
+    }
+  }
+
+  test("two-phase exact percentiles match built-in percentile on " +
+      "lineitem extendedprice per returnflag") {
+    assertQuantileParity(li, "l_returnflag", "l_extendedprice",
+      Seq(0.0, 0.25, 0.5, 0.9, 0.99, 1.0), buckets = 1 << 16)
+  }
+
+  test("two-phase exact percentiles: random heavy-duplicate corpus, " +
+      "tiny bucket count, n=1 and single-value groups") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // group A: heavy duplication (values on a 10-grid), group B:
+    // near-unique doubles, group C: one row, group D: all rows equal
+    val rows =
+      (1 to 500).map(_ => ("A", (rnd.nextInt(10) * 10).toDouble)) ++
+      (1 to 500).map(_ => ("B", rnd.nextDouble() * 1e6)) ++
+      Seq(("C", 7.5)) ++
+      (1 to 100).map(_ => ("D", 3.25))
+    val df = rnd.shuffle(rows).toDF("g", "v")
+    // buckets=4 forces many distinct values per bucket and multiple
+    // target ranks inside one bucket — the stage-3 window's hard case
+    assertQuantileParity(df, "g", "v",
+      Seq(0.0, 0.1, 0.5, 0.77, 0.9, 1.0), buckets = 4)
+    assertQuantileParity(df, "g", "v", Seq(0.5, 0.95), buckets = 1 << 16)
+  }
 }
