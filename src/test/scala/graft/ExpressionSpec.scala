@@ -730,4 +730,51 @@ class ExpressionSpec extends AnyFunSuite {
       } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
     }
   }
+
+  test("IntersectCountStr ≡ size(array_intersect): random arrays with " +
+      "duplicates, shared nulls, empties; codegen and interpreted") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftbridge.ColumnBridge._
+    val rng = new scala.util.Random(0x5e7L)
+    val vocab = (0 until 40).map(i => s"sh$i")
+    def arr(): Seq[String] = {
+      val n = rng.nextInt(30)
+      Seq.fill(n)(if (rng.nextInt(20) == 0) null
+        else vocab(rng.nextInt(vocab.length)))
+    }
+    val rows = Seq(
+      (Seq.empty[String], Seq.empty[String]),
+      (Seq("a"), Seq.empty[String]),
+      (Seq(null, "a", null), Seq("b", null)), // shared null counts once
+      (Seq("a", "a", "b"), Seq("b", "b", "a", "a")) // dups count once
+    ) ++ Seq.fill(60)((arr(), arr()))
+    val df = rows.zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }
+      .toDF("id", "a", "b")
+    def composed = df.select(col("id"),
+      size(array_intersect(col("a"), col("b"))).as("c"))
+    def native = df.select(col("id"),
+      column(graft.expressions.IntersectCountStr(
+        expression(col("a")), expression(col("b")))).as("c"))
+    for (flag <- Seq("true", "false")) {
+      spark.conf.set("spark.sql.codegen.wholeStage", flag)
+      try {
+        val want = composed.collect().map(r => r.getLong(0) -> r.getInt(1))
+          .toMap
+        native.collect().foreach { r =>
+          assert(r.getInt(1) == want(r.getLong(0)),
+            s"id=${r.getLong(0)} codegen=$flag: " +
+              s"kernel ${r.getInt(1)} vs composed ${want(r.getLong(0))}")
+        }
+      } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+    // null ARRAY input -> null out (nullIntolerant), both orders
+    val nl = Seq((Seq("a"), Option.empty[Seq[String]]))
+      .toDF("a", "b")
+      .select(column(graft.expressions.IntersectCountStr(
+        expression(col("a")), expression(col("b")))).as("c"),
+        column(graft.expressions.IntersectCountStr(
+          expression(col("b")), expression(col("a")))).as("d"))
+      .head()
+    assert(nl.isNullAt(0) && nl.isNullAt(1))
+  }
 }
