@@ -297,8 +297,33 @@ object TextQueries {
     // join, no shuffle, so the score pass is the same 100 TB shape
     // as t12. Docs need >= 2 tokens to have a bigram stream.
     "t20_bigram_logprob" -> ((s, d) =>
-      bigramScored(Tables.documents(s, d)))
+      bigramScored(Tables.documents(s, d))),
+
+    // Multi-pattern blocklist gate (C4-style bad-words / phrase
+    // screen): how many blocklist entries occur as substrings of each
+    // doc, and whether the doc is blocked. One Aho–Corasick text
+    // sweep per row regardless of blocklist size (the automaton ships
+    // with the plan, built once from the literal list) — the composed
+    // per-pattern `contains` form re-scans the text |blocklist| times
+    // and is kept as the kernel's executable spec. In-row, zero
+    // shuffle: the 100 TB cost is exactly one corpus scan.
+    "t21_blocklist_gate" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextOps.blocklistHits(col("text"), Blocklist).as("n_hits"))
+        .withColumn("blocked", col("n_hits") > 0))
   )
+
+  /** Shared blocklist for t21 — mixed single tokens, multi-token
+    * phrases, nested entries ("table" vs "table table") and a
+    * guaranteed miss, exercising the automaton's fail/dict links on
+    * fixture text. Injected verbatim into the DuckDB oracle so the
+    * two sides cannot drift.
+    */
+  val Blocklist: Seq[String] = Seq(
+    "table", "table table", "scan slow", "a a", "value table part",
+    "merge batch", "spark", "spark a", "sort table window",
+    "big vector", "window window", "quantum flux")
 
   /** t18 body, callable from specs on planted frames: per-doc integer
     * statistics + integer-arithmetic rule flags + keep verdict over a
@@ -854,6 +879,15 @@ object TextQueries {
                  FROM u LEFT JOIN v USING (b))
           SELECT doc_id, CAST(count(*) AS INTEGER) AS n_bigrams,
                  round(sum(lp) / count(*), 6) AS avg_logprob
-          FROM sc GROUP BY doc_id"""
+          FROM sc GROUP BY doc_id""",
+
+    "t21_blocklist_gate" -> {
+      val hits = Blocklist
+        .map(p => s"CAST(contains(text, '${p.replace("'", "''")}') AS INT)")
+        .mkString(" + ")
+      s"""SELECT doc_id, CAST($hits AS INTEGER) AS n_hits,
+                 ($hits) > 0 AS blocked
+          FROM documents"""
+    }
   )
 }

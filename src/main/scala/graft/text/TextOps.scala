@@ -66,6 +66,25 @@ object TextOps {
     filter(tokens, t => !array_contains(stopArr, t))
   }
 
+  /** Number of blocklist entries occurring as SUBSTRINGS of `text` —
+    * one Aho–Corasick sweep regardless of list size (native kernel,
+    * [[graft.expressions.BlocklistHits]]); each entry counts at most
+    * once. The curation-gate primitive (C4-style bad-words filter,
+    * contamination phrase screens).
+    */
+  def blocklistHits(text: Column, patterns: Seq[String]): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge._
+    column(graft.expressions.BlocklistHits(expression(text), patterns))
+  }
+
+  /** The composed reference form of [[blocklistHits]]: one
+    * `contains` scan of the text PER pattern inside an interpreted
+    * `filter` lambda. Kept as the kernel's executable spec (parity in
+    * ExpressionSpec).
+    */
+  def blocklistHitsComposed(text: Column, patterns: Seq[String]): Column =
+    size(filter(array(patterns.map(lit): _*), p => contains(text, p)))
+
   /** Full cleanup chain used by the ML stack:
     * clean → tokenize → default-English stops → extra stops. */
   def mlTokens(text: Column): Column =

@@ -777,4 +777,49 @@ class ExpressionSpec extends AnyFunSuite {
       .head()
     assert(nl.isNullAt(0) && nl.isNullAt(1))
   }
+
+  test("BlocklistHits ≡ composed per-pattern contains: nested and " +
+      "overlapping patterns, random texts, early exit; codegen and " +
+      "interpreted") {
+    import spark.implicits._
+    import graft.text.TextOps
+    // nested entries ("ab" inside "aab"/"abab"), self-overlap ("aa"
+    // in "aaa"), shared prefixes, duplicate entry, guaranteed miss
+    val patterns = Seq("ab", "aab", "abab", "aa", "ba", "zzz",
+      "table table", "table", "aa")
+    val rng = new scala.util.Random(0xacacL)
+    val texts = Seq("", "a", "aaa", "abab", "aabab", "table table table",
+      "xbax", "ztzzzz") ++ Seq.fill(80)(
+      Seq.fill(rng.nextInt(60))("ab ta ble aa b z "(
+        rng.nextInt(17))).mkString)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    def composed = df.select(col("id"),
+      TextOps.blocklistHitsComposed(col("text"), patterns).as("c"))
+    def native = df.select(col("id"),
+      TextOps.blocklistHits(col("text"), patterns).as("c"))
+    for (flag <- Seq("true", "false")) {
+      spark.conf.set("spark.sql.codegen.wholeStage", flag)
+      try {
+        val want = composed.collect().map(r => r.getLong(0) -> r.getInt(1))
+          .toMap
+        native.collect().foreach { r =>
+          assert(r.getInt(1) == want(r.getLong(0)),
+            s"id=${r.getLong(0)} codegen=$flag text=" +
+              s"'${texts(r.getLong(0).toInt)}': kernel ${r.getInt(1)} " +
+              s"vs composed ${want(r.getLong(0))}")
+        }
+      } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+    // null text -> null; all-found early exit still counts correctly
+    val edge = Seq((0L, null: String), (1L, "aab aa ba abab zzz table " +
+      "table table"))
+      .toDF("id", "text")
+      .select(col("id"), TextOps.blocklistHits(col("text"), patterns)
+        .as("c"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1 else r.getInt(1))).toMap
+    assert(edge(0L) == -1)
+    assert(edge(1L) == patterns.length) // every entry present (dup twice)
+  }
 }
