@@ -103,7 +103,11 @@ object Quantiles {
     val cum = pin(hist.withColumn("cum", sum(col("c")).over(wCum))
       .withColumn("cumBefore", col("cum") - col("c")))
     // the bucket owning 0-based rank k: cumBefore ≤ k < cum
-    val located = ranks.join(cum, Seq("g"))
+    // checkpointed frames are LogicalRDDs with no stats, so every
+    // tiny side below is broadcast-hinted explicitly — without the
+    // hints each join plans as an SMJ with two shuffles of data that
+    // fits in a closure
+    val located = broadcast(ranks).join(cum, Seq("g"))
       .filter(col("cumBefore") <= col("k") && col("k") < col("cum"))
       .select(col("g"), col("k"), col("b"), col("cumBefore"))
     // second scan sees located buckets only; the k-th smallest overall
@@ -121,10 +125,10 @@ object Quantiles {
         col("cumBefore") + col("cum2") - col("c2") <= col("k"))
       .select(col("g"), col("k"), col("v")))
     pos.select(col("g"), col("q"), col("pos"), col("klo"), col("khi"))
-      .join(vAtK.select(col("g"), col("k").as("klo"),
-        col("v").as("vlo")), Seq("g", "klo"))
-      .join(vAtK.select(col("g"), col("k").as("khi"),
-        col("v").as("vhi")), Seq("g", "khi"))
+      .join(broadcast(vAtK.select(col("g"), col("k").as("klo"),
+        col("v").as("vlo"))), Seq("g", "klo"))
+      .join(broadcast(vAtK.select(col("g"), col("k").as("khi"),
+        col("v").as("vhi"))), Seq("g", "khi"))
       .select(col("g").as(grpCol), col("q"),
         when(col("khi") === col("klo") || col("vlo") === col("vhi"),
           col("vlo"))
