@@ -32,6 +32,15 @@ object Dedup {
       expression(a), expression(b)))
   }
 
+  /** [[intersectCount]] for `array<bigint>` (hashed shingles) — the
+    * [[graft.expressions.IntersectCountI64]] primitive-table probe.
+    */
+  private def intersectCountI64(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge._
+    column(graft.expressions.IntersectCountI64(
+      expression(a), expression(b)))
+  }
+
   /** Exact dedup groups: one row per distinct content, with the
     * surviving (minimum) id and the duplicate count. Group on the md5
     * so 100 TB of text shuffles 16-byte keys, not documents.
@@ -272,10 +281,23 @@ object Dedup {
                                          survivors: DataFrame,
                                          result: DataFrame)
 
-  private[graft] def prefixFilterStages(sh: DataFrame,
+  private[graft] def prefixFilterStages(shStr: DataFrame,
                                         threshold: Double): PrefixStages = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1], got $threshold")
+    // shingles ride as xxhash64 i64s from here on: prefix-filter
+    // COMPLETENESS only needs a consistent global order (Bayardo et
+    // al. 2007 — any fixed order works; rarest-first is the good
+    // heuristic and df is hash-invariant), and Jaccard over hashed
+    // sets equals Jaccard over the strings absent a 64-bit collision
+    // (which would perturb one pair's jaccard and fail the standing
+    // d20 oracle loudly — ~2^-64·pairs odds). Longs cut the verify
+    // join's array bytes ~3× vs shingle strings and make the
+    // intersect a primitive-table probe (IntersectCountI64); the
+    // ≡ jaccardPairs losslessness spec runs on the STRING relation,
+    // so it also cross-checks the hashing end to end.
+    val sh = shStr.select(col("doc_id"),
+      xxhash64(col("shingle")).as("shingle"))
     val dfTab = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     // per-doc shingle array in rarest-first (df, shingle) order — the
     // prefix reads the order, the verify reads the set; persisted
@@ -332,7 +354,7 @@ object Dedup {
     val sb = docSets.select(col("doc_id").as("b"), col("shset").as("__sb"))
     val result = survivors.join(sa, Seq("a")).join(sb, Seq("b"))
       .select(col("a"), col("b"),
-        intersectCount(col("__sa"), col("__sb")).as("__i"),
+        intersectCountI64(col("__sa"), col("__sb")).as("__i"),
         size(col("__sa")).as("__na"), size(col("__sb")).as("__nb"))
       .select(col("a"), col("b"),
         (col("__i").cast("double") /

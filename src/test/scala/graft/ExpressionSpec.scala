@@ -822,4 +822,46 @@ class ExpressionSpec extends AnyFunSuite {
     assert(edge(0L) == -1)
     assert(edge(1L) == patterns.length) // every entry present (dup twice)
   }
+
+  test("IntersectCountI64 ≡ size(array_intersect) on long arrays: " +
+      "random, duplicates, nulls, Long.MinValue, empties; codegen " +
+      "and interpreted") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftbridge.ColumnBridge._
+    val rng = new scala.util.Random(0x164L)
+    def arr(): Seq[java.lang.Long] = {
+      val n = rng.nextInt(40)
+      Seq.fill(n)(rng.nextInt(12) match {
+        case 0 => null
+        case 1 => java.lang.Long.valueOf(Long.MinValue)
+        case 2 => java.lang.Long.valueOf(Long.MaxValue)
+        case _ => java.lang.Long.valueOf(rng.nextInt(25).toLong)
+      })
+    }
+    val rows = Seq(
+      (Seq.empty[java.lang.Long], Seq.empty[java.lang.Long]),
+      (Seq[java.lang.Long](1L, 1L, 2L), Seq[java.lang.Long](2L, 2L, 1L)),
+      (Seq[java.lang.Long](Long.MinValue, null),
+        Seq[java.lang.Long](null, Long.MinValue))
+    ) ++ Seq.fill(80)((arr(), arr()))
+    val df = rows.zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }
+      .toDF("id", "a", "b")
+    def composed = df.select(col("id"),
+      size(array_intersect(col("a"), col("b"))).as("c"))
+    def native = df.select(col("id"),
+      column(graft.expressions.IntersectCountI64(
+        expression(col("a")), expression(col("b")))).as("c"))
+    for (flag <- Seq("true", "false")) {
+      spark.conf.set("spark.sql.codegen.wholeStage", flag)
+      try {
+        val want = composed.collect().map(r => r.getLong(0) -> r.getInt(1))
+          .toMap
+        native.collect().foreach { r =>
+          assert(r.getInt(1) == want(r.getLong(0)),
+            s"id=${r.getLong(0)} codegen=$flag: " +
+              s"kernel ${r.getInt(1)} vs composed ${want(r.getLong(0))}")
+        }
+      } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+  }
 }
