@@ -20,20 +20,13 @@ import graft.text.Analysis
   */
 object Dedup {
 
-  /** Distinct-intersection size via the [[graft.expressions
-    * .IntersectCountStr]] kernel — `size(array_intersect(a, b))`
-    * without materializing the intersection array (parity in
-    * ExpressionSpec; the sets-verify Jaccard hot core, see kernel
-    * scaladoc for the measured d13 numbers).
-    */
-  private def intersectCount(a: Column, b: Column): Column = {
-    import org.apache.spark.sql.graftbridge.ColumnBridge._
-    column(graft.expressions.IntersectCountStr(
-      expression(a), expression(b)))
-  }
-
-  /** [[intersectCount]] for `array<bigint>` (hashed shingles) — the
-    * [[graft.expressions.IntersectCountI64]] primitive-table probe.
+  /** Distinct-intersection size of two hashed-shingle arrays via the
+    * [[graft.expressions.IntersectCountI64]] primitive-table probe —
+    * `size(array_intersect(a, b))` without materializing the
+    * intersection array (parity in ExpressionSpec); the sets-verify
+    * Jaccard hot core for d13/d20. The string-array sibling
+    * [[graft.expressions.IntersectCountStr]] remains available for
+    * unhashed set workloads (measured in tools.SnmProfile).
     */
   private def intersectCountI64(a: Column, b: Column): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge._
@@ -1210,14 +1203,24 @@ object Dedup {
                                   threshold: Double): DataFrame = {
     require(threshold > 0,
       "threshold must be > 0 (zero-intersection pairs are dropped)")
-    val sets = shingleSets(docs, idCol, tokens).persist()
+    // shingle sets ride as xxhash64 i64s (the d20 discipline, see
+    // prefixFilterStages): Jaccard over collision-free hashed sets
+    // equals Jaccard over the strings, so the output relation — and
+    // the standing d13 oracle row — is unchanged, while the persisted
+    // set table and the two verify-join exchanges shrink ~3× and the
+    // intersect probes a primitive long table. The hash runs inside
+    // the one-time per-doc build (74-element arrays), not per pair.
+    val sets = shingleSets(docs, idCol, tokens)
+      .select(col("doc_id"),
+        transform(col("shset"), s => xxhash64(s)).as("shset"))
+      .persist()
     val cands = sortedNeighborhoodCands(
       sortedNeighborhoodRanks(docs, idCol, sortKey), window)
     val sa = sets.select(col("doc_id").as("a"), col("shset").as("__sa"))
     val sb = sets.select(col("doc_id").as("b"), col("shset").as("__sb"))
     cands.join(sa, Seq("a")).join(sb, Seq("b"))
       .select(col("a"), col("b"),
-        intersectCount(col("__sa"), col("__sb")).as("__i"),
+        intersectCountI64(col("__sa"), col("__sb")).as("__i"),
         size(col("__sa")).as("__na"), size(col("__sb")).as("__nb"))
       .select(col("a"), col("b"),
         (col("__i").cast("double") /
