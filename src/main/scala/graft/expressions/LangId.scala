@@ -26,6 +26,13 @@ case class LangIdExpr(child: Expression,
                       markers: Seq[(String, Seq[String])])
     extends UnaryExpression {
 
+  // The marker→language mask is a 32-bit Int (1 << i per language);
+  // a 33rd language would silently alias to bit 0 and misattribute
+  // hits. Fail loudly at construction instead.
+  require(markers.size <= 32,
+    s"LangIdExpr supports at most 32 languages (got ${markers.size}); " +
+      "widen the bitmask to Long/long[] before adding more")
+
   @transient private lazy val maskMap: java.util.HashMap[UTF8String, Integer] = {
     val m = new java.util.HashMap[UTF8String, Integer]()
     markers.zipWithIndex.foreach { case ((_, ws), i) =>

@@ -36,7 +36,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Empty shingle array → empty band array (the composed form's
   * `when(size > 0 ...)` guard); null array → null; null ELEMENTS are
-  * skipped like `array_min` skips nulls.
+  * skipped like `array_min` skips nulls. Parity contract edge case:
+  * an array whose elements are ALL null also yields an EMPTY band
+  * array here (no shingle ever fired), whereas the composed form's
+  * `size > 0` branch emits band structs with null sigs — a deliberate
+  * divergence, asserted in ExpressionSpec. It is unreachable from
+  * every production call site (shingle arrays are `array_distinct`'d
+  * ngram output, which never contains null elements), and the
+  * kernel's all-empty answer is the one consistent with this
+  * expression's non-null `sig` schema (`containsNull = false`).
   */
 case class MinHashBandsExpr(child: Expression, numHashes: Int,
                             rowsPerBand: Int)

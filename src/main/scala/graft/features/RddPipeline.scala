@@ -21,10 +21,15 @@ import graft.text.TextOps
 object RddPipeline {
 
   final case class Featurized(
-      tokenized: DataFrame,       // (id, label, tokens)
+      tokenized: DataFrame,       // (id, label, tokens) — persisted
       vocab: DataFrame,           // (word, cnt, id) — id = rank 0..K-1
       data: Dataset[SparseDoc],   // persisted
-      numberOfTweets: Long)
+      numberOfTweets: Long) {
+    /** Free both persisted frames once training/eval is done — the
+      * pin-release handle of this featurization (persist-backed, so
+      * a late re-read silently recomputes rather than failing). */
+    def release(): Unit = { tokenized.unpersist(); data.unpersist(); () }
+  }
 
   /** (id, label, tokens) via the RDD-stack tokenizer chain
     * (`RDD_logisticregression.py:44-57,192`).

@@ -55,6 +55,11 @@ object AsOfJoin {
     * resolve to the greatest id backward / the LOWEST id forward (the
     * id order flips with the time negation — matching polars, which
     * keeps the first row in sort order on ties).
+    *
+    * Input contract: times must not be `Long.MinValue` (the forward
+    * direction negates them, and −Long.MinValue overflows); any real
+    * epoch time satisfies this. The tolerance gap itself is
+    * overflow-guarded below — no bounded-range assumption there.
     */
   def asofLookupTolerant(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String, rightId: String,
@@ -92,8 +97,13 @@ object AsOfJoin {
           .over(w))
       .filter(col("__side") === 1)
     // gap in scan domain = the direction-correct distance (backward:
-    // lt−rt; forward: rt−lt); beyond tolerance → no-match nulls
-    val inTol = (col("__t") - col("__at")) <= tolerance
+    // lt−rt; forward: rt−lt); beyond tolerance → no-match nulls.
+    // try_subtract guards Long overflow: a gap too large to represent
+    // (probe near +2^63, quote near −2^63) yields null, and null <=
+    // tolerance is null → the when() below nulls out the match — the
+    // same no-match outcome the true (> Long.MaxValue) gap demands,
+    // instead of a wrapped-negative gap passing the test.
+    val inTol = try_subtract(col("__t"), col("__at")) <= tolerance
     scanned
       .withColumn("asof_id",
         when(inTol, col("__aid") * sign))

@@ -144,12 +144,16 @@ object Curation {
       // the very partitions the merge reads (Spark otherwise refuses
       // the cycle). localCheckpoint holds only the touched buckets;
       // on a cluster with a checkpoint dir, checkpoint() — same
-      // contract, off-heap-safe.
-      upsert(base, withBkt, keyCol, versionCol, deleteCol)
+      // contract, off-heap-safe. The checkpoint is fully consumed by
+      // the write, so its blocks are freed here (loan pattern) — a
+      // streaming caller upserting every batch would otherwise pin
+      // one touched-bucket copy per batch, monotonically.
+      val merged = upsert(base, withBkt, keyCol, versionCol, deleteCol)
         .localCheckpoint()
-        .write.partitionBy("bucket").mode("overwrite")
+      try merged.write.partitionBy("bucket").mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .parquet(dir)
+      finally graft.core.Pinned.unpin(merged)
     }
   }
 

@@ -267,6 +267,19 @@ object Dedup {
   def prefixFilterPairs(sh: DataFrame, threshold: Double): DataFrame =
     prefixFilterStages(sh, threshold).result
 
+  /** [[prefixFilterPairs]] with the pin-release handle: the result
+    * plan's verify join reads the internally persisted corpus-sized
+    * `docSets` table, so the plain variant's pin lives until a
+    * caller-side storage sweep (Bench/TimeQuery sweep between
+    * queries; sessions free all storage at stop). Long-lived sessions
+    * should consume this form and `release()` ([[graft.core.Leased]]).
+    */
+  def prefixFilterPairsLeased(sh: DataFrame,
+                              threshold: Double): graft.core.Leased = {
+    val st = prefixFilterStages(sh, threshold)
+    graft.core.Leased(st.result, Seq(st.docSets))
+  }
+
   /** Intermediate frames of [[prefixFilterPairs]], exposed for
     * stage-level profiling (tools.DedupProfile) and plan audits. */
   private[graft] case class PrefixStages(docSets: DataFrame,
@@ -295,7 +308,9 @@ object Dedup {
     // per-doc shingle array in rarest-first (df, shingle) order — the
     // prefix reads the order, the verify reads the set; persisted
     // because three consumers would otherwise re-run the df join +
-    // doc aggregation over the corpus
+    // doc aggregation over the corpus. Released by
+    // prefixFilterPairsLeased's handle; the plain prefixFilterPairs
+    // documents the caller-sweep contract.
     val docSets = sh.join(dfTab, "shingle")
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("df"), col("shingle"))))
@@ -885,6 +900,12 @@ object Dedup {
     * a diameter-d chain needs `maxIters = d` exactly — converges at
     * d, trips the guard at d-1 — so the default 25 tolerates any
     * graph of diameter ≤ 25, vastly beyond near-dup cliques.
+    *
+    * Pin contract: the loop holds O(1) storage ([[graft.core.Checkpoints.roll]])
+    * and the result plan is backed by the FINAL label checkpoint —
+    * callers done with the materialized result free it with
+    * `Checkpoints.release(result)` (harness sweeps do this between
+    * queries; sessions free everything at stop).
     */
   def dupClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
     val p = pairs.select(col("a"), col("b")).persist()
@@ -986,6 +1007,12 @@ object Dedup {
     * per-round fixed overhead dominating d09 end-to-end on small
     * graphs: 3.6→6.2 s at sf0.1 for a 25-edge graph). Set it to 0 to
     * force the pure distributed path (the specs do, for coverage).
+    *
+    * Pin contract: O(1) storage across rounds (rolling release); the
+    * result plan references the `canon` checkpoint (and, on the
+    * converged path, the final edge checkpoint) — callers free them
+    * after consumption with `Checkpoints.release(result)`, which
+    * finds every checkpoint leaf in the plan.
     */
   def dupClustersStar(pairs: DataFrame, maxIters: Int = 30,
                       localFinishEdges: Long = 1L << 20): DataFrame = {
@@ -1173,7 +1200,18 @@ object Dedup {
     */
   def sortedNeighborhoodPairs(docs: DataFrame, idCol: String,
                               sortKey: Column, tokens: Column,
-                              window: Int, threshold: Double): DataFrame = {
+                              window: Int, threshold: Double): DataFrame =
+    sortedNeighborhoodPairsLeased(docs, idCol, sortKey, tokens, window,
+      threshold).df
+
+  /** [[sortedNeighborhoodPairs]] with the pin-release handle — the
+    * result plan reads the internally persisted shingle table, so the
+    * plain variant's pin lives until a caller-side storage sweep;
+    * long-lived sessions consume this form and `release()`.
+    */
+  def sortedNeighborhoodPairsLeased(docs: DataFrame, idCol: String,
+      sortKey: Column, tokens: Column, window: Int,
+      threshold: Double): graft.core.Leased = {
     // persisted: the verification reads the shingle table three times
     // (sizes + both intersection sides) — without the persist each
     // read re-runs tokenize+ngram over the corpus, which dominated
@@ -1181,7 +1219,7 @@ object Dedup {
     val sh = shingles(docs, idCol, tokens).persist()
     val cands = sortedNeighborhoodCands(
       sortedNeighborhoodRanks(docs, idCol, sortKey), window)
-    verifyJaccard(sh, cands, threshold)
+    graft.core.Leased(verifyJaccard(sh, cands, threshold), Seq(sh))
   }
 
   /** [[sortedNeighborhoodPairs]] with verification on per-doc shingle
@@ -1200,7 +1238,17 @@ object Dedup {
   def sortedNeighborhoodPairsSets(docs: DataFrame, idCol: String,
                                   sortKey: Column, tokens: Column,
                                   window: Int,
-                                  threshold: Double): DataFrame = {
+                                  threshold: Double): DataFrame =
+    sortedNeighborhoodPairsSetsLeased(docs, idCol, sortKey, tokens,
+      window, threshold).df
+
+  /** [[sortedNeighborhoodPairsSets]] with the pin-release handle —
+    * same contract as [[sortedNeighborhoodPairsLeased]] (the result
+    * joins the internally persisted hashed-set table twice).
+    */
+  def sortedNeighborhoodPairsSetsLeased(docs: DataFrame, idCol: String,
+      sortKey: Column, tokens: Column, window: Int,
+      threshold: Double): graft.core.Leased = {
     require(threshold > 0,
       "threshold must be > 0 (zero-intersection pairs are dropped)")
     // shingle sets ride as xxhash64 i64s (the d20 discipline, see
@@ -1218,7 +1266,7 @@ object Dedup {
       sortedNeighborhoodRanks(docs, idCol, sortKey), window)
     val sa = sets.select(col("doc_id").as("a"), col("shset").as("__sa"))
     val sb = sets.select(col("doc_id").as("b"), col("shset").as("__sb"))
-    cands.join(sa, Seq("a")).join(sb, Seq("b"))
+    val result = cands.join(sa, Seq("a")).join(sb, Seq("b"))
       .select(col("a"), col("b"),
         intersectCountI64(col("__sa"), col("__sb")).as("__i"),
         size(col("__sa")).as("__na"), size(col("__sb")).as("__nb"))
@@ -1226,6 +1274,7 @@ object Dedup {
         (col("__i").cast("double") /
           (col("__na") + col("__nb") - col("__i"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    graft.core.Leased(result, Seq(sets))
   }
 
   /** Fuzzy self-join on a short key: all id pairs whose keys are
@@ -1615,6 +1664,9 @@ object Dedup {
         .select(deg("src").as("id"), col("deg"),
           (lit(base) + expr("(85 * s) div 100")).as("r"))
     }
+    // result is checkpoint-backed (V-sized); callers free it after
+    // consumption with Checkpoints.release(result) — same contract as
+    // dupClusters/dupClustersStar
     val out = ranks.select(col("id").as("doc_id"), col("r").as("rank_fp"))
       .localCheckpoint()
     graft.core.Checkpoints.release(edges)

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, Encoders}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.core.Leased
+
 /** Exact distributed percentiles via two-phase histogram rank-select.
   *
   * Spark's built-in `percentile` aggregate materializes a per-group
@@ -51,25 +53,41 @@ import org.apache.spark.sql.functions._
   */
 object Quantiles {
 
-  /** Eagerly pins a TINY frame (≤ groups × buckets rows) so the
-    * consumers below reference its materialized blocks instead of
-    * re-deriving it: the result plan joins `vAtK` twice and reads
-    * `stats` from four subtrees, and without pinning each reference
-    * re-runs the full corpus scan underneath — measured 14 scans /
-    * 33 s for one 3-quantile call at pseudo-sf10, vs 3 scans /
-    * 15.6 s pinned. Blocks are freed by the caller-side storage sweep
-    * (Bench/TimeQuery unpersist between queries, sessions at stop).
-    */
-  private def pin(df: DataFrame): DataFrame = df.localCheckpoint()
-
   /** Exact percentiles of `valCol` per `grpCol` at each q in `qs`.
     * Output: (grpCol, q, value) — `value` matches Spark's
     * `percentile(valCol, q)` (interpolated, weights 1). Nulls in
     * `valCol` are ignored (as the built-in does); NaN unsupported.
+    *
+    * Pin contract: the result plan references three TINY internally
+    * checkpointed frames (≤ groups × buckets rows — see
+    * [[exactPercentilesLeased]] for why they must be pinned); with
+    * this signature their blocks live until a caller-side storage
+    * sweep (Bench/TimeQuery sweep between queries; sessions free all
+    * storage at stop). Long-lived sessions calling in a loop should
+    * use [[exactPercentilesLeased]] and `release()` after consuming.
     */
   def exactPercentiles(df: DataFrame, grpCol: String, valCol: String,
                        qs: Seq[Double],
-                       buckets: Int = 1 << 16): DataFrame = {
+                       buckets: Int = 1 << 16): DataFrame =
+    exactPercentilesLeased(df, grpCol, valCol, qs, buckets).df
+
+  /** [[exactPercentiles]] with the pin-release handle
+    * ([[graft.core.Leased]]).
+    *
+    * Why the pins exist: each internally checkpointed frame is TINY
+    * (≤ groups × buckets rows) but referenced from several subtrees —
+    * the result plan joins `vAtK` twice and reads `stats` from four —
+    * and without eager pinning each reference re-runs the full corpus
+    * scan underneath (measured 14 scans / 33 s for one 3-quantile
+    * call at pseudo-sf10, vs 3 scans / 15.6 s pinned).
+    */
+  def exactPercentilesLeased(df: DataFrame, grpCol: String,
+                             valCol: String, qs: Seq[Double],
+                             buckets: Int = 1 << 16): Leased = {
+    val pins = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def pin(d: DataFrame): DataFrame = {
+      val cp = d.localCheckpoint(); pins += cp; cp
+    }
     require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
       s"qs must be within [0, 1], got $qs")
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
@@ -124,7 +142,8 @@ object Quantiles {
       .filter(col("cumBefore") + col("cum2") > col("k") &&
         col("cumBefore") + col("cum2") - col("c2") <= col("k"))
       .select(col("g"), col("k"), col("v")))
-    pos.select(col("g"), col("q"), col("pos"), col("klo"), col("khi"))
+    val result = pos
+      .select(col("g"), col("q"), col("pos"), col("klo"), col("khi"))
       .join(broadcast(vAtK.select(col("g"), col("k").as("klo"),
         col("v").as("vlo"))), Seq("g", "klo"))
       .join(broadcast(vAtK.select(col("g"), col("k").as("khi"),
@@ -134,19 +153,29 @@ object Quantiles {
           col("vlo"))
           .otherwise((col("khi") - col("pos")) * col("vlo") +
             (col("pos") - col("klo")) * col("vhi")).as("value"))
+    Leased(result, pins.toSeq)
   }
 
   /** [[exactPercentiles]] pivoted to one row per group: each q in
     * `named` becomes a column holding the (optionally rounded)
-    * percentile value. */
+    * percentile value. Same pin contract as [[exactPercentiles]];
+    * [[exactPercentilesWideLeased]] is the scoped-release form. */
   def exactPercentilesWide(df: DataFrame, grpCol: String,
                            valCol: String, named: Seq[(Double, String)],
-                           roundTo: Int = -1): DataFrame = {
-    val long = exactPercentiles(df, grpCol, valCol, named.map(_._1))
+                           roundTo: Int = -1): DataFrame =
+    exactPercentilesWideLeased(df, grpCol, valCol, named, roundTo).df
+
+  /** [[exactPercentilesWide]] with the pin-release handle. */
+  def exactPercentilesWideLeased(df: DataFrame, grpCol: String,
+                                 valCol: String,
+                                 named: Seq[(Double, String)],
+                                 roundTo: Int = -1): Leased = {
+    val long = exactPercentilesLeased(df, grpCol, valCol, named.map(_._1))
     val aggs = named.map { case (q, name) =>
       val v = first(when(col("q") === lit(q), col("value")), true)
       (if (roundTo >= 0) round(v, roundTo) else v).as(name)
     }
-    long.groupBy(col(grpCol)).agg(aggs.head, aggs.tail: _*)
+    Leased(long.df.groupBy(col(grpCol)).agg(aggs.head, aggs.tail: _*),
+      long.pins)
   }
 }

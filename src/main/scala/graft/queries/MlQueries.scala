@@ -69,12 +69,42 @@ object MlQueries {
     * are the repo's tweet CSV fixture (sfDir-independent), so the
     * pinned values hold at every SF the gate runs.
     */
+  /** Quality bands per trainer for the banded-oracle fallback
+    * ([[graft.core.OracleEnv]]): (accLo, accHi, f1Lo, f1Hi). The
+    * spec'd trainers reuse MlPipelineSpec's bands verbatim; dt/rf
+    * f1 and gbt (not band-asserted there) get ±0.08-ish bands around
+    * the pinned values — wide enough for any one-ULP-rounding
+    * prediction flips a foreign stack can cause, tight enough that a
+    * broken trainer (majority-class collapse ≈ 0.50 acc / 0.0 f1)
+    * still fails.
+    */
+  private val qualityBands: Map[String, (Double, Double, Double, Double)] =
+    Map(
+      "lr" -> ((0.74, 0.84, 0.73, 0.84)),
+      "nb" -> ((0.74, 0.83, 0.74, 0.83)),
+      "svc" -> ((0.73, 0.83, 0.72, 0.83)),
+      "dt" -> ((0.55, 0.70, 0.42, 0.60)),
+      "rf" -> ((0.55, 0.72, 0.40, 0.58)),
+      "gbt" -> ((0.65, 0.80, 0.62, 0.78)))
+
   private def evalDf(s: SparkSession, algo: String): DataFrame = {
     import s.implicits._
     val res = TweetPipeline.trainEval(algo, featurized(s))
-    Seq(res).toDF()
+    val raw = Seq(res).toDF()
       .select(col("algo"), col("accuracy"), col("f1"),
         col("trainN").as("train_n"), col("testN").as("test_n"))
+    if (graft.core.OracleEnv.bitExact) raw
+    else {
+      // banded fallback (OracleEnv): this stack never had its
+      // bit-stability measured, so assert the quality BANDS instead
+      // of the pinned literals — the split sizes stay exact (seeded
+      // split over the 1-partition featurized frame).
+      val (aLo, aHi, fLo, fHi) = qualityBands(algo)
+      raw.select(col("algo"), col("train_n"), col("test_n"),
+        (col("accuracy") > aLo && col("accuracy") < aHi)
+          .as("acc_in_band"),
+        (col("f1") > fLo && col("f1") < fHi).as("f1_in_band"))
+    }
   }
 
   val queries: Map[String, Q] = Map(
@@ -103,7 +133,15 @@ object MlQueries {
     // iterations → confusion metrics. BASELINE.md row: 308.57 s train
     // / 79.81% acc / 75.50 f1 — the bench time here is the direct
     // comparison (broadcast+treeAggregate+persist vs the reference's
-    // uncached per-iteration lineage recompute).
+    // uncached per-iteration lineage recompute). Wall-clock timings
+    // go to stderr; the RESULT row is the gate contract: exact
+    // confusion counts + split sizes and band-checked cost-curve
+    // booleans vs the committed goldens (M07Golden — round-10 probe:
+    // tp/tn/fp/fn and the curve head are bit-stable across runs on
+    // the pinned stack, last_cost jitters ~1e-15 relative from
+    // treeAggregate reduce order, so it gets a 1e-6 band instead of a
+    // literal). Banded mode (OracleEnv, foreign stacks) degrades the
+    // counts to accuracy/f1 quality bands and widens the cost bands.
     "m07_rdd_lr_train" -> ((s, _) => {
       import s.implicits._
       def timed[A](f: => A): (A, Double) = {
@@ -112,7 +150,7 @@ object MlQueries {
       }
       // phase 1: featurize — forced here (counts) so the training
       // phase below times the 300 iterations only, not lazy lineage
-      val ((f, training, testing), featSec) = timed {
+      val ((f, training, testing, trainN, testN), featSec) = timed {
         val fz = graft.features.RddPipeline.featurize(s, Csv.TrainCsv,
           dim = 10000)
         val Array(training0, testing) =
@@ -122,8 +160,9 @@ object MlQueries {
         // should track data volume — at 100 TB this would stay at the
         // cluster's parallelism, not shrink)
         val tr = training0.coalesce(8)
-        tr.persist().count(); testing.persist().count()
-        (fz, tr, testing)
+        val nTr = tr.persist().count()
+        val nTe = testing.persist().count()
+        (fz, tr, testing, nTr, nTe)
       }
       // phase 2: the 300 GD iterations
       val (res, trainSec) = timed {
@@ -137,12 +176,25 @@ object MlQueries {
       val (c, evalSec) = timed(graft.gd.Predict.evaluate(testing, res.coef))
       System.err.println(
         f"[m07] featurize=$featSec%.1fs train=$trainSec%.1fs eval=$evalSec%.1fs")
-      val out = Seq((c.accuracy, c.f1, featSec, trainSec, evalSec,
-        res.costs.head, res.costs.last))
-        .toDF("accuracy", "f1", "featurize_sec", "train_sec", "eval_sec",
-          "first_cost", "last_cost")
-      training.unpersist(); testing.unpersist(); f.data.unpersist()
-      f.tokenized.unpersist()
+      def relOk(x: Double, golden: Double, tol: Double): Boolean =
+        math.abs(x / golden - 1.0) <= tol
+      val bitExact = graft.core.OracleEnv.bitExact
+      val (curveTol, lastTol) = if (bitExact) (1e-6, 1e-6) else (1e-3, 0.02)
+      val curveOk = res.costs.take(5).zip(M07Golden.costsHead)
+        .forall { case (a, b) => relOk(a, b, curveTol) }
+      val lastOk = relOk(res.costs.last, M07Golden.lastCost, lastTol)
+      val out =
+        if (bitExact)
+          Seq((trainN, testN, c.tp, c.tn, c.fp, c.fn, curveOk, lastOk))
+            .toDF("train_n", "test_n", "tp", "tn", "fp", "fn",
+              "curve_head_ok", "last_cost_ok")
+        else
+          Seq((trainN, testN,
+            math.abs(c.accuracy - M07Golden.accuracy) <= 0.03,
+            math.abs(c.f1 - M07Golden.f1) <= 0.03, curveOk, lastOk))
+            .toDF("train_n", "test_n", "acc_ok", "f1_ok",
+              "curve_head_ok", "last_cost_ok")
+      training.unpersist(); testing.unpersist(); f.release()
       out
     }),
 
@@ -181,24 +233,51 @@ object MlQueries {
     * its golden-curve spec.
     *
     * ENVIRONMENT PIN: the probe's stability evidence covers this
-    * machine's stack only (Temurin-style OpenJDK 17 on linux/amd64,
-    * Spark 4.1.2's bundled JVM-only BLAS — no native
-    * netlib/OpenBLAS). A different JVM vendor/major or a native BLAS
-    * backend may round a dot product differently, flip one of the
-    * 1557 test predictions, and move accuracy/f1 by ~6.4e-4 — far
-    * beyond the gate's 1e-9 tolerance. If the gate ever runs on a
-    * heterogeneous fleet, band these oracles (accuracy within ±2/1557)
-    * instead of pinning bit-exact literals.
+    * machine's stack only (HotSpot JVM 17 on linux/amd64, Spark
+    * 4.1.2's bundled JVM-only BLAS — no native netlib/OpenBLAS). A
+    * different JVM major or a native BLAS backend may round a dot
+    * product differently, flip one of the 1557 test predictions, and
+    * move accuracy/f1 by ~6.4e-4 — far beyond the gate's 1e-9
+    * tolerance. [[graft.core.OracleEnv]] therefore gates the mode:
+    * on the pinned fingerprint (or `GRAFT_ORACLE_MODE=pinned`) the
+    * bit-exact literals below are emitted; on any other stack both
+    * the query and this oracle degrade to the quality-band form
+    * ([[qualityBands]] booleans + exact split sizes), keeping the
+    * gate green-and-meaningful instead of hard-failing on literals
+    * that were never pinned there.
     */
   private def trainerOracle(algo: String, acc: String, f1: String,
                             trainN: Long, testN: Long): String =
-    s"""SELECT '$algo' AS algo,
-        CAST('$acc' AS DOUBLE) AS accuracy,
-        CAST('$f1' AS DOUBLE) AS f1,
-        CAST($trainN AS BIGINT) AS train_n,
-        CAST($testN AS BIGINT) AS test_n"""
+    if (graft.core.OracleEnv.bitExact)
+      s"""SELECT '$algo' AS algo,
+          CAST('$acc' AS DOUBLE) AS accuracy,
+          CAST('$f1' AS DOUBLE) AS f1,
+          CAST($trainN AS BIGINT) AS train_n,
+          CAST($testN AS BIGINT) AS test_n"""
+    else
+      s"""SELECT '$algo' AS algo,
+          CAST($trainN AS BIGINT) AS train_n,
+          CAST($testN AS BIGINT) AS test_n,
+          true AS acc_in_band, true AS f1_in_band"""
 
-  val oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = Map(
+    // m07's gate row (round-10, closing the last no_oracle): exact
+    // split sizes + confusion counts and band-checked cost booleans
+    // in pinned mode; split sizes + four band booleans in banded
+    // mode. See M07Golden for the stability evidence.
+    "m07_rdd_lr_train" -> (if (graft.core.OracleEnv.bitExact)
+      s"""SELECT CAST(${M07Golden.trainN} AS BIGINT) AS train_n,
+          CAST(${M07Golden.testN} AS BIGINT) AS test_n,
+          CAST(${M07Golden.tp} AS BIGINT) AS tp,
+          CAST(${M07Golden.tn} AS BIGINT) AS tn,
+          CAST(${M07Golden.fp} AS BIGINT) AS fp,
+          CAST(${M07Golden.fn} AS BIGINT) AS fn,
+          true AS curve_head_ok, true AS last_cost_ok"""
+    else
+      s"""SELECT CAST(${M07Golden.trainN} AS BIGINT) AS train_n,
+          CAST(${M07Golden.testN} AS BIGINT) AS test_n,
+          true AS acc_ok, true AS f1_ok,
+          true AS curve_head_ok, true AS last_cost_ok"""),
     "m01_ml_logreg" -> trainerOracle("lr",
       "0.766859344894027", "0.7535722043016353", 6056L, 1557L),
     "m02_ml_naivebayes" -> trainerOracle("nb",
@@ -229,6 +308,29 @@ object MlQueries {
                  round(avg(filtered), 6) AS avg_filtered
           FROM f GROUP BY class"""
   )
+}
+
+/** m07's committed goldens, emitted by `tools.M07Dump` (shortest-
+  * round-trip doubles) and vetted like the m01–m06 pins: across 9
+  * round-10 probe runs on the pinned stack, the split sizes,
+  * confusion counts, accuracy/f1 and the cost-curve head were
+  * bit-identical; only lastCost moved, in its final ~2 ULPs (~1e-15
+  * relative — 300 treeAggregate iterations amplifying reduce-order
+  * float jitter), which is why the gate row band-checks the costs
+  * instead of pinning them and why lastCost's band is 1e-6 relative
+  * (≈10⁹× the measured jitter). Same ENVIRONMENT PIN caveat as
+  * trainerOracle — OracleEnv switches to quality bands elsewhere.
+  */
+private[graft] object M07Golden {
+  val trainN = 6125L
+  val testN = 1485L
+  val tp = 473L; val tn = 730L; val fp = 125L; val fn = 157L
+  val accuracy = 0.8101010101010101
+  val f1 = 0.7703583061889251
+  val costsHead: Array[Double] = Array(
+    4245.526480929661, 3885.429848729404, 3755.704928702513,
+    3639.8682523394837, 3536.222679661188)
+  val lastCost = 2580.6459009286064
 }
 
 /** SQL literal lists shared by the ML-stack oracles. */

@@ -195,7 +195,11 @@ object TextQueries {
     "t17_ccnet_buckets" -> ((s, d) => {
       // persisted: read once for the thresholds and once for the
       // bucket join — the 20-term map-lookup scoring scan is the
-      // expensive part at scale, don't run it twice
+      // expensive part at scale, don't run it twice. The result plan
+      // references the pin, so it is freed by the harness sweep
+      // between queries (registry entries are consumed exactly once);
+      // library callers wanting scoped release wrap in
+      // core.Leased(result, Seq(scored)).
       val scored = unigramScored(s, d).persist()
       val th = scored.groupBy(col("lang")).agg(
         round(expr(s"percentile(avg_logprob, ${1.0 / 3})"), 6)
@@ -299,6 +303,15 @@ object TextQueries {
     "t20_bigram_logprob" -> ((s, d) =>
       bigramScored(Tables.documents(s, d))),
 
+    // Kneser–Ney-smoothed perplexity gate (the CCNet/KenLM step t12
+    // and t20 build toward): interpolated KN with fixed discount
+    // D=0.75 over the same bigram fit — the 100 TB shape is identical
+    // to t20 (two corpus scans, one gram-key shuffle for the fit,
+    // in-row broadcast-literal scoring; the three extra KN statistics
+    // aggregate the vocab²-bounded count table, not the corpus).
+    "t22_bigram_kn" -> ((s, d) =>
+      bigramScoredKn(Tables.documents(s, d))),
+
     // Multi-pattern blocklist gate (C4-style bad-words / phrase
     // screen): how many blocklist entries occur as substrings of each
     // doc, and whether the doc is blocked. One Aho–Corasick text
@@ -399,8 +412,12 @@ object TextQueries {
   /** Unigram model size for t12 — shared with its oracle. */
   private val UnigramV = 20
 
-  /** Bigram model size for t20 — shared with its oracle. */
+  /** Bigram model size for t20/t22 — shared with their oracles. */
   private val BigramV = 30
+
+  /** t22's fixed Kneser–Ney discount. 0.75 = 3·2⁻² is exact in
+    * binary — see [[bigramScoredKn]]. */
+  private val KnDiscount = 0.75
 
   /** t20's bigram-LM scoring stage, callable from specs on planted
     * (doc_id, text) frames: top-V MLE conditional model
@@ -450,6 +467,84 @@ object TextQueries {
     // in ExpressionSpec) — the gram-string arrays only ever exist in
     // the fit pass
     graft.core.PlanLiterals.requireMapTerms(model.size, "bigramScored")
+    import org.apache.spark.sql.graftbridge.ColumnBridge._
+    val st = column(graft.expressions.BigramLogProbExpr(
+      expression(col("__toks")), model, floorLp))
+    toks.select(col("doc_id"), st.as("__s"))
+      .select(col("doc_id"),
+        col("__s")("n_bigrams").as("n_bigrams"),
+        col("__s")("avg_logprob").as("avg_logprob"))
+      .filter(col("n_bigrams") > 0)
+  }
+
+  /** t22's smoothed bigram-LM scoring stage: interpolated Kneser–Ney
+    * with the textbook fixed discount D = [[KnDiscount]] (Kneser &
+    * Ney 1995; Chen & Goodman 1999's interpolated form) — the
+    * smoothing step between t20's raw MLE and a full CCNet-style
+    * KenLM perplexity gate. Every KN statistic is one more aggregate
+    * over the SAME vocab²-bounded gram-count table t20 already
+    * builds — never a second corpus scan:
+    *
+    *   ccnt(w1) = Σ_w2 c(w1 w2)        context mass
+    *   n1fw(w1) = |{w2 : c(w1 w2)>0}|  distinct continuations OF w1
+    *   n1bw(w2) = |{w1 : c(w1 w2)>0}|  distinct contexts INTO w2
+    *   T        = |{(w1,w2) : c>0}|    bigram type count
+    *
+    *   P_KN(w2|w1) = (max(c−D, 0) + (D·n1fw(w1)) · (n1bw(w2)/T))
+    *                 / ccnt(w1)
+    *
+    * The fixed discount keeps the fit SQL-expressible (the oracle
+    * recomputes it end to end), and D = 0.75 = 3·2⁻² is exact in
+    * binary, so every c−D and D·k term rounds identically in Spark
+    * and DuckDB; the association order above is mirrored
+    * parenthesis-for-parenthesis in the oracle. Scoring is t20's
+    * in-row kernel with the KN log-probs as the model values (top-V
+    * bigrams behind the plan-literal contract, t12's 0.5-count OOV
+    * floor). Returns (doc_id, n_bigrams, avg_logprob), docs with ≥ 1
+    * bigram.
+    */
+  def bigramScoredKn(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), TextOps.tokenize(col("text")).as("__toks"))
+    val grams = toks
+      .select(col("doc_id"),
+        Analysis.ngrams(col("__toks"), 2).as("grams"))
+      .filter(size(col("grams")) > 0)
+    // persisted for the same reason as t20's fit (four readers of a
+    // tiny aggregate); released as soon as the ≤V model rows are on
+    // the driver
+    val counts = grams.select(explode(col("grams")).as("g"))
+      .groupBy(col("g")).count().persist()
+    val totalRow = counts.agg(sum(col("count")), count(lit(1))).head
+    val total = if (totalRow.isNullAt(0)) 1.0
+      else totalRow.getLong(0).toDouble
+    val types = if (totalRow.isNullAt(0)) 1.0
+      else totalRow.getLong(1).toDouble
+    val ctx = counts
+      .groupBy(substring_index(col("g"), " ", 1).as("w1"))
+      .agg(sum(col("count")).as("ccnt"), count(lit(1)).as("n1fw"))
+    val cont = counts
+      .groupBy(substring_index(col("g"), " ", -1).as("w2"))
+      .agg(count(lit(1)).as("n1bw"))
+    val d = KnDiscount
+    val model = counts
+      .orderBy(col("count").desc, col("g").asc).limit(BigramV)
+      .join(ctx, substring_index(col("g"), " ", 1) === col("w1"))
+      .join(cont, substring_index(col("g"), " ", -1) === col("w2"))
+      .select(col("g"), col("count"), col("ccnt"), col("n1fw"),
+        col("n1bw"))
+      .collect()
+      .map { r =>
+        val c = r.getLong(1).toDouble
+        val ccnt = r.getLong(2).toDouble
+        val n1fw = r.getLong(3).toDouble
+        val n1bw = r.getLong(4).toDouble
+        r.getString(0) -> math.log(
+          (math.max(c - d, 0.0) + (d * n1fw) * (n1bw / types)) / ccnt)
+      }.toMap
+    counts.unpersist(blocking = false)
+    val floorLp = math.log(0.5 / total)
+    graft.core.PlanLiterals.requireMapTerms(model.size, "bigramScoredKn")
     import org.apache.spark.sql.graftbridge.ColumnBridge._
     val st = column(graft.expressions.BigramLogProbExpr(
       expression(col("__toks")), model, floorLp))
@@ -872,6 +967,41 @@ object TextQueries {
           tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM c),
           v AS (SELECT b, ln(cnt / CAST(ccnt AS DOUBLE)) AS lp
                 FROM c JOIN ctx ON string_split(c.b, ' ')[1] = ctx.w1
+                ORDER BY cnt DESC, b LIMIT $BigramV),
+          sc AS (SELECT u.doc_id,
+                   coalesce(v.lp, ln(0.5 / (SELECT total FROM tot)))
+                     AS lp
+                 FROM u LEFT JOIN v USING (b))
+          SELECT doc_id, CAST(count(*) AS INTEGER) AS n_bigrams,
+                 round(sum(lp) / count(*), 6) AS avg_logprob
+          FROM sc GROUP BY doc_id""",
+
+    // t22: the full interpolated-KN fit recomputed in SQL — every
+    // statistic (ccnt, n1fw, n1bw, T) one aggregate over the gram
+    // counts, the P_KN expression parenthesized exactly as the
+    // engine's Scala (bigramScoredKn): (max(c−D,0) + (D·n1fw) ·
+    // (n1bw/T)) / ccnt, D = 0.75 exact in binary.
+    "t22_bigram_kn" ->
+      s"""WITH t AS (SELECT doc_id, $tokSql AS toks FROM documents),
+          g AS (SELECT doc_id,
+                  list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i + 1]) AS grams
+                FROM t WHERE len(toks) >= 2),
+          u AS (SELECT doc_id, unnest(grams) AS b FROM g),
+          c AS (SELECT b, count(*) AS cnt FROM u GROUP BY 1),
+          ctx AS (SELECT string_split(b, ' ')[1] AS w1,
+                    sum(cnt) AS ccnt, count(*) AS n1fw FROM c GROUP BY 1),
+          cont AS (SELECT string_split(b, ' ')[2] AS w2,
+                     count(*) AS n1bw FROM c GROUP BY 1),
+          tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total,
+                    CAST(count(*) AS DOUBLE) AS types FROM c),
+          v AS (SELECT b, ln(
+                  (greatest(CAST(cnt AS DOUBLE) - 0.75, 0)
+                     + (0.75 * CAST(n1fw AS DOUBLE))
+                       * (CAST(n1bw AS DOUBLE) / (SELECT types FROM tot)))
+                  / CAST(ccnt AS DOUBLE)) AS lp
+                FROM c JOIN ctx ON string_split(c.b, ' ')[1] = ctx.w1
+                       JOIN cont ON string_split(c.b, ' ')[2] = cont.w2
                 ORDER BY cnt DESC, b LIMIT $BigramV),
           sc AS (SELECT u.doc_id,
                    coalesce(v.lp, ln(0.5 / (SELECT total FROM tot)))

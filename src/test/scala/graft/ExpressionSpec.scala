@@ -650,6 +650,30 @@ class ExpressionSpec extends AnyFunSuite {
     }
   }
 
+  test("MinHashBandsExpr all-null-elements edge: kernel yields EMPTY bands " +
+      "(documented divergence from the composed size>0 branch)") {
+    // Unreachable from production call sites (shingle arrays are
+    // array_distinct'd ngram output, never containing null elements);
+    // the kernel's empty answer is the one consistent with its
+    // containsNull=false sig schema. Pinned here so the divergence is
+    // a contract, not a surprise — see MinHashBands.scala scaladoc.
+    import spark.implicits._
+    import graft.operators.Dedup
+    for (codegen <- Seq("true", "false")) {
+      spark.conf.set("spark.sql.codegen.wholeStage", codegen)
+      try {
+        val docs = Seq((0L, Seq[String](null, null)), (1L, Seq[String](null)))
+          .toDF("doc_id", "shset")
+        val got = docs
+          .select(col("doc_id"),
+            Dedup.bandSignaturesInRow(col("shset"), 8, 2).as("bs"))
+          .select(col("doc_id"), size(col("bs")).as("n"))
+          .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+        assert(got == Map(0L -> 0, 1L -> 0), s"codegen=$codegen: $got")
+      } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+  }
+
   test("HashedGramBucketsExpr ≡ composed featureBuckets on random corpora " +
       "(codegen and interpreted; empty and 1-token docs)") {
     import spark.implicits._

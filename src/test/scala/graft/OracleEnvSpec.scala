@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.OracleEnv
+
+/** The pinned-vs-banded oracle mode switch (core/OracleEnv): the pure
+  * decision function, and the banded fallback path of the
+  * environment-pinned queries (m01–m06 / e05 / m07) — forced via the
+  * system property, exactly how a foreign-stack gate run would see
+  * them, and asserted to emit all-true band rows here (where the
+  * bands genuinely hold).
+  */
+class OracleEnvSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("decide: explicit override wins, else fingerprint match") {
+    val pf = OracleEnv.PinnedFingerprint
+    assert(OracleEnv.decide(Some("pinned"), None, "jvm99/weird/Other"))
+    assert(!OracleEnv.decide(Some("banded"), None, pf))
+    assert(OracleEnv.decide(None, Some("pinned"), "jvm99/weird/Other"))
+    assert(!OracleEnv.decide(None, Some("banded"), pf))
+    // property beats env
+    assert(!OracleEnv.decide(Some("banded"), Some("pinned"), pf))
+    // no override: fingerprint decides
+    assert(OracleEnv.decide(None, None, pf))
+    assert(!OracleEnv.decide(None, None, "jvm21/aarch64/VectorBLAS"))
+    intercept[IllegalArgumentException] {
+      OracleEnv.decide(Some("exact"), None, pf)
+    }
+  }
+
+  test("this build machine IS the pinned stack (fingerprint sanity — " +
+      "if this fails, the literal oracles need re-pinning here)") {
+    assert(OracleEnv.fingerprint == OracleEnv.PinnedFingerprint,
+      s"fingerprint=${OracleEnv.fingerprint}")
+  }
+
+  private def withMode[A](mode: String)(body: => A): A = {
+    val prev = sys.props.get("graft.oracle.mode")
+    sys.props("graft.oracle.mode") = mode
+    try body
+    finally prev match {
+      case Some(v) => sys.props("graft.oracle.mode") = v
+      case None => sys.props -= "graft.oracle.mode"
+    }
+  }
+
+  test("banded mode: m01 emits in-band booleans + exact split sizes, " +
+      "and its oracle is the matching literal row") {
+    withMode("banded") {
+      assert(!OracleEnv.bitExact)
+      val df = graft.queries.MlQueries
+        .queries("m01_ml_logreg")(spark, "/root/testdata/sf0.001")
+      val r = df.collect().head
+      assert(df.columns.toSeq == Seq("algo", "train_n", "test_n",
+        "acc_in_band", "f1_in_band"))
+      assert(r.getAs[String]("algo") == "lr")
+      assert(r.getAs[Boolean]("acc_in_band") &&
+        r.getAs[Boolean]("f1_in_band"))
+      val sql = graft.queries.MlQueries.oracleSql("m01_ml_logreg")
+      assert(sql.contains("acc_in_band") && !sql.contains("accuracy"))
+    }
+    // back in pinned mode the same entry is the literal form
+    val sqlPinned = graft.queries.MlQueries.oracleSql("m01_ml_logreg")
+    assert(sqlPinned.contains("accuracy"))
+  }
+
+  test("banded mode: e05 emits the aggregate recall band row " +
+      "(≥ 0.6 at the registered nProbe=4/16 config)") {
+    withMode("banded") {
+      val rows = graft.queries.DedupQueries
+        .queries("e05_knn_ivf")(spark, "/root/testdata/sf0.001")
+        .collect()
+      assert(rows.length == 1)
+      assert(rows.head.getAs[Long]("n_queries") == 10L)
+      assert(rows.head.getAs[Boolean]("recall_ok"), rows.mkString("; "))
+      assert(graft.queries.DedupQueries.oracleSql("e05_knn_ivf")
+        .contains("recall_ok"))
+    }
+  }
+
+  test("m07 gate row schema switches with the mode (oracle agrees); " +
+      "goldens match the committed confusion identities") {
+    // identity checks on the committed goldens — cheap guards against
+    // a mistyped re-pin (accuracy/f1 must reproduce from the counts)
+    import graft.queries.M07Golden._
+    assert(tp + tn + fp + fn == testN)
+    assert(math.abs((tp + tn).toDouble / testN - accuracy) < 1e-15)
+    assert(math.abs(tp / (tp + 0.5 * (fp + fn)) - f1) < 1e-15)
+    val pinnedSql = graft.queries.MlQueries.oracleSql("m07_rdd_lr_train")
+    assert(pinnedSql.contains("AS tp") &&
+      pinnedSql.contains("curve_head_ok"))
+    withMode("banded") {
+      val bandedSql = graft.queries.MlQueries.oracleSql("m07_rdd_lr_train")
+      assert(bandedSql.contains("acc_ok") && !bandedSql.contains("AS tp"))
+    }
+  }
+}

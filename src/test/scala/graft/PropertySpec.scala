@@ -353,6 +353,77 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("bigramScoredKn ≡ naive driver interpolated-KN LM on random " +
+      "corpora (fixed discount D=0.75)") {
+    import spark.implicits._
+    val word = Gen.oneOf((0 until 40).map(i => f"w$i%02d"))
+    val doc = Gen.chooseNum(0, 8)
+      .flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    val D = 0.75
+    (1 to 4).foreach { round =>
+      val texts = Iterator.continually(doc.sample).flatten
+        .take(60).toVector
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }
+      val got = graft.queries.TextQueries
+        .bigramScoredKn(docs.toDF("doc_id", "text"))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2))))
+        .toMap
+      // naive reference: the textbook interpolated-KN formula,
+      // computed from scratch on the driver
+      val toks = docs.map { case (id, t) =>
+        id -> t.split("\\s+").filter(_.nonEmpty).toSeq }
+      val grams = toks.map { case (id, ws) =>
+        id -> ws.sliding(2).filter(_.length == 2)
+          .map(_.mkString(" ")).toVector }
+        .filter(_._2.nonEmpty)
+      val counts = grams.flatMap(_._2)
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val total = counts.values.sum.toDouble
+      val types = counts.size.toDouble
+      val byW1 = counts.toSeq.groupBy(_._1.split(" ")(0))
+      val ccnt = byW1.view.mapValues(_.map(_._2).sum.toDouble).toMap
+      val n1fw = byW1.view.mapValues(_.size.toDouble).toMap
+      val n1bw = counts.toSeq.groupBy(_._1.split(" ")(1)).view
+        .mapValues(_.size.toDouble).toMap
+      val model = counts.toSeq
+        .sortBy { case (g, c) => (-c, g) }.take(30)
+        .map { case (g, c) =>
+          val Array(w1, w2) = g.split(" ")
+          g -> math.log(
+            (math.max(c - D, 0.0) + (D * n1fw(w1)) * (n1bw(w2) / types))
+              / ccnt(w1))
+        }.toMap
+      val floor = math.log(0.5 / total)
+      val exp = grams.map { case (id, gs) =>
+        id -> ((gs.length,
+          gs.map(g => model.getOrElse(g, floor)).sum / gs.length))
+      }.toMap
+      assert(got.keySet == exp.keySet, s"round=$round")
+      exp.foreach { case (id, (n, lp)) =>
+        assert(got(id)._1 == n, s"round=$round id=$id n")
+        assert(math.abs(got(id)._2 - lp) < 1e-6,
+          s"round=$round id=$id lp got=${got(id)._2} exp=$lp")
+      }
+      // smoothing sanity: every KN log-prob is finite and ≤ 0 (a
+      // probability — the interpolation term keeps it strictly
+      // positive even at c−D ≈ 0), and for a bigram whose w2 is a
+      // RARE continuation (n1fw·n1bw < T) the discount strictly
+      // lowers it below MLE — the mass moved toward promiscuous
+      // continuations, which is the point of KN
+      model.foreach { case (g, lp) =>
+        assert(lp <= 0.0 && !lp.isNegInfinity && !lp.isNaN,
+          s"round=$round g=$g kn=$lp")
+        val Array(w1, w2) = g.split(" ")
+        if (n1fw(w1) * n1bw(w2) < types) {
+          val mle = math.log(counts(g) / ccnt(w1))
+          assert(lp < mle, s"round=$round g=$g kn=$lp mle=$mle")
+        }
+      }
+    }
+  }
 }
 
 private object TextOpsFixtures {
