@@ -28,7 +28,7 @@ object Dedup {
     * [[graft.expressions.IntersectCountStr]] remains available for
     * unhashed set workloads (measured in tools.SnmProfile).
     */
-  private def intersectCountI64(a: Column, b: Column): Column = {
+  private[graft] def intersectCountI64(a: Column, b: Column): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge._
     column(graft.expressions.IntersectCountI64(
       expression(a), expression(b)))
@@ -345,17 +345,38 @@ object Dedup {
           .as("pb"))
       .groupBy(col("pa.doc_id").as("a"), col("pb.doc_id").as("b"))
       .agg(min(col("pa.pos")).as("ia"), min(col("pb.pos")).as("jb"),
+        max(col("pa.pos")).as("la"), max(col("pb.pos")).as("lb"),
+        count(lit(1)).as("alpha"),
         max(col("pa.n")).as("na"), max(col("pb.n")).as("nb"))
-    // Arasu length filter (J ≥ t ⇒ t·max ≤ min) + PPJoin positional
-    // filter (Xiao et al. 2008 Lemma 2): no shared element precedes
-    // the first shared one in either array, so
-    // overlap ≤ min(na − ia, nb − jb) (0-based), and J ≥ t needs
-    // overlap ≥ t/(1+t)·(na+nb).
+    // Three lossless prunes, all from ints already riding the
+    // candidate aggregate — no joins:
+    //  1. Arasu length filter: J ≥ t ⇒ t·max(na,nb) ≤ min(na,nb).
+    //  2. PPJoin positional filter (Xiao et al. 2008 Lemma 2), FIRST
+    //     shared element: no shared element precedes the first shared
+    //     one in either array ⇒ overlap ≤ min(na − ia, nb − jb).
+    //  3. Suffix-capacity filter from the LAST shared prefix element
+    //     (round 10 — the PPJoin accumulated-overlap accounting, free
+    //     here because the pair aggregate already folds the shared
+    //     prefix shingles): `alpha` = |prefix(a) ∩ prefix(b)| is the
+    //     group's row count, and every OTHER shared element sits
+    //     strictly after position la in a AND lb in b — both arrays
+    //     are sorted by the same global (df, shingle) order, so an
+    //     element in a's prefix below la but in b's suffix would have
+    //     to order both before and after the la/lb elements, a
+    //     contradiction. Hence overlap ≤ alpha +
+    //     min(na−1−la, nb−1−lb), strictly tighter than #2 whenever
+    //     alpha ≥ 2 (equal at alpha = 1, where la = ia).
+    // J ≥ t needs overlap ≥ t/(1+t)·(na+nb) in all three.
     val survivors = cands
       .filter(lit(threshold) * greatest(col("na"), col("nb")) <=
         least(col("na"), col("nb")))
       .filter((lit(1.0) + lit(threshold)) *
         least(col("na") - col("ia"), col("nb") - col("jb")) >=
+        lit(threshold) * (col("na") + col("nb")))
+      .filter((lit(1.0) + lit(threshold)) *
+        (col("alpha") +
+          least(col("na") - lit(1) - col("la"),
+            col("nb") - lit(1) - col("lb"))) >=
         lit(threshold) * (col("na") + col("nb")))
       .select(col("a"), col("b"))
     val sa = docSets.select(col("doc_id").as("a"), col("shset").as("__sa"))

@@ -338,6 +338,26 @@ object TextQueries {
     "merge batch", "spark", "spark a", "sort table window",
     "big vector", "window window", "quantum flux")
 
+  /** 100,000-entry generated phrase blocklist — the production-scale
+    * fixture behind the t21 kernel's list-size-independence claim
+    * (real screens reach this size: contamination phrase lists, C4++
+    * bad-word variants). Deterministic seeded 3-token phrases over a
+    * 60-word vocabulary; the automaton built from it is asserted
+    * O(pattern bytes) in ExpressionSpec and timed flat against the
+    * 12/263-entry lists in tools.BlocklistProbe (SCALE.md row). NOT
+    * used by the t21 oracle query — a 100k-term contains() chain is
+    * no oracle.
+    */
+  lazy val blocklist100k: Seq[String] = {
+    val vocab = (0 until 60).map(i => f"term$i%02d")
+    val rng = new scala.util.Random(1234L)
+    val out = collection.mutable.LinkedHashSet.empty[String]
+    while (out.size < 100000)
+      out += s"${vocab(rng.nextInt(60))} ${vocab(rng.nextInt(60))} " +
+        s"${vocab(rng.nextInt(60))}"
+    out.toSeq
+  }
+
   /** t18 body, callable from specs on planted frames: per-doc integer
     * statistics + integer-arithmetic rule flags + keep verdict over a
     * (doc_id, text) frame. Statistics come from the single-pass

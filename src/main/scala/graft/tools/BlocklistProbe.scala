@@ -42,6 +42,23 @@ object BlocklistProbe {
       time(s"kernel400#$i")(docs.select(col("doc_id"),
         TextOps.blocklistHits(col("text"), big).as("n_hits")))
     }
+    // production blocklist scale: ~100k generated 3-token phrases
+    // (the C4 bad-words list is ~2k; contamination phrase screens
+    // reach 1e5). The composed form at this size would run 100k
+    // contains() scans per doc — hours — so only the kernel is timed;
+    // the list-size-INDEPENDENCE claim is kernel vs kernel400 vs the
+    // 263-entry production list above. Automaton footprint printed
+    // alongside (flat primitive arrays, O(pattern bytes)).
+    val bigVocab = graft.queries.TextQueries.blocklist100k
+    println(s"100k blocklist: ${bigVocab.length} entries")
+    val auto = new graft.expressions.AcAutomaton(bigVocab.toArray)
+    val (states, edges) = auto.sizeStats
+    val patBytes = bigVocab.map(_.getBytes("UTF-8").length).sum
+    println(s"automaton: states=$states edges=$edges patternBytes=$patBytes")
+    (1 to 3).foreach { i =>
+      time(s"kernel100k#$i")(docs.select(col("doc_id"),
+        TextOps.blocklistHits(col("text"), bigVocab).as("n_hits")))
+    }
     spark.stop()
   }
 }

@@ -847,6 +847,34 @@ class ExpressionSpec extends AnyFunSuite {
     assert(edge(1L) == patterns.length) // every entry present (dup twice)
   }
 
+  test("BlocklistHits at 100k entries: automaton memory stays " +
+      "O(pattern bytes) and counts match naive contains on planted docs") {
+    import graft.expressions.AcAutomaton
+    val pats = graft.queries.TextQueries.blocklist100k
+    assert(pats.length == 100000 && pats.distinct.length == 100000)
+    val auto = new AcAutomaton(pats.toArray)
+    val (states, edges) = auto.sizeStats
+    val patBytes = pats.map(_.getBytes("UTF-8").length).sum
+    // trie bounds: ≤ one state per pattern byte (plus root), edges =
+    // states − 1 — this IS the "O(pattern bytes), no 256-wide rows"
+    // scaladoc claim at production list size (~2 MB of patterns)
+    assert(states <= patBytes + 1, s"states=$states patBytes=$patBytes")
+    assert(edges == states - 1, s"edges=$edges states=$states")
+    // correctness at this scale: planted phrases + filler, counts
+    // match the naive 100k-contains reference per doc
+    val rng = new scala.util.Random(99)
+    (1 to 50).foreach { _ =>
+      val planted = Seq.fill(rng.nextInt(6))(
+        pats(rng.nextInt(pats.length)))
+      val filler = Seq.fill(4)(s"w${rng.nextInt(1000)}")
+      val doc = rng.shuffle(planted ++ filler).mkString(" ")
+      val naive = pats.count(doc.contains)
+      val got = auto.countEntriesPresent(
+        doc.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      assert(got == naive, s"doc='$doc' got=$got naive=$naive")
+    }
+  }
+
   test("IntersectCountI64 ≡ size(array_intersect) on long arrays: " +
       "random, duplicates, nulls, Long.MinValue, empties; codegen " +
       "and interpreted") {
