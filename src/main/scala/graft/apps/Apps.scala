@@ -11,6 +11,13 @@ import graft.ml.TweetPipeline
   * same results block as `LogisticRegression.py:120-126`; Stack B apps
   * additionally persist the per-iteration cost curve as a single text
   * file (S5), same layout as the reference's `out/<run>/part-00000`.
+  *
+  * Pin lifecycle: the `.persist()`s below mirror the reference
+  * scripts' `cache()` calls and live for the app's whole run — each
+  * main is a one-shot spark-submit process whose `spark.stop()`/exit
+  * frees all storage, so no scoped release is needed (the
+  * core/Pinned contract applies to LIBRARY operators, not one-shot
+  * drivers).
   */
 private object AppUtil {
   def session(name: String): SparkSession = Sessions.local(name)
