@@ -272,4 +272,40 @@ object Splits {
           1, 13), 16, 10).cast("long").cast("double").as("rk"))
     Similarity.topKPerQuery(pairs, "rk", scoreAsc = true, k)
   }
+
+  /** Exact-COUNT stratified sample: EXACTLY min(n, |stratum|) rows
+    * per stratum, chosen by a deterministic per-row hash priority —
+    * the eval/holdout-set construction step where the rate-based gate
+    * ([[stratifiedKeep]], sp02) can only promise ~ratePct% in
+    * expectation. Returns `(stratum, id, rank)` with rank 1..n in
+    * priority order; callers semi-join the corpus on (stratum, id) to
+    * materialize full rows.
+    *
+    * Scale shape: a k-bounded mergeable heap per stratum
+    * ([[graft.expressions.TopKAgg]]) aggregates MAP-SIDE, so the
+    * exchange carries ≤ |strata| × n (priority, id) pairs per scan
+    * partition and the final merge is |strata| tiny heap unions —
+    * where the textbook `row_number() OVER (PARTITION BY stratum
+    * ORDER BY hash)` window hash-partitions the whole corpus with at
+    * most |strata| active reducers. The priority is a 52-bit md5
+    * slice, exact in a double (the sp11 discipline), so heap order ≡
+    * the oracle's BIGINT `row_number` order; ties — impossible unless
+    * 52 bits collide within a stratum — break to the smaller id in
+    * both.
+    */
+  def stratifiedExact(docs: DataFrame, idCol: String,
+      stratumCol: String, salt: String, n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val pr = conv(substring(md5(concat(col(stratumCol).cast("string"),
+        lit(":"), col(idCol).cast("string"), lit("|" + salt))),
+      1, 13), 16, 10).cast("long").cast("double")
+    import org.apache.spark.sql.graftbridge.ColumnBridge._
+    val agg = column(graft.expressions.TopKAgg(
+      expression(pr), expression(col(idCol).cast("long")), n,
+      scoreAsc = true).toAggregateExpression())
+    docs.groupBy(col(stratumCol).as("stratum")).agg(agg.as("tk"))
+      .select(col("stratum"), posexplode(col("tk")).as(Seq("p", "e")))
+      .select(col("stratum"), col("e.id").as("id"),
+        (col("p") + 1).as("rank"))
+  }
 }

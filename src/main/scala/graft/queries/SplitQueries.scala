@@ -40,6 +40,18 @@ object SplitQueries {
           MixRates, defaultPct = 30))
         .select(col("doc_id"), col("source"))),
 
+    // Exact-COUNT stratified sample (round 10, filling the sp10 id):
+    // exactly min(72, |lang|) docs per language by deterministic
+    // 52-bit hash priority — eval-set construction where sp02's
+    // rate gate only promises an expectation. lang is the skewed
+    // stratum (en ~3× the rest), so truncation AND keep-all both
+    // occur at the gate fixtures. Bounded heap per stratum
+    // aggregates map-side; the exchange carries |strata|×72 rows,
+    // never a corpus-wide window sort.
+    "sp10_stratified_exact" -> ((s, d) =>
+      Splits.stratifiedExact(Tables.documents(s, d), "doc_id",
+        "lang", Salt, n = StratifiedN)),
+
     // Temperature-flattened mix: keep rates COMPUTED from corpus
     // composition (∝ 1/√n_source, α = 1/2 sampling), not hand-tuned —
     // sp03's data-driven sibling. One count pass, broadcast rate
@@ -147,6 +159,11 @@ object SplitQueries {
     */
   private val TokenBudget = 400L
 
+  /** sp10's per-stratum sample size — between the smallest and the
+    * biggest LANGUAGE count at the sf0.001/sf0.01 fixtures (64–218),
+    * so truncation and keep-all both occur at the gate. */
+  private val StratifiedN = 72
+
   /** DuckDB mirror of [[Splits.hashBucket]]: same md5 string, same
     * 15-hex-char (60-bit, always-positive) prefix, hex→long via
     * CAST('0x'||… AS BIGINT) ≡ Spark's conv(…,16,10) (DedupQueries'
@@ -190,6 +207,22 @@ object SplitQueries {
                   CAST(d.doc_id AS VARCHAR) || '|$Salt'), 1, 15))
                   AS BIGINT) AS DOUBLE)
                 < rate * 1152921504606846976.0""",
+    // sp10: the heap's (52-bit priority, id) order IS row_number
+    // order — same md5 slice, exact in a double on the Spark side
+    "sp10_stratified_exact" ->
+      s"""WITH r AS (
+            SELECT lang AS stratum, doc_id,
+              CAST(('0x' || substring(md5(lang || ':' ||
+                CAST(doc_id AS VARCHAR) || '|$Salt'), 1, 13))
+                AS BIGINT) AS pr
+            FROM documents),
+          w AS (
+            SELECT stratum, doc_id,
+              row_number() OVER (PARTITION BY stratum
+                                 ORDER BY pr, doc_id) AS rn
+            FROM r)
+          SELECT stratum, doc_id AS id, CAST(rn AS INTEGER) AS rank
+          FROM w WHERE rn <= $StratifiedN""",
     // sp11: same 52-bit pair hash (exact in a double), rank within
     // anchor by (hash, id) — the heap's tie order
     "sp11_contrastive_negatives" ->

@@ -271,6 +271,48 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("stratifiedExact ≡ naive per-stratum window; exactly " +
+      "min(n, |stratum|) rows per stratum on random inputs") {
+    import spark.implicits._
+    import graft.operators.Splits
+    val strat = Gen.oneOf("web", "wiki", "code", "book")
+    (1 to 3).foreach { round =>
+      val rnd = new scala.util.Random(4200 + round)
+      val rows = (0L until 120L).map(id =>
+        (id, Iterator.continually(strat.sample).flatten.next()))
+      val df = rows.toDF("doc_id", "source")
+      val n = 1 + rnd.nextInt(25)
+      val got = Splits.stratifiedExact(df, "doc_id", "source",
+          "graft-split", n)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+        .toSet
+      // naive driver reference: same 52-bit md5 priority, per-stratum
+      // sort by (priority, id), take n
+      def md5hex(s: String): String = {
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8"))
+        d.map("%02x".format(_)).mkString
+      }
+      val exp = rows.groupBy(_._2).flatMap { case (src, members) =>
+        members.map { case (id, _) =>
+          val pr = java.lang.Long.parseLong(
+            md5hex(s"$src:$id|graft-split").take(13), 16)
+          (src, id, pr)
+        }.sortBy { case (_, id, pr) => (pr, id) }
+          .take(n).zipWithIndex
+          .map { case ((src2, id, _), i) => (src2, id, i + 1) }
+      }.toSet
+      assert(got == exp, s"round=$round n=$n " +
+        s"missing=${exp -- got} extra=${got -- exp}")
+      val perStratum = got.groupBy(_._1).view.mapValues(_.size).toMap
+      val sizes = rows.groupBy(_._2).view.mapValues(_.size).toMap
+      sizes.foreach { case (src, sz) =>
+        assert(perStratum.getOrElse(src, 0) == math.min(n, sz),
+          s"round=$round src=$src")
+      }
+    }
+  }
+
   test("contrastiveNegatives: k per anchor, never the anchor's label, " +
       "deterministic, heap plan (no per-anchor window)") {
     import spark.implicits._
