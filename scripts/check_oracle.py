@@ -92,6 +92,18 @@ def main():
     for k in sorted(missing):
         print(f"  [FAIL-miss ] {k}: no output written")
     n_fail += len(missing)
+    if n_fail:
+        # Self-diagnosis: graft.Verify writes the resolved oracle mode,
+        # environment fingerprint, parallelism, and the pinned queries'
+        # raw measured values next to the outputs — print them so a
+        # hash FAIL carries its own evidence (VERDICT r10 ask #3).
+        env_path = os.path.join(out_dir, "oracle_env.json")
+        if os.path.exists(env_path):
+            env = json.load(open(env_path))
+            measured = env.pop("measured", {})
+            print("oracle_env:", json.dumps(env, sort_keys=True))
+            for k in sorted(measured):
+                print(f"  measured[{k}]: {json.dumps(measured[k], sort_keys=True)}")
     print(f"{n_pass} pass, {n_fail} fail")
     sys.exit(1 if n_fail else 0)
 

@@ -55,6 +55,30 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Self-diagnosing gate: the resolved oracle mode, environment
+    // fingerprint, parallelism, and each pinned query's RAW measured
+    // values (GateDiag) land next to the outputs, so a driver-side
+    // hash fail on a pinned row carries its own evidence —
+    // check_oracle.py prints this file on FAIL. Round-10's m07 red
+    // cell (partition-layout-dependent split, visible only as a bare
+    // hash_match=false) is the failure class this closes.
+    def opt(o: Option[String]): String = o.map(q).getOrElse("null")
+    val env = graft.core.OracleEnv
+    val envJson = Seq(
+      s"""\"oracle_mode\": ${q(if (env.bitExact) "pinned" else "banded")}""",
+      s"""\"fingerprint\": ${q(env.fingerprint)}""",
+      s"""\"pinned_fingerprint\": ${q(env.PinnedFingerprint)}""",
+      s"""\"mode_override_prop\": ${opt(sys.props.get("graft.oracle.mode"))}""",
+      s"""\"mode_override_env\": ${opt(sys.env.get("GRAFT_ORACLE_MODE"))}""",
+      s"""\"master\": ${q(sc.master)}""",
+      s"""\"default_parallelism\": ${sc.defaultParallelism}""",
+      s"""\"shuffle_partitions\": ${q(spark.conf.get("spark.sql.shuffle.partitions"))}""",
+      s"""\"spark_graft_cpus\": ${opt(sys.env.get("SPARK_GRAFT_CPUS"))}""",
+      s"""\"java_version\": ${q(System.getProperty("java.version", "?"))}""",
+      s"""\"spark_version\": ${q(spark.version)}""",
+      s"""\"measured\": ${graft.core.GateDiag.snapshotJson}"""
+    ).mkString("{", ", ", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_env.json"), envJson)
     spark.stop()
   }
 }

@@ -59,6 +59,43 @@ object RddPipeline {
     Featurized(toks, vocab, data, toks.count())
   }
 
+  /** Deterministic ~80/20 train/test split + pinned training layout
+    * for the PINNED gate rows (m07) and their dump tool — shared so
+    * the gate and the golden emitter cannot drift.
+    *
+    * Why not `randomSplit(seed)`: its assignment depends on the
+    * partition layout of the input, and the featurized frame's
+    * partition count is `spark.sql.shuffle.partitions` = the core
+    * count ([[graft.core.Sessions]]) — the round-10 goldens were
+    * silently local[8]-only (VERDICT r10 §wrong). A hash gate on the
+    * stable doc id ([[graft.operators.Splits.hashBucket]]) is a pure
+    * per-row expression: same rows in the same split on any
+    * partitioning, core count, or cluster size — the 100 TB shape.
+    * Exact RNG parity with the reference's seeded split is impossible
+    * anyway (SURVEY §7), so determinism wins for the gate contract;
+    * the reference-CLI mirrors in [[graft.apps.Apps]] keep
+    * `randomSplit` for semantics parity.
+    *
+    * The training side is additionally repartitioned by id hash into
+    * `parts` partitions and sorted by id within each, so the GD
+    * seqOp's float-summation order is identical on every stack —
+    * partition CONTENTS and ORDER no longer depend on the upstream
+    * layout. (`parts` tracks data volume at scale, like the old
+    * `coalesce(8)`; the extra shuffle moves ~6k sparse docs here.)
+    * Remaining nondeterminism is only the driver-side merge arrival
+    * order of `parts` partials — measured at ~1e-15 relative on the
+    * final cost, absorbed by the gate's cost bands.
+    */
+  def gateSplit(data: Dataset[SparseDoc], parts: Int = 8)
+      : (Dataset[SparseDoc], Dataset[SparseDoc]) = {
+    val gate = graft.operators.Splits
+      .hashBucket(col("id"), "m07-split", 100) < 80
+    val tr = data.filter(gate)
+      .repartition(parts, col("id"))
+      .sortWithinPartitions(col("id"))
+    (tr, data.filter(!gate))
+  }
+
   /** Words for dictionary ids, driver-side (T2/P5:
     * `RDD_logisticregression.py:172`).
     */

@@ -296,6 +296,15 @@ object Splits {
   def stratifiedExact(docs: DataFrame, idCol: String,
       stratumCol: String, salt: String, n: Int): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
+    // Fail loud on a non-integral id column: the heap payload is the
+    // id cast to long, and a string-id corpus would cast to null —
+    // TopKAgg skips nulls, silently undersizing every stratum.
+    val idType = docs.schema(idCol).dataType
+    require(Seq("byte", "short", "integer", "long")
+        .contains(idType.typeName),
+      s"stratifiedExact requires an integral id column; '$idCol' is " +
+        s"${idType.typeName} (string ids would cast to null and be " +
+        "silently dropped — map them to a long surrogate first)")
     val pr = conv(substring(md5(concat(col(stratumCol).cast("string"),
         lit(":"), col(idCol).cast("string"), lit("|" + salt))),
       1, 13), 16, 10).cast("long").cast("double")

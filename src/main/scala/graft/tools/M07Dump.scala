@@ -13,9 +13,9 @@ object M07Dump {
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
     val fz = graft.features.RddPipeline.featurize(spark,
       graft.core.Csv.TrainCsv, dim = 10000)
-    val Array(training0, testing) =
-      fz.data.randomSplit(Array(0.8, 0.2), seed = 123L)
-    val tr = training0.coalesce(8)
+    // Same deterministic split + pinned layout as the gate row —
+    // shared via RddPipeline.gateSplit so they cannot drift.
+    val (tr, testing) = graft.features.RddPipeline.gateSplit(fz.data)
     tr.persist().count(); testing.persist().count()
     val res = graft.gd.GradientDescent.run(tr, 10000,
       graft.gd.LogisticLoss,
