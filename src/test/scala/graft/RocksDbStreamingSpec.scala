@@ -124,6 +124,58 @@ class RocksDbStreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("session paths on RocksDB: batch-equal ordered paths, state evicted") {
+    withRocksDb {
+      import spark.implicits._
+      import EventStreams.{PathInput, SessionPathRow}
+      val mem = MemoryStream[PathInput](spark)
+      val q = EventStreams.sessionPathsStream(mem.toDS(), gapMs = 30L * 60000L)
+        .writeStream.format("memory").queryName("rocks_paths")
+        .option("checkpointLocation", ckpt())
+        .outputMode("append").start()
+      val rows = Seq(
+        PathInput(1L, ts(0), 10L, "view"),
+        PathInput(1L, ts(20), 12L, "purchase"),
+        PathInput(1L, ts(70), 13L, "view"), PathInput(1L, ts(70), 14L, "error"),
+        PathInput(2L, ts(5), 20L, "signup"))
+      try {
+        mem.addData(rows.take(2): _*)
+        q.processAllAvailable()
+        // late-but-in-gap event lands in RocksDB state across batches —
+        // the close-time sort must still order view>click>purchase
+        mem.addData(PathInput(1L, ts(10), 11L, "click"))
+        q.processAllAvailable()
+        mem.addData(rows.drop(2): _*)
+        q.processAllAvailable()
+        assert(q.lastProgress.stateOperators.head.customMetrics
+          .containsKey("rocksdbSstFileSize"),
+          "progress metrics are not RocksDB's — provider not in effect")
+        mem.addData(PathInput(99L, ts(10000), 990L, "view")) // advance wm
+        q.processAllAvailable()
+        mem.addData(PathInput(99L, ts(10001), 991L, "view"))
+        q.processAllAvailable()
+
+        val got = spark.table("rocks_paths").as[SessionPathRow]
+          .collect().filter(_.user_id != 99L)
+          .map(r => (r.user_id, r.session_start_ms / 60000L % 100000L, r.path))
+          .toSet
+        val batch = EventStreams.sessionPathRows(
+            (rows :+ PathInput(1L, ts(10), 11L, "click")).toDF(),
+            gapMs = 30L * 60000L)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1) / 60000L % 100000L,
+            r.getString(2)))
+          .toSet
+        assert(got == batch)
+        assert(got.map(t => (t._1, t._3)) == Set(
+          (1L, "view>click>purchase"), (1L, "view>error"), (2L, "signup")))
+
+        val left = q.lastProgress.stateOperators.head.numRowsTotal
+        assert(left <= 1, s"closed path sessions not evicted: $left")
+      } finally q.stop()
+    }
+  }
+
   test("ingest-time near-dup candidates on RocksDB: pairs emitted, buckets evicted") {
     withRocksDb {
       import spark.implicits._
