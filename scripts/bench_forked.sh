@@ -26,14 +26,22 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
 done
 
 TMP=$(mktemp /tmp/bench_forked.XXXX.txt)
+# FORK_REPS>1 = the median protocol: per query, REPS fresh JVMs each
+# running the query ONCE (cold only); out.json reports the median —
+# the reproducible operational number (a single cold run is bimodal
+# for the JIT/GC-sensitive queries; a same-JVM warm rerun inherits
+# the cold run's own heap debt, which is the cliff being dodged).
+REPS=${FORK_REPS:-1}
 for q in "${QUERIES[@]}"; do
-  echo "[forked] $q (fresh JVM)"
-  # one fresh JVM per query; the query runs twice -> cold + warm lines
-  java $OPENS -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
-    -Xmx${SPARK_DRIVER_MEM:-100g} \
-    -cp /root/repo/target/scala-2.13/classes:"/opt/spark/jars/*" \
-    graft.tools.TimeQuery "$SF_DIR" "$q" "$q" 2>/dev/null \
-    | grep '^TIMED' | sed "s/^TIMED/FORKED $q/" | tee -a "$TMP"
+  for ((r = 0; r < REPS; r++)); do
+    echo "[forked] $q (fresh JVM, rep $r)"
+    if [ "$REPS" -gt 1 ]; then ARGS=("$q"); else ARGS=("$q" "$q"); fi
+    java $OPENS -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+      -Xmx${SPARK_DRIVER_MEM:-100g} \
+      -cp /root/repo/target/scala-2.13/classes:"/opt/spark/jars/*" \
+      graft.tools.TimeQuery "$SF_DIR" "${ARGS[@]}" 2>/dev/null \
+      | grep '^TIMED' | sed "s/^TIMED/FORKED $q/" | tee -a "$TMP"
+  done
 done
 
 python3 - "$OUT" "$SF_DIR" "$TMP" <<'EOF'
@@ -45,12 +53,20 @@ for line in open(tmp):
     parts = line.split()
     if parts and parts[0] == "FORKED":
         runs.setdefault(parts[1], []).append(float(parts[-2]))
-rec = {"sf": sf, "mode": "forked-jvm-per-query",
-       "queries": {q: {"cold": v[0], "warm": v[-1] if len(v) > 1 else None}
-                   for q, v in runs.items()}}
+import os, statistics
+if int(os.environ.get("FORK_REPS", "1")) > 1:
+    rec = {"sf": sf, "mode": "forked-jvm-median-of-colds",
+           "queries": {q: {"median": round(statistics.median(v), 2),
+                           "colds": v}
+                       for q, v in runs.items()}}
+else:
+    rec = {"sf": sf, "mode": "forked-jvm-per-query",
+           "queries": {q: {"cold": v[0], "warm": v[-1] if len(v) > 1 else None}
+                       for q, v in runs.items()}}
 with open(out, "w") as f:
     json.dump(rec, f, indent=1)
 print(f"[forked] wrote {out}")
 for q, v in rec["queries"].items():
-    print(f"[forked] {q}: cold={v['cold']} warm={v['warm']}")
+    print(f"[forked] {q}: " +
+          " ".join(f"{k}={x}" for k, x in v.items()))
 EOF

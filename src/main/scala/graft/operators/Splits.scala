@@ -317,4 +317,45 @@ object Splits {
       .select(col("stratum"), col("e.id").as("id"),
         (col("p") + 1).as("rank"))
   }
+
+  /** Priority sampling (Duffield–Lund–Thorup, JACM 2007): a
+    * weight-proportional size-k sample WITHOUT replacement plus the
+    * Horvitz–Thompson per-item estimate `w_hat = max(w, tau)`, whose
+    * sum is an unbiased — and among all k-sample schemes, near
+    * variance-optimal — estimator of the corpus' total weight.
+    * Deterministic here: the uniform draw is the 52-bit md5 slice
+    * (the sp11 discipline) so u ∈ (0,1] is exact in a double,
+    * priority q = w/u is one correctly-rounded IEEE division, and
+    * the oracle's `ORDER BY q DESC, id` agrees bit-for-bit.
+    *
+    * Scale shape: q rides inside the scan's codegen stage; the only
+    * ordering is `orderBy(q).limit(k+1)` = TakeOrderedAndProject —
+    * a (k+1)-bounded heap per partition, (k+1) rows per partition on
+    * the exchange, never a corpus sort. tau (the (k+1)-th priority)
+    * is then a window min over k+1 rows. At 100 TB this is the
+    * weighted "pick 10k representative documents + unbiased total
+    * token count" primitive; the corpus never shuffles.
+    *
+    * `weight` must be a non-negative integer column (exact in a
+    * double); rows with weight 0 have q = 0 and are never sampled.
+    */
+  def prioritySample(docs: DataFrame, idCol: String, weight: Column,
+      salt: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val h = conv(substring(md5(concat(col(idCol).cast("string"),
+      lit("|" + salt))), 1, 13), 16, 10).cast("long").cast("double")
+    // u in (0,1]: (h+1)/2^52 — the +1 dodges the 2^-52 zero-divide
+    val u = (h + lit(1.0)) / lit(4503599627370496.0)
+    val w = weight.cast("double")
+    val topK1 = docs
+      .select(col(idCol), w.as("w"), (w / u).as("q"))
+      .orderBy(col("q").desc, col(idCol)).limit(k + 1)
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)) // k+1 rows: one tiny partition by design
+    topK1
+      .withColumn("tau", min(col("q")).over(win))
+      .filter(col("q") > col("tau"))
+      .select(col(idCol), col("w"),
+        greatest(col("w"), col("tau")).as("w_hat"))
+  }
 }

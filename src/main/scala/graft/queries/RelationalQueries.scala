@@ -170,6 +170,32 @@ object RelationalQueries {
           sum($"n_chars").as("sum_chars"))
     }),
 
+    // Schema evolution as a gate query: two parquet generations of
+    // the same table — an old writer without `source`, a new writer
+    // with it — read back as ONE table via mergeSchema, the missing
+    // column null-filled, and rolled up. At 100 TB a table is never
+    // rewritten when a column is added; readers must union
+    // heterogeneous footers forever. The contract the oracle checks:
+    // merge is purely additive (old rows' values survive bit-for-bit,
+    // new column null where unwritten) and layout-invariant.
+    "ly05_evolved_scan" -> ((s, d) => {
+      import s.implicits._
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-ly-").toString + "/docs_evolved"
+      val docs = Tables.documents(s, d)
+      docs.filter($"doc_id" % 2 === 0)
+        .select($"doc_id", $"lang", $"n_chars")
+        .write.parquet(base + "/gen=1")
+      docs.filter($"doc_id" % 2 =!= 0)
+        .select($"doc_id", $"lang", $"n_chars", $"source")
+        .write.parquet(base + "/gen=2")
+      s.read.option("mergeSchema", "true").parquet(base)
+        .groupBy($"lang",
+          coalesce($"source", lit("pre_migration")).as("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_chars").as("sum_chars"))
+    }),
+
     // ANALYZE-style column statistics in one scan (the planner-food /
     // data-quality table): per column — rows, nulls, exact NDV,
     // min/max (numeric as doubles, dates via unix_millis, strings
@@ -550,6 +576,19 @@ object RelationalQueries {
       """SELECT lang, count(*) AS n_docs,
          CAST(sum(n_chars) AS BIGINT) AS sum_chars
          FROM documents GROUP BY lang""",
+    // ly05: the merged read ≡ UNION of the two generations with the
+    // old generation's missing column null-filled
+    "ly05_evolved_scan" ->
+      """WITH u AS (
+           SELECT lang, n_chars, NULL AS source
+           FROM documents WHERE doc_id % 2 = 0
+           UNION ALL
+           SELECT lang, n_chars, source
+           FROM documents WHERE doc_id % 2 <> 0)
+         SELECT lang, coalesce(source, 'pre_migration') AS source,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM u GROUP BY lang, coalesce(source, 'pre_migration')""",
     // ly04: one UNION ALL branch per column, numeric vs string stat
     // slots mirrored; dates numeric-ized via epoch_ms like q11/aj01
     "ly04_table_stats" -> {

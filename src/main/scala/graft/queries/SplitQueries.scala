@@ -132,8 +132,21 @@ object SplitQueries {
     "sp08_dsir_select" -> ((s, d) =>
       graft.operators.Dsir.selectTopN(Tables.documents(s, d), "doc_id",
         TextOps.tokenize(col("text")), col("source") === DsirTarget,
-        m = DsirBuckets, n = DsirN, salt = Salt, resample = false))
+        m = DsirBuckets, n = DsirN, salt = Salt, resample = false)),
+
+    // Priority sampling (Duffield–Lund–Thorup): k docs ∝ byte
+    // length, without replacement, plus the Horvitz–Thompson
+    // estimate whose sum unbiasedly recovers total corpus bytes.
+    // q = w/u is one IEEE division on an exact-in-double 52-bit
+    // hash, so the oracle agrees bit-for-bit.
+    "sp12_priority_sample" -> ((s, d) =>
+      Splits.prioritySample(Tables.documents(s, d), "doc_id",
+        expr("octet_length(text)"), Salt, k = PriorityK))
   )
+
+  /** sp12's sample size — small vs the sf0.001 corpus (600 docs) so
+    * the tau threshold is exercised at every fixture. */
+  private val PriorityK = 64
 
   /** sp08's model/selection parameters — shared with its oracle. */
   private val DsirTarget = "src0"
@@ -239,6 +252,25 @@ object SplitQueries {
                  CAST(row_number() OVER (PARTITION BY q_id
                    ORDER BY rk, n_id) AS INTEGER) AS rn
           FROM p QUALIFY rn <= 5""",
+    // sp12: same 52-bit slice → u=(h+1)/2^52, q=w/u — every step a
+    // correctly-rounded IEEE op on exact-in-double integers, so the
+    // top-(k+1) order, tau, and greatest(w,tau) match bit-for-bit.
+    "sp12_priority_sample" ->
+      s"""WITH p AS (
+            SELECT doc_id,
+                   CAST(strlen(text) AS DOUBLE) AS w,
+                   CAST(strlen(text) AS DOUBLE) /
+                     ((CAST(CAST(('0x' || substring(
+                         md5(CAST(doc_id AS VARCHAR) || '|$Salt'),
+                         1, 13)) AS BIGINT) AS DOUBLE) + 1.0)
+                      / 4503599627370496.0) AS q
+            FROM documents),
+          t AS (
+            SELECT * FROM p ORDER BY q DESC, doc_id
+            LIMIT ${PriorityK + 1}),
+          m AS (SELECT min(q) AS tau FROM t)
+          SELECT doc_id, w, greatest(w, tau) AS w_hat
+          FROM t, m WHERE q > tau""",
     // The oracle states the SEMANTICS (one exact running-sum window
     // in hash-priority order); the Spark side must produce the same
     // set through its bucketed two-level plan.

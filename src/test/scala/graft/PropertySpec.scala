@@ -466,6 +466,48 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("prioritySample ≡ naive q=w/u top-k; w_hat=max(w,tau); " +
+      "HT sum is scale-plausible") {
+    import spark.implicits._
+    import graft.operators.Splits
+    (1 to 3).foreach { round =>
+      val rnd = new scala.util.Random(5200 + round)
+      val n = 150 + rnd.nextInt(100)
+      val k = 10 + rnd.nextInt(30)
+      val rows = (0L until n.toLong).map(id => (id, 1 + rnd.nextInt(5000)))
+      val df = rows.toDF("doc_id", "wt")
+      val got = Splits.prioritySample(df, "doc_id", $"wt", "graft-split", k)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+        .sortBy(_._1)
+      // naive driver reference: identical arithmetic sequence
+      def md5hex(s: String): String = {
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8"))
+        d.map("%02x".format(_)).mkString
+      }
+      val prio = rows.map { case (id, w) =>
+        val h = java.lang.Long.parseLong(
+          md5hex(s"$id|graft-split").take(13), 16)
+        val u = (h.toDouble + 1.0) / 4503599627370496.0
+        (id, w.toDouble, w.toDouble / u)
+      }.sortBy { case (id, _, q) => (-q, id) }
+      val tau = prio(k)._3
+      val exp = prio.take(k).filter(_._3 > tau)
+        .map { case (id, w, _) => (id, w, math.max(w, tau)) }
+        .sortBy(_._1)
+      assert(got.toSeq == exp.toSeq, s"round=$round k=$k")
+      assert(got.length == k, s"round=$round k=$k got=${got.length}")
+      // Horvitz–Thompson sanity: each w_hat ≥ its w, and the HT total
+      // lands within 4x of the true total on these benign weights
+      // (unbiasedness is an expectation; this is a plausibility rail)
+      val total = rows.map(_._2.toDouble).sum
+      val ht = got.map(_._3).sum
+      assert(got.forall { case (_, w, wh) => wh >= w })
+      assert(ht > total / 4 && ht < total * 4,
+        s"round=$round ht=$ht total=$total")
+    }
+  }
 }
 
 private object TextOpsFixtures {
