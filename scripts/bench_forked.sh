@@ -34,6 +34,9 @@ TMP=$(mktemp /tmp/bench_forked.XXXX.txt)
 REPS=${FORK_REPS:-1}
 for q in "${QUERIES[@]}"; do
   for ((r = 0; r < REPS; r++)); do
+    # pin the page-cache variable: pre-touch every input file so each
+    # fork measures compute against a warm cache, not the OS's mood
+    cat "$SF_DIR"/*.parquet > /dev/null 2>&1 || true
     echo "[forked] $q (fresh JVM, rep $r)"
     if [ "$REPS" -gt 1 ]; then ARGS=("$q"); else ARGS=("$q" "$q"); fi
     java $OPENS -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
