@@ -120,6 +120,24 @@ class PlanAuditSpec extends AnyFunSuite {
       s"bpe02 encode lost codegen:\n$plan")
   }
 
+  test("sp12 priority sample is a zero-exchange bounded-heap top-k") {
+    // The contract that makes priority sampling a 100 TB primitive:
+    // q = w/u rides in the scan stage and the only ordering is
+    // TakeOrderedAndProject's (k+1)-bounded per-partition heap. An
+    // Exchange (beyond TOP's own internal singlePartition collect)
+    // or a Sort node means the corpus started shuffling/sorting.
+    val plan = PlanSummary.finalPlanString(
+      SparkEntry.queries("sp12_priority_sample")(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"sp12 lost its bounded-heap top-k:\n$plan")
+    assert(!plan.linesIterator.exists(l =>
+        l.trim.startsWith("+- Sort") || l.trim.startsWith(":- Sort") ||
+        l.trim.startsWith("Sort ")),
+      s"sp12 gained a full Sort:\n$plan")
+    assert(PlanSummary.wscSpans(plan) >= 1,
+      s"sp12 lost codegen:\n$plan")
+  }
+
   test("d19 intra-doc strip and t18 gopher rules are zero-shuffle in-row scans") {
     // Both are doc-local by design: d19's whole point vs d15 is that
     // within-doc dedup needs NO corpus-wide frequency, so any
