@@ -1,0 +1,115 @@
+package graft.expressions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Count-Min sketch (Cormode & Muthukrishnan 2005) as a mergeable
+  * `TypedImperativeAggregate`: a `depth × width` grid of counters;
+  * row r increments cell `h_r(item) mod width`, and the point
+  * estimate for an item is the MIN over its `depth` cells — always an
+  * OVER-estimate, within ε·n of exact with probability 1−δ for
+  * width = ⌈e/ε⌉, depth = ⌈ln 1/δ⌉. Merge is element-wise addition,
+  * so partial aggregation works across arbitrary partitionings and
+  * the final grid is partition-order INDEPENDENT (integer sums
+  * commute) — unlike [[MisraGriesAgg]]'s counters, the whole sketch
+  * itself is deterministic and can be hash-verified by an oracle.
+  *
+  * The row hash is the repo's engine-portable md5-chunk trick
+  * ([[graft.operators.Dedup.minhashChunk]] lineage): cell of item x
+  * in row r = first 8 hex chars of md5("r|x") parsed as a 32-bit
+  * int, mod width — mirrored verbatim in DuckDB as
+  * `CAST(('0x' || substring(md5(r || '|' || x), 1, 8)) AS BIGINT) % width`.
+  *
+  * Buffer is O(depth·width) longs regardless of input size or
+  * cardinality — the constant-memory frequency table at 100 TB
+  * (8 MB at the ε=1e-5 width 2²⁰ × depth 8 operating point). Output:
+  * the row-major flattened grid `array<bigint>` of depth·width cells.
+  */
+case class CountMinAgg(
+    child: Expression,
+    depth: Int,
+    width: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]]
+  with org.apache.spark.sql.graftbridge.StringInputTypes {
+
+  require(depth >= 1 && depth <= 16,
+    s"graft_countmin needs 1 <= depth <= 16, got $depth")
+  require(width >= 2 && width <= (1 << 24),
+    s"graft_countmin needs 2 <= width <= 2^24, got $width")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_countmin"
+
+  override def createAggregationBuffer(): Array[Long] =
+    new Array[Long](depth * width)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val item = v.asInstanceOf[UTF8String].toString
+      var r = 0
+      while (r < depth) {
+        buf(r * width + CountMinAgg.cell(r, item, width)) += 1L
+        r += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < b1.length) { b1(i) += b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buf: Array[Long]): Any =
+    new GenericArrayData(buf.clone())
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(buf.length * 8)
+    val out = new DataOutputStream(bos)
+    var i = 0
+    while (i < buf.length) { out.writeLong(buf(i)); i += 1 }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = new Array[Long](depth * width)
+    var i = 0
+    while (i < buf.length) { buf(i) = in.readLong(); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): CountMinAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): CountMinAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): CountMinAgg =
+    copy(child = newChildren.head)
+}
+
+object CountMinAgg {
+  /** Row-r cell of `item`: first 8 md5 hex chars of "r|item" as a
+    * 32-bit unsigned int, mod width. Oracle-mirrored (see class doc).
+    */
+  def cell(r: Int, item: String, width: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(s"$r|$item".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val u32 = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    (u32 % width).toInt
+  }
+}

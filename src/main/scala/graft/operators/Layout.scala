@@ -190,4 +190,33 @@ object Layout {
       }
     one.select(explode(array(rows: _*)).as("s")).select(col("s.*"))
   }
+
+  /** Equi-depth histogram of a non-null INTEGRAL column — the other
+    * half of the planner-food story ([[tableStats]] gives NDV/min/max;
+    * selectivity estimation wants depth-balanced ranges). Two scans:
+    * pass 1 collects the `buckets − 1` boundary values at i/buckets
+    * quantiles (exact `percentile`; with power-of-two `buckets` and
+    * integral data every interpolation operand — i/2^k, pos, frac,
+    * lo, hi — is exact in a double, so the oracle's `quantile_cont`
+    * reproduces the boundaries BIT-FOR-BIT, the sp12 exact-in-double
+    * discipline); pass 2 bins rows against the boundary literals
+    * in-row (`bucket = #{b_i < v}`, boundary-valued rows sink to the
+    * lower bucket) and aggregates count/lo/hi per bucket. At 100 TB
+    * swap pass 1 for `approx_percentile`: edges move a little, depths
+    * stay ~equal, and the contract — ordered disjoint ranges with
+    * counts — is unchanged; pass 2's grouped scan doesn't care where
+    * the literals came from.
+    */
+  def equiDepthHistogram(df: DataFrame, colName: String,
+                         buckets: Int): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val probs = (1 until buckets).map(i => lit(i.toDouble / buckets))
+    val bs = df.agg(percentile(col(colName), array(probs: _*)).as("bs"))
+      .head().getSeq[Double](0)
+    df.groupBy(size(filter(array(bs.map(lit): _*),
+        x => x < col(colName))).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col(colName)).cast("long").as("lo"),
+        max(col(colName)).cast("long").as("hi"))
+  }
 }

@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Frequency sketching beyond [[HeavyHitters]]' Misra–Gries pass: the
+  * Count-Min grid ([[graft.expressions.CountMinAgg]]) answers point
+  * frequency queries for ANY item — not just the ≥ n/k survivors —
+  * from O(depth·width) state built in one partial-aggregated pass
+  * over the corpus (no shuffle of the item domain; the exchange
+  * carries one grid per partition, element-wise summed). The grid is
+  * partition-order independent, so unlike the MG counters the sketch
+  * ITSELF is oracle-hash-verifiable, estimates included.
+  */
+object Sketches {
+
+  /** One-row frame holding the row-major flattened depth×width
+    * Count-Min grid over `itemCol` as `cms: array<bigint>`. */
+  def countMin(items: DataFrame, itemCol: String,
+               depth: Int, width: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge._
+    items.agg(column(graft.expressions.CountMinAgg(
+      expression(col(itemCol)), depth, width)
+      .toAggregateExpression()).as("cms"))
+  }
+
+  /** Row-r cell index of `item` — the md5-chunk hash mirrored in
+    * [[graft.expressions.CountMinAgg.cell]] and in the DuckDB oracle
+    * (`CAST(('0x' || substring(md5(r || '|' || x), 1, 8)) AS BIGINT)
+    * % width`). */
+  def cmsCell(r: Int, item: Column, width: Int): Column =
+    conv(substring(md5(concat(lit(s"$r|"), item)), 1, 8), 16, 10)
+      .cast("long") % width
+
+  /** Point estimate of `item`'s frequency from the flattened grid:
+    * min over the `depth` probed cells, computed IN-ROW — probing n
+    * items never re-touches the corpus. */
+  def cmsEstimate(cms: Column, item: Column,
+                  depth: Int, width: Int): Column =
+    least((0 until depth).map(r =>
+      element_at(cms,
+        (cmsCell(r, item, width) + lit(r * width) + lit(1)).cast("int"))
+    ): _*)
+}

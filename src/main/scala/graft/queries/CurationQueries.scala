@@ -263,6 +263,22 @@ object CurationQueries {
           col("j")("lang").as("lang"),
           col("j")("n_chars").as("n_chars"),
           when(col("j")("id").isNull, col("raw")).as("raw_kept"))
+    }),
+
+    // Contiguous 0-based ids in global (n_chars, doc_id) order —
+    // curriculum-style short-first numbering — through the
+    // range-bucketed two-pass shape (operators/Ids.scala): boundary
+    // literals from a quantile sketch, per-bucket counts to offsets,
+    // and a bucket-PARTITIONED window; never `row_number() OVER
+    // (ORDER BY …)` on the whole corpus (the oracle runs exactly
+    // that single-partition form — correct for DuckDB, fatal at
+    // 100 TB; the ids must agree for ANY boundary placement).
+    "c11_contiguous_ids" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"))
+      graft.operators.Ids.contiguousIds(docs, "n_chars",
+        Seq("doc_id"), 8)
+        .select(col("doc_id"), col("n_chars"), col("uid"))
     })
   )
 
@@ -455,6 +471,12 @@ object CurationQueries {
                 CASE WHEN doc_id % 7 = 3
                      THEN '{"id":' || doc_id || ',"lang":"' || lang
                      ELSE NULL END AS raw_kept
+         FROM documents""",
+    // c11: the oracle IS the single-partition global window the
+    // engine-side two-pass shape must reproduce bucket-for-bucket
+    "c11_contiguous_ids" ->
+      """SELECT doc_id, n_chars,
+                row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS uid
          FROM documents"""
   )
 }

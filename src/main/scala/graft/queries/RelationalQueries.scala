@@ -216,6 +216,16 @@ object RelationalQueries {
         stringCols = Seq("o_orderstatus", "o_orderpriority"))
     }),
 
+    // Equi-depth histogram over documents.n_chars: 8 depth-balanced
+    // ranges from exact i/8 quantile boundaries (bit-reproduced by
+    // the oracle's quantile_cont — exact-in-double arithmetic on an
+    // integral column), binned in-row against the boundary literals.
+    // See Layout.equiDepthHistogram for the approx-at-100TB form.
+    "ly06_equidepth_hist" -> ((s, d) =>
+      graft.operators.Layout.equiDepthHistogram(
+        Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+        "n_chars", 8)),
+
     // J1 chained — 5-way star join, all dims broadcast.
     "q04_join_star" -> ((s, d) => {
       import s.implicits._
@@ -617,6 +627,22 @@ object RelationalQueries {
         num("o_orderdate", "epoch_ms(o_orderdate)"),
         str("o_orderstatus"), str("o_orderpriority"))
         .mkString("\nUNION ALL\n")
+    },
+    // ly06: quantile_cont reproduces the engine's exact i/8 boundary
+    // doubles bit-for-bit (integral column, exact-in-double probs),
+    // so the binning compare cannot straddle
+    "ly06_equidepth_hist" -> {
+      val probs = (1 until 8).map(i => i.toDouble / 8).mkString(", ")
+      s"""WITH b AS (SELECT quantile_cont(n_chars, [$probs]) AS bs
+                     FROM documents)
+          SELECT CAST(len(list_filter(b.bs,
+                   x -> x < CAST(d.n_chars AS DOUBLE))) AS INTEGER)
+                   AS bucket,
+                 count(*) AS n,
+                 CAST(min(d.n_chars) AS BIGINT) AS lo,
+                 CAST(max(d.n_chars) AS BIGINT) AS hi
+          FROM documents d, b
+          GROUP BY 1"""
     },
     "bk01_bucketed_join" ->
       """SELECT o_orderpriority, count(*) AS n_items,

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
+import graft.operators.Sketches
 import graft.text.{Analysis, TextOps}
 
 /** Text-analysis operator pack over the `documents` table — cleanup
@@ -324,8 +325,37 @@ object TextQueries {
       Tables.documents(s, d)
         .select(col("doc_id"),
           TextOps.blocklistHits(col("text"), Blocklist).as("n_hits"))
-        .withColumn("blocked", col("n_hits") > 0))
+        .withColumn("blocked", col("n_hits") > 0)),
+
+    // Count-Min sketch face: build the CmsDepth×CmsWidth grid over
+    // the token stream in ONE partial-aggregated pass
+    // (operators/Sketches.scala — O(d·w) state per partition,
+    // element-wise-sum merge, partition-order independent), then lay
+    // the in-row point estimates beside the exact counts of the
+    // top-20 tokens. Estimates ≥ exact always (one-sided CMS error);
+    // the oracle recomputes grid cells AND estimates from scratch in
+    // SQL, so the gate certifies the sketch's exact arithmetic, not
+    // just its output shape. 100 TB: the exchange carries one 16 KB
+    // grid per partition; probing never re-touches the corpus.
+    "t23_countmin_est" -> ((s, d) => {
+      import s.implicits._
+      val toks = Tables.documents(s, d)
+        .select(explode(TextOps.tokenize($"text")).as("word"))
+      val cms = Sketches.countMin(toks, "word", CmsDepth, CmsWidth)
+      val top = toks.groupBy($"word").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"word".asc).limit(20)
+      top.crossJoin(cms)
+        .select($"word", $"n",
+          Sketches.cmsEstimate($"cms", $"word", CmsDepth, CmsWidth)
+            .as("cms_est"))
+    })
   )
+
+  /** t23's grid shape: depth 4 (δ ≈ 2%), width 512 — deliberately
+    * narrow at fixture scale so collisions actually occur and the
+    * estimate-vs-exact gap is a real tested quantity, not all zeros. */
+  private val CmsDepth = 4
+  private val CmsWidth = 512
 
   /** Shared blocklist for t21 — mixed single tokens, multi-token
     * phrases, nested entries ("table" vs "table table") and a
@@ -1038,6 +1068,27 @@ object TextQueries {
       s"""SELECT doc_id, CAST($hits AS INTEGER) AS n_hits,
                  ($hits) > 0 AS blocked
           FROM documents"""
+    },
+
+    // t23: the grid rebuilt cell-by-cell in SQL — same md5-chunk row
+    // hash ('r|word' → first 8 hex chars → int32 % width) as
+    // CountMinAgg.cell, then the same min-over-rows probe. Any drift
+    // in hashing, flattening, or the min breaks the hash compare.
+    "t23_countmin_est" -> {
+      val rs = (0 until CmsDepth).mkString("[", ", ", "]")
+      def cell(r: String, item: String) =
+        s"CAST(('0x' || substring(md5(CAST($r AS VARCHAR) || '|' || " +
+          s"$item), 1, 8)) AS BIGINT) % $CmsWidth"
+      s"""WITH toks AS (SELECT unnest($tokSql) AS word FROM documents),
+          cells AS (SELECT rr.r AS r, ${cell("rr.r", "word")} AS b,
+                      count(*) AS c
+                    FROM toks, (SELECT unnest($rs) AS r) rr
+                    GROUP BY 1, 2),
+          top AS (SELECT word, count(*) AS n FROM toks
+                  GROUP BY 1 ORDER BY n DESC, word ASC LIMIT 20)
+          SELECT t.word, t.n, min(c.c) AS cms_est
+          FROM top t JOIN cells c ON c.b = ${cell("c.r", "t.word")}
+          GROUP BY t.word, t.n"""
     }
   )
 }

@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.expressions.CountMinAgg
+import graft.operators.{Ids, Sketches}
+
+/** The t23/c11 oracles prove fixture-scale parity; this spec drives
+  * the two operators where the fixtures can't: the Count-Min grid's
+  * partition-order independence and one-sided error on a domain with
+  * real collisions, and the contiguous-id two-pass against heavy
+  * range-key ties and arbitrary boundary placements.
+  */
+class SketchesIdsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val Depth = 4
+  private val Width = 64
+
+  private def items: Seq[String] = {
+    val rng = new scala.util.Random(11L)
+    Seq.tabulate(20000)(_ => s"w${rng.nextInt(500)}")
+  }
+
+  test("count-min grid is partition-order independent and matches " +
+      "the cell-by-cell reference") {
+    import spark.implicits._
+    val rows = items
+    // reference grid, single-threaded
+    val ref = new Array[Long](Depth * Width)
+    rows.foreach { it =>
+      (0 until Depth).foreach { r =>
+        ref(r * Width + CountMinAgg.cell(r, it, Width)) += 1L
+      }
+    }
+    for (parts <- Seq(1, 3, 16)) {
+      val grid = Sketches.countMin(
+        rows.toDF("word").repartition(parts), "word", Depth, Width)
+        .as[Seq[Long]].head()
+      assert(grid == ref.toSeq, s"grid drifted at parts=$parts")
+    }
+  }
+
+  test("estimates are one-sided: est >= exact for every item, and " +
+      "the in-row probe agrees with a scala probe of the same grid") {
+    import spark.implicits._
+    val rows = items
+    val df = rows.toDF("word").repartition(8)
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val grid = Sketches.countMin(df, "word", Depth, Width)
+    val probed = df.distinct().crossJoin(grid)
+      .select($"word",
+        Sketches.cmsEstimate($"cms", $"word", Depth, Width).as("est"))
+      .as[(String, Long)].collect()
+    assert(probed.length == exact.size)
+    var collided = 0
+    probed.foreach { case (w, est) =>
+      assert(est >= exact(w), s"$w under-estimated: $est < ${exact(w)}")
+      if (est > exact(w)) collided += 1
+    }
+    // width 64 on a 500-word domain MUST collide — otherwise the
+    // one-sided assertion above proved nothing
+    assert(collided > 0, "no collisions: widen the test domain")
+  }
+
+  test("scala cell function and the sql cmsCell column are the same " +
+      "hash (the oracle-parity hinge)") {
+    import spark.implicits._
+    val words = Seq("the", "répé", "a|b", "", "x" * 100)
+    val got = words.toDF("word")
+      .select($"word",
+        Sketches.cmsCell(0, $"word", Width).as("c0"),
+        Sketches.cmsCell(3, $"word", Width).as("c3"))
+      .as[(String, Long, Long)].collect().toSeq.sortBy(_._1)
+    val want = words.map(w =>
+      (w, CountMinAgg.cell(0, w, Width).toLong,
+        CountMinAgg.cell(3, w, Width).toLong)).sortBy(_._1)
+    assert(got == want)
+  }
+
+  test("contiguousIds equals the global row_number for any bucket " +
+      "count, with heavy range-key ties") {
+    import spark.implicits._
+    val rng = new scala.util.Random(5L)
+    // 5000 rows, range key drawn from just 40 values → every bucket
+    // boundary lands inside a tie group somewhere
+    val rows = rng.shuffle(
+      (0 until 5000).map(i => (i.toLong, (rng.nextInt(40) + 1).toLong)))
+    val df = rows.toDF("id", "k").repartition(16)
+    val want = rows.sortBy(r => (r._2, r._1)).zipWithIndex
+      .map { case ((id, _), i) => id -> i.toLong }.toMap
+    for (buckets <- Seq(1, 3, 8, 50)) {
+      val got = Ids.contiguousIds(df, "k", Seq("id"), buckets)
+        .select($"id", $"uid").as[(Long, Long)].collect().toMap
+      assert(got == want, s"uids drifted at buckets=$buckets")
+    }
+  }
+
+  test("contiguousIds plan: the corpus window is partitioned (no " +
+      "single-partition global sort of the data)") {
+    import spark.implicits._
+    val df = (0 until 1000).map(i => (i.toLong, (i % 7).toLong))
+      .toDF("id", "k")
+    val plan = Ids.contiguousIds(df, "k", Seq("id"), 8)
+      .queryExecution.executedPlan.toString
+    // every window over the corpus must carry a partition spec; the
+    // only unpartitioned window allowed is the <=buckets-row offsets
+    val windows = plan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.nonEmpty)
+    val unpartitioned = windows.count(l =>
+      l.contains("Window") && !l.contains("partitionBy") &&
+        !l.contains("__b"))
+    assert(unpartitioned == 0, s"global window leaked:\n$plan")
+  }
+}
