@@ -336,13 +336,26 @@ object Dedup {
     // monotone in the global (df, shingle) order, so min(pa) and
     // min(pb) over shared prefix shingles are attained at the SAME
     // (globally rarest) shared element.
+    // Pair emission allocates INDEX sequences, not element copies
+    // (round 11): the earlier `posexplode(ds)` + `explode(slice(ds,
+    // i+2, m))` shape copied the struct TAIL of the doc list for
+    // every outer element — Σ(m−i) ≈ m²/2 struct copies (~40 B each
+    // in UnsafeArrayData) per shingle group, the allocation burst
+    // behind d20's GC-pacing bimodality (SCALE.md round-11 forked
+    // study, finding 3). `sequence` + `element_at` emits the same
+    // (i < j) pair stream from 4-byte index arrays and O(1) array
+    // probes — same codegen pipeline, ~10× fewer allocated bytes in
+    // the emission stage. The size ≥ 2 guard is load-bearing:
+    // Spark's `sequence(1, 0)` would DESCEND, not return empty.
     val cands = prefixes.groupBy(col("shingle"))
       .agg(sort_array(collect_list(
         struct(col("doc_id"), col("pos"), col("n")))).as("ds"))
-      .select(col("ds"), posexplode(col("ds")).as(Seq("i", "pa")))
-      .select(col("pa"),
-        explode(slice(col("ds"), col("i") + lit(2), size(col("ds"))))
-          .as("pb"))
+      .filter(size(col("ds")) >= 2)
+      .select(col("ds"),
+        explode(sequence(lit(1), size(col("ds")) - lit(1))).as("i"))
+      .select(col("ds"), element_at(col("ds"), col("i")).as("pa"),
+        explode(sequence(col("i") + lit(1), size(col("ds")))).as("j"))
+      .select(col("pa"), element_at(col("ds"), col("j")).as("pb"))
       .groupBy(col("pa.doc_id").as("a"), col("pb.doc_id").as("b"))
       .agg(min(col("pa.pos")).as("ia"), min(col("pb.pos")).as("jb"),
         max(col("pa.pos")).as("la"), max(col("pb.pos")).as("lb"),
