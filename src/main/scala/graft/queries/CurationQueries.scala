@@ -265,6 +265,37 @@ object CurationQueries {
           when(col("j")("id").isNull, col("raw")).as("raw_kept"))
     }),
 
+    // Referential-integrity audit — the warehouse health check every
+    // ingest runs before publishing a snapshot: orphan fact rows per
+    // FK edge, as (edge, n_orphans, n_missing_keys). The customer dim
+    // is PRUNED by construction (c_custkey % 10 = 3 dropped — the
+    // late-arriving-dimension scenario), so the orders edge reports
+    // real planted orphans while the lineitem→orders edge proves the
+    // clean case stays zero. Anti-join per edge with the dim side
+    // broadcast when small; at 100 TB a billion-row dim flips to a
+    // shuffled anti-join on the FK — same plan shape Spark picks by
+    // size, nothing to rewrite.
+    "c12_fk_orphans" -> ((s, d) => {
+      import s.implicits._
+      val prunedCust = Tables.customer(s, d)
+        .filter($"c_custkey" % 10 =!= 3).select($"c_custkey")
+      val e1 = Tables.orders(s, d)
+        .join(broadcast(prunedCust), $"o_custkey" === $"c_custkey",
+          "left_anti")
+        .agg(count(lit(1)).as("n_orphans"),
+          countDistinct($"o_custkey").as("n_missing_keys"))
+        .select(lit("orders->customer_pruned").as("fk"), $"n_orphans",
+          $"n_missing_keys")
+      val e2 = Tables.lineitem(s, d).select($"l_orderkey")
+        .join(Tables.orders(s, d).select($"o_orderkey"),
+          $"l_orderkey" === $"o_orderkey", "left_anti")
+        .agg(count(lit(1)).as("n_orphans"),
+          countDistinct($"l_orderkey").as("n_missing_keys"))
+        .select(lit("lineitem->orders").as("fk"), $"n_orphans",
+          $"n_missing_keys")
+      e1.unionAll(e2)
+    }),
+
     // Contiguous 0-based ids in global (n_chars, doc_id) order —
     // curriculum-style short-first numbering — through the
     // range-bucketed two-pass shape (operators/Ids.scala): boundary
@@ -477,6 +508,23 @@ object CurationQueries {
     "c11_contiguous_ids" ->
       """SELECT doc_id, n_chars,
                 row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS uid
-         FROM documents"""
+         FROM documents""",
+    // c12: planted orphans on the pruned-dim edge, zeros on the clean
+    // edge — a broken anti-join cannot produce either
+    "c12_fk_orphans" ->
+      """SELECT 'orders->customer_pruned' AS fk,
+                count(*) AS n_orphans,
+                CAST(count(DISTINCT o_custkey) AS BIGINT)
+                  AS n_missing_keys
+         FROM orders
+         WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
+                                 WHERE c_custkey % 10 <> 3)
+         UNION ALL
+         SELECT 'lineitem->orders' AS fk,
+                count(*) AS n_orphans,
+                CAST(count(DISTINCT l_orderkey) AS BIGINT)
+                  AS n_missing_keys
+         FROM lineitem
+         WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)"""
   )
 }

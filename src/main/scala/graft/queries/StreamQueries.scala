@@ -95,8 +95,45 @@ object StreamQueries {
     // sort.
     "st07_session_paths" -> ((s, d) =>
       EventStreams.sessionPaths(Tables.events(s, d),
-        gapMs = 1800000L, k = 20))
+        gapMs = 1800000L, k = 20)),
+
+    // Per-window Count-Min over the user stream: the hourly grids
+    // (O(depth·width) state per window regardless of user
+    // cardinality) probed in-row for the corpus's top-5 users, laid
+    // beside each window's exact count — est ≥ exact in the data
+    // itself. The streaming twin (same function under readStream)
+    // converges to byte-identical grids in EventStreamsSpec; the
+    // oracle rebuilds cells AND estimates from scratch in SQL.
+    "st10_windowed_countmin" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("ts"), col("user_id"))
+      val grids = EventStreams.windowUserCms(ev, CmsD, CmsW)
+        .select(unix_millis(col("w_start")).as("w_start_ms"),
+          col("cms"))
+      val top5 = ev.groupBy(col("user_id").cast("string").as("uid"))
+        .agg(count(lit(1)).as("nt"))
+        .orderBy(col("nt").desc, col("uid").asc).limit(5)
+        .select(col("uid"))
+      val exact = ev
+        .groupBy(window(col("ts"), "1 hour").as("w"),
+          col("user_id").cast("string").as("uid"))
+        .agg(count(lit(1)).as("n_exact"))
+        .select(unix_millis(col("w.start")).as("w_start_ms"),
+          col("uid"), col("n_exact"))
+      grids.crossJoin(broadcast(top5))
+        .select(col("w_start_ms"), col("uid"),
+          graft.operators.Sketches.cmsEstimate(col("cms"), col("uid"),
+            CmsD, CmsW).as("cms_est"))
+        .join(exact, Seq("w_start_ms", "uid"), "left")
+        .select(col("w_start_ms"), col("uid"), col("cms_est"),
+          coalesce(col("n_exact"), lit(0L)).as("n_exact"))
+    })
   )
+
+  /** st10 grid shape — narrow enough that distinct users actually
+    * collide within an hour, so est > exact occurs in the gate data. */
+  private val CmsD = 4
+  private val CmsW = 8
 
   val oracleSql: Map[String, String] = Map(
     "st01_tumbling_counts" ->
@@ -226,6 +263,39 @@ object StreamQueries {
            FROM numbered GROUP BY 1, 2)
          SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
          FROM paths GROUP BY 1
-         ORDER BY n_sessions DESC, path LIMIT 20"""
+         ORDER BY n_sessions DESC, path LIMIT 20""",
+
+    // st10: grid cells AND estimates rebuilt from scratch — same
+    // md5-chunk row hash as CountMinAgg.cell. The LEFT JOIN is
+    // load-bearing: a probe cell no user hashed into in that window
+    // is an EMPTY cell, and the estimate must read it as 0 (the
+    // engine grid is zero-initialized), not skip it.
+    "st10_windowed_countmin" -> {
+      val rs = (0 until 4).mkString("[", ", ", "]")
+      def cell(r: String, item: String) =
+        s"CAST(('0x' || substring(md5(CAST($r AS VARCHAR) || '|' || " +
+          s"$item), 1, 8)) AS BIGINT) % 8"
+      s"""WITH ev AS (SELECT CAST(epoch_ms(date_trunc('hour', ts))
+                        AS BIGINT) AS w,
+                      CAST(user_id AS VARCHAR) AS uid FROM events),
+          rr AS (SELECT unnest($rs) AS r),
+          cells AS (SELECT ev.w, rr.r, ${cell("rr.r", "ev.uid")} AS b,
+                      count(*) AS c
+                    FROM ev, rr GROUP BY 1, 2, 3),
+          top5 AS (SELECT uid, count(*) AS nt FROM ev
+                   GROUP BY 1 ORDER BY nt DESC, uid ASC LIMIT 5),
+          est AS (SELECT w.w AS w_start_ms, t.uid,
+                    CAST(min(coalesce(c.c, 0)) AS BIGINT) AS cms_est
+                  FROM (SELECT DISTINCT w FROM ev) w
+                  CROSS JOIN top5 t CROSS JOIN rr
+                  LEFT JOIN cells c ON c.w = w.w AND c.r = rr.r
+                    AND c.b = ${cell("rr.r", "t.uid")}
+                  GROUP BY 1, 2),
+          ex AS (SELECT w AS w_start_ms, uid, count(*) AS n_exact
+                 FROM ev GROUP BY 1, 2)
+          SELECT est.w_start_ms, est.uid, est.cms_est,
+                 CAST(coalesce(ex.n_exact, 0) AS BIGINT) AS n_exact
+          FROM est LEFT JOIN ex USING (w_start_ms, uid)"""
+    }
   )
 }

@@ -44,6 +44,31 @@ object EventStreams {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("w_start"), col("n"))
 
+  /** Per-window Count-Min grid over the user stream — frequency
+    * telemetry whose state is O(depth·width) PER WINDOW no matter how
+    * many distinct users an hour carries (the per-(window, user)
+    * groupBy this replaces keys state by the user domain). Works
+    * unchanged on a batch frame (the st10 oracle face) and under
+    * `readStream` — [[graft.expressions.CountMinAgg]] is a mergeable
+    * aggregate, so each micro-batch folds its partial grid into the
+    * window's state buffer and the final grid is byte-identical to
+    * the batch one (converges in EventStreamsSpec); the watermark
+    * finalizes and evicts old windows' grids.
+    */
+  def windowUserCms(events: DataFrame, depth: Int, width: Int,
+                    windowLen: String = "1 hour",
+                    watermark: String = "2 hours"): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge._
+    val cms = column(graft.expressions.CountMinAgg(
+      expression(col("user_id").cast("string")), depth, width)
+      .toAggregateExpression())
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen).as("w"))
+      .agg(cms.as("cms"), count(lit(1)).as("n_events"))
+      .select(col("w.start").as("w_start"), col("cms"), col("n_events"))
+  }
+
   final case class SessionInput(user_id: Long, ts: Timestamp,
                                 value: Double)
   final case class SessionState(start: Long, end: Long, n: Int,

@@ -440,6 +440,33 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowed count-min stream converges to the byte-identical " +
+      "batch grid across micro-batches") {
+    import spark.implicits._
+    val events = rows.toDF()
+    val batch = EventStreams.windowUserCms(events, 4, 32)
+      .select(unix_millis($"w_start"), $"cms", $"n_events")
+      .as[(Long, Seq[Long], Long)].collect().toSet
+
+    val mem = MemoryStream[SessionInput](spark)
+    val stream = EventStreams.windowUserCms(mem.toDS().toDF(), 4, 32)
+    val q = stream.writeStream.format("memory")
+      .queryName("cms_out").outputMode("complete").start()
+    try {
+      // two micro-batches split MID-window: the second batch's
+      // partial grid must element-wise fold into stored state
+      mem.addData(rows.take(3): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(3): _*)
+      q.processAllAvailable()
+      val got = spark.table("cms_out")
+        .select(unix_millis($"w_start"), $"cms", $"n_events")
+        .as[(Long, Seq[Long], Long)].collect().toSet
+      assert(got == batch)
+      assert(got.nonEmpty && got.exists(_._2.sum > 0))
+    } finally q.stop()
+  }
+
   test("streaming snapshot upsert merges micro-batches and rewrites " +
       "only touched buckets") {
     import spark.implicits._
