@@ -78,12 +78,29 @@ object PairEmitAbProbe {
     (docSets, result)
   }
 
+  /** 2nd arg: an int = interleaved same-JVM rounds (A/B ratio mode);
+    * "slice1" / "seq1" = run ONE twin ONCE and exit — the cold-forked
+    * per-twin mode (fork a fresh JVM per invocation, take medians;
+    * the shared-JVM interleaved mode self-degrades at pseudo-sf10
+    * exactly like the SCALE.md same-JVM-rerun pathology). */
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local("graft-d20-pair-ab", "32")
     val d = args.headOption.getOrElse("/root/repo/target/sf1")
-    val reps = args.drop(1).headOption.map(_.toInt).getOrElse(3)
+    val mode = args.drop(1).headOption.getOrElse("3")
+    val reps = if (mode.forall(_.isDigit)) mode.toInt else 1
     val docs = Tables.documents(spark, d)
-    val toks = TextOps.tokenize(TextOps.clean(col("text")))
+    // RAW tokens, exactly like the registered d20 face (DedupQueries
+    // docTokens). NOT TextOps.clean first: clean strips [^a-zA-Z],
+    // which deletes the pseudo-scale fixture's `_r<replica>` token
+    // suffixes — cross-replica shingles then collide and the corpus
+    // grows the quadratic cross-replica near-dup pair bomb the
+    // fixture is engineered to prevent (make_scale_fixture.py header;
+    // measured: the cleaned-token probe OOMs a 100 GB heap at
+    // pseudo-sf1 where the registered face runs in seconds). Round
+    // 9's PrefixAbProbe carries the same cleaned-token corpus — its
+    // sf1 "str twin never completed" datapoint is contaminated by
+    // this, not purely by allocation (SCALE.md round-11 coda).
+    val toks = TextOps.tokenize(col("text"))
     def sh = Dedup.shingles(docs, "doc_id", toks)
     docs.count()
     def time(name: String)(f: => Long): Unit = {
@@ -95,12 +112,22 @@ object PairEmitAbProbe {
         case (_, r) => r.unpersist(blocking = true)
       }
     }
-    (1 to reps).foreach { i =>
-      time(s"d20-slice#$i") {
-        val (ds, res) = prefixFilterPairsSlice(sh, 0.5)
-        val n = res.count(); ds.unpersist(blocking = true); n
-      }
-      time(s"d20-seq#$i")(Dedup.prefixFilterPairs(sh, 0.5).count())
+    mode match {
+      case "slice1" =>
+        time("d20-slice-cold") {
+          val (ds, res) = prefixFilterPairsSlice(sh, 0.5)
+          val n = res.count(); ds.unpersist(blocking = true); n
+        }
+      case "seq1" =>
+        time("d20-seq-cold")(Dedup.prefixFilterPairs(sh, 0.5).count())
+      case _ =>
+        (1 to reps).foreach { i =>
+          time(s"d20-slice#$i") {
+            val (ds, res) = prefixFilterPairsSlice(sh, 0.5)
+            val n = res.count(); ds.unpersist(blocking = true); n
+          }
+          time(s"d20-seq#$i")(Dedup.prefixFilterPairs(sh, 0.5).count())
+        }
     }
     spark.stop()
   }
