@@ -467,6 +467,41 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowed count-min in APPEND mode: watermark finalizes a " +
+      "window's grid once and evicts its state") {
+    import spark.implicits._
+    val early = rows.filter(_.ts.getTime < Base + 3600000L)
+    val mem = MemoryStream[SessionInput](spark)
+    val stream = EventStreams.windowUserCms(mem.toDS().toDF(), 4, 32,
+      watermark = "1 minute")
+    val q = stream.writeStream.format("memory")
+      .queryName("cms_append").outputMode("append").start()
+    try {
+      mem.addData(early: _*)
+      q.processAllAvailable()
+      // nothing final yet: watermark hasn't passed the first window
+      assert(spark.table("cms_append").count() == 0)
+      // advance event time far past window 0 (+1 min delay)
+      mem.addData(SessionInput(99L, ts(10000), 0.0))
+      q.processAllAvailable()
+      mem.addData(SessionInput(99L, ts(10001), 0.0))
+      q.processAllAvailable()
+      val got = spark.table("cms_append")
+        .filter(unix_millis($"w_start") === Base)
+        .select($"cms", $"n_events")
+        .as[(Seq[Long], Long)].collect().toSeq
+      val batch = EventStreams.windowUserCms(early.toDF(), 4, 32)
+        .select($"cms", $"n_events")
+        .as[(Seq[Long], Long)].collect().toSeq
+      // window 0 emitted exactly once, grid byte-identical to batch
+      assert(got == batch)
+      // finalized windows' state evicted: at most the advancer's
+      // open window remains
+      val left = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(left <= 1, s"finalized window state not evicted: $left")
+    } finally q.stop()
+  }
+
   test("streaming snapshot upsert merges micro-batches and rewrites " +
       "only touched buckets") {
     import spark.implicits._
