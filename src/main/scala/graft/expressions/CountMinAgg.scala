@@ -1,7 +1,5 @@
 package graft.expressions
 
-import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
-
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
@@ -28,8 +26,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Buffer is O(depth·width) longs regardless of input size or
   * cardinality — the constant-memory frequency table at 100 TB
-  * (8 MB at the ε=1e-5 width 2²⁰ × depth 8 operating point). Output:
-  * the row-major flattened grid `array<bigint>` of depth·width cells.
+  * (~17 MB at the ε=1e-5 operating point: width ⌈e/ε⌉ ≈ 272k ×
+  * depth 8 × 8 B; the validated 2²⁴-width corner is 128 MiB per
+  * row of depth). Output: the row-major flattened grid
+  * `array<bigint>` of depth·width cells.
   */
 case class CountMinAgg(
     child: Expression,
@@ -44,6 +44,13 @@ case class CountMinAgg(
     s"graft_countmin needs 1 <= depth <= 16, got $depth")
   require(width >= 2 && width <= (1 << 24),
     s"graft_countmin needs 2 <= width <= 2^24, got $width")
+  // serialized form is depth*width*8 bytes in ONE byte array, so the
+  // cell count must stay under 2^28 (checked in Long math — depth 16
+  // × width 2^24 alone would put length*8 past Int.MaxValue and make
+  // every spill/shuffle of the buffer throw)
+  require(depth.toLong * width <= (1L << 27),
+    s"graft_countmin grid too large to serialize: depth*width = " +
+      s"${depth.toLong * width} cells > 2^27 (${(1L << 27)})")
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
@@ -76,19 +83,17 @@ case class CountMinAgg(
     new GenericArrayData(buf.clone())
 
   override def serialize(buf: Array[Long]): Array[Byte] = {
-    val bos = new ByteArrayOutputStream(buf.length * 8)
-    val out = new DataOutputStream(bos)
-    var i = 0
-    while (i < buf.length) { out.writeLong(buf(i)); i += 1 }
-    out.flush()
-    bos.toByteArray
+    // exact-size allocation (safe: the require above bounds
+    // buf.length*8 ≤ 2^30), no stream doubling/copy
+    val bytes = new Array[Byte](buf.length * 8)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    bb.asLongBuffer().put(buf)
+    bytes
   }
 
   override def deserialize(bytes: Array[Byte]): Array[Long] = {
-    val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val buf = new Array[Long](depth * width)
-    var i = 0
-    while (i < buf.length) { buf(i) = in.readLong(); i += 1 }
+    java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(buf)
     buf
   }
 

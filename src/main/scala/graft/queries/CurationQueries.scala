@@ -271,16 +271,18 @@ object CurationQueries {
     // is PRUNED by construction (c_custkey % 10 = 3 dropped — the
     // late-arriving-dimension scenario), so the orders edge reports
     // real planted orphans while the lineitem→orders edge proves the
-    // clean case stays zero. Anti-join per edge with the dim side
-    // broadcast when small; at 100 TB a billion-row dim flips to a
-    // shuffled anti-join on the FK — same plan shape Spark picks by
-    // size, nothing to rewrite.
+    // clean case stays zero. Anti-join per edge with NO broadcast
+    // hint — Spark's size estimate broadcasts the pruned dim at
+    // fixture scale, and at 100 TB a billion-row dim flips to a
+    // shuffled anti-join on the FK by the same size threshold; a
+    // hardcoded hint would force-broadcast the large dim and is
+    // exactly what must NOT ship.
     "c12_fk_orphans" -> ((s, d) => {
       import s.implicits._
       val prunedCust = Tables.customer(s, d)
         .filter($"c_custkey" % 10 =!= 3).select($"c_custkey")
       val e1 = Tables.orders(s, d)
-        .join(broadcast(prunedCust), $"o_custkey" === $"c_custkey",
+        .join(prunedCust, $"o_custkey" === $"c_custkey",
           "left_anti")
         .agg(count(lit(1)).as("n_orphans"),
           countDistinct($"o_custkey").as("n_missing_keys"))

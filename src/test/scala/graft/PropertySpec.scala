@@ -36,12 +36,36 @@ class PropertySpec extends AnyFunSuite {
     // otherwise a second pass strips at most one more suffix.
     forAll(wordGen) { w =>
       val once = Lemmatizer.lemma(w)
-      val twice = Lemmatizer.lemma(once)
       if (!once.endsWith("s"))
-        assert(twice == once, s"w=$w once=$once")
-      else
-        assert(twice.length >= once.length - 3,
-          s"w=$w once=$once twice=$twice")
+        assert(Lemmatizer.lemma(once) == once, s"w=$w once=$once")
+      else {
+        // s-final results may re-detach, but the cascade must
+        // STABILIZE (reach a fixpoint within |once| further passes)
+        // and every step must be one of morphy's own moves — a 1-2
+        // char suffix detachment, ies→y, or an irregular-map hop
+        // (axes→axis class) — never arbitrary mangling
+        val orbit = Iterator.iterate(once)(Lemmatizer.lemma)
+          .take(once.length + 2).toVector
+        val fix = orbit.sliding(2).indexWhere(p => p(0) == p(1))
+        assert(fix >= 0, s"w=$w cascade never stabilizes: $orbit")
+        orbit.take(fix + 1).sliding(2).foreach {
+          case Vector(a, b) =>
+            val detachment =
+              b == a.dropRight(1) || b == a.dropRight(2) ||
+                (a.endsWith("ies") && b == a.dropRight(3) + "y")
+            val irregularHop =
+              (a.endsWith("es") && b == a.dropRight(2) + "is") ||
+                (a.endsWith("ves") && (b == a.dropRight(3) + "f" ||
+                  b == a.dropRight(3) + "fe")) ||
+                (a.endsWith("ices") && (b == a.dropRight(4) + "ex" ||
+                  b == a.dropRight(3) + "x"))
+            // only s-final intermediates may keep detaching; non-s
+            // intermediates change only via the irregular map
+            assert(detachment || irregularHop || !a.endsWith("s"),
+              s"w=$w non-morphy step $a -> $b in $orbit")
+          case _ => ()
+        }
+      }
     }
     // the gap, pinned concrete: ses-detachment stranding an s-stem
     assert(Lemmatizer.lemma("tenses") == "tens")

@@ -108,14 +108,51 @@ class SketchesIdsSpec extends AnyFunSuite {
     val df = (0 until 1000).map(i => (i.toLong, (i % 7).toLong))
       .toDF("id", "k")
     val plan = Ids.contiguousIds(df, "k", Seq("id"), 8)
-      .queryExecution.executedPlan.toString
+      .queryExecution.executedPlan
+    // inspect the actual WindowExec nodes (string matching on
+    // "partitionBy" never fires — the physical plan prints the
+    // partition spec as an expression list, not that token), looking
+    // through AQE's wrapper when present
+    def windows(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.window.WindowExec] =
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => windows(a.executedPlan)
+        case other => other.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec => w
+        }
+      }
+    val wins = windows(plan)
+    assert(wins.nonEmpty, s"no WindowExec found:\n$plan")
     // every window over the corpus must carry a partition spec; the
     // only unpartitioned window allowed is the <=buckets-row offsets
-    val windows = plan.linesIterator.filter(_.contains("Window")).toSeq
-    assert(windows.nonEmpty)
-    val unpartitioned = windows.count(l =>
-      l.contains("Window") && !l.contains("partitionBy") &&
-        !l.contains("__b"))
-    assert(unpartitioned == 0, s"global window leaked:\n$plan")
+    // prefix-sum, which sorts by the bucket column __b alone
+    wins.filter(_.partitionSpec.isEmpty).foreach { w =>
+      val sortCols = w.orderSpec.flatMap(_.child.references.toSeq.map(_.name))
+      assert(sortCols == Seq("__b"),
+        s"global window leaked (sorts by $sortCols):\n$plan")
+    }
+    assert(wins.exists(_.partitionSpec.nonEmpty),
+      s"expected a bucket-partitioned corpus window:\n$plan")
+  }
+
+  test("contiguousIds fails loud on a degenerate single-value range " +
+      "key instead of silently funneling the corpus into one bucket") {
+    import spark.implicits._
+    val df = (0 until 2000).map(i => (i.toLong, 7L)).toDF("id", "k")
+    val e = intercept[IllegalStateException] {
+      Ids.contiguousIds(df, "k", Seq("id"), 8)
+    }
+    assert(e.getMessage.contains("too skewed"), e.getMessage)
+    assert(e.getMessage.contains("single-task sort"), e.getMessage)
+    // buckets = 1 is the explicit single-bucket opt-out — the guard
+    // stands down and ids still come out contiguous in (k, id) order
+    val got = Ids.contiguousIds(df, "k", Seq("id"), 1)
+      .select($"id", $"uid").as[(Long, Long)].collect().toMap
+    assert(got == (0 until 2000).map(i => i.toLong -> i.toLong).toMap)
+    // an explicit tolerance raise is honored
+    val n = Ids.contiguousIds(df, "k", Seq("id"), 8, skewTolerance = 8.0)
+      .count()
+    assert(n == 2000L)
   }
 }
