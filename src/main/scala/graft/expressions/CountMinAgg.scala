@@ -18,11 +18,21 @@ import org.apache.spark.unsafe.types.UTF8String
   * commute) — unlike [[MisraGriesAgg]]'s counters, the whole sketch
   * itself is deterministic and can be hash-verified by an oracle.
   *
-  * The row hash is the repo's engine-portable md5-chunk trick
-  * ([[graft.operators.Dedup.minhashChunk]] lineage): cell of item x
-  * in row r = first 8 hex chars of md5("r|x") parsed as a 32-bit
-  * int, mod width — mirrored verbatim in DuckDB as
-  * `CAST(('0x' || substring(md5(r || '|' || x), 1, 8)) AS BIGINT) % width`.
+  * Two row-hash profiles, both oracle-mirrored (the d05 MinHash
+  * discipline):
+  *  - default (`fnvProfile = false`): the engine-portable md5-chunk
+  *    trick ([[graft.operators.Dedup.minhashChunk]] lineage): cell of
+  *    item x in row r = first 8 hex chars of md5("r|x") parsed as a
+  *    32-bit int, mod width — mirrored verbatim in DuckDB as
+  *    `CAST(('0x' || substring(md5(r || '|' || x), 1, 8)) AS BIGINT)
+  *    % width`.
+  *  - fast (`fnvProfile = true`): the production profile —
+  *    floorMod(fmix64(fnv1a64("r|x")), width) via [[Fnv64Impl]], one
+  *    multiply+xor per character instead of a full md5 digest per
+  *    (row, token); mirrored in DuckDB through
+  *    [[graft.queries.FnvSql]]'s HUGEINT limb arithmetic (gate row
+  *    t24), so the cheap profile is hash-verified too, not
+  *    rows-only.
   *
   * Buffer is O(depth·width) longs regardless of input size or
   * cardinality — the constant-memory frequency table at 100 TB
@@ -35,6 +45,7 @@ case class CountMinAgg(
     child: Expression,
     depth: Int,
     width: Int,
+    fnvProfile: Boolean = false,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Long]]
@@ -55,7 +66,8 @@ case class CountMinAgg(
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "graft_countmin"
+  override def prettyName: String =
+    if (fnvProfile) "graft_countmin_fnv" else "graft_countmin"
 
   override def createAggregationBuffer(): Array[Long] =
     new Array[Long](depth * width)
@@ -65,9 +77,16 @@ case class CountMinAgg(
     if (v != null) {
       val item = v.asInstanceOf[UTF8String].toString
       var r = 0
-      while (r < depth) {
-        buf(r * width + CountMinAgg.cell(r, item, width)) += 1L
-        r += 1
+      if (fnvProfile) {
+        while (r < depth) {
+          buf(r * width + CountMinAgg.cellFast(r, item, width)) += 1L
+          r += 1
+        }
+      } else {
+        while (r < depth) {
+          buf(r * width + CountMinAgg.cell(r, item, width)) += 1L
+          r += 1
+        }
       }
     }
     buf
@@ -117,4 +136,12 @@ object CountMinAgg {
       ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
     (u32 % width).toInt
   }
+
+  /** Fast-profile row-r cell of `item`:
+    * floorMod(fmix64(fnv1a64("r|item")), width) — one multiply+xor
+    * per character ([[Fnv64Impl]]) instead of an md5 digest per
+    * (row, item). Oracle-mirrored via [[graft.queries.FnvSql]].
+    */
+  def cellFast(r: Int, item: String, width: Int): Int =
+    java.lang.Math.floorMod(Fnv64Impl.fnv1a64(s"$r|$item"), width)
 }

@@ -58,9 +58,10 @@ object Fnv64Impl {
     * mirrorable in oracle SQL (xor via 32-bit limbs, multiply via
     * widening limb products — all inside HUGEINT range).
     */
-  def fnv1a64(s: UTF8String): Long = {
+  def fnv1a64(s: UTF8String): Long = fnv1a64(s.toString)
+
+  def fnv1a64(str: String): Long = {
     var h = 0xcbf29ce484222325L
-    val str = s.toString
     var i = 0
     while (i < str.length) {
       val cp = str.codePointAt(i)

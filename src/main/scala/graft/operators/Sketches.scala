@@ -24,6 +24,21 @@ object Sketches {
       .toAggregateExpression()).as("cms"))
   }
 
+  /** [[countMin]] under the production hash profile —
+    * floorMod(fmix64(fnv1a64("r|item")), width) per cell
+    * ([[graft.expressions.CountMinAgg.cellFast]]): one multiply+xor
+    * per character instead of `depth` md5 digests per token, with
+    * the identical grid/merge semantics. Oracle-mirrored through
+    * [[graft.queries.FnvSql]] (gate row t24), so the fast profile is
+    * hash-verified like the md5 one. */
+  def countMinFast(items: DataFrame, itemCol: String,
+                   depth: Int, width: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge._
+    items.agg(column(graft.expressions.CountMinAgg(
+      expression(col(itemCol)), depth, width, fnvProfile = true)
+      .toAggregateExpression()).as("cms"))
+  }
+
   /** Row-r cell index of `item` — the md5-chunk hash mirrored in
     * [[graft.expressions.CountMinAgg.cell]] and in the DuckDB oracle
     * (`CAST(('0x' || substring(md5(r || '|' || x), 1, 8)) AS BIGINT)
@@ -31,6 +46,15 @@ object Sketches {
   def cmsCell(r: Int, item: Column, width: Int): Column =
     conv(substring(md5(concat(lit(s"$r|"), item)), 1, 8), 16, 10)
       .cast("long") % width
+
+  /** Fast-profile row-r cell of `item` — the in-row Column form of
+    * [[graft.expressions.CountMinAgg.cellFast]], riding the codegen'd
+    * [[graft.expressions.Fnv64]] kernel. */
+  def cmsCellFast(r: Int, item: Column, width: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge._
+    pmod(column(graft.expressions.Fnv64(
+      expression(concat(lit(s"$r|"), item)))), lit(width.toLong))
+  }
 
   /** Point estimate of `item`'s frequency from the flattened grid:
     * min over the `depth` probed cells, computed IN-ROW — probing n
@@ -40,5 +64,15 @@ object Sketches {
     least((0 until depth).map(r =>
       element_at(cms,
         (cmsCell(r, item, width) + lit(r * width) + lit(1)).cast("int"))
+    ): _*)
+
+  /** [[cmsEstimate]] probing with the fast-profile cells — use with
+    * grids built by [[countMinFast]]. */
+  def cmsEstimateFast(cms: Column, item: Column,
+                      depth: Int, width: Int): Column =
+    least((0 until depth).map(r =>
+      element_at(cms,
+        (cmsCellFast(r, item, width) + lit(r * width) + lit(1))
+          .cast("int"))
     ): _*)
 }

@@ -650,74 +650,11 @@ object DedupQueries {
          JOIN sizes sa ON a = sa.doc_id
          JOIN sizes sb ON b = sb.doc_id)"""
 
-  /** FNV-1a-64 over a VARCHAR column's code points, as the SIGNED
-    * BIGINT Spark's long reinterprets to — mirrors
-    * [[graft.expressions.Fnv64]] exactly. The state rides a HUGEINT
-    * in [0, 2^64); per character: xor the code point into the low 21
-    * bits (code points < 2^21, and BIGINT xor needs the split since
-    * HUGEINT has no xor), then multiply by the FNV prime 2^40 + 435
-    * as two in-range terms — `g*435 + (g mod 2^24)·2^40` — folded
-    * back mod 2^64.
-    */
-  /** Raw FNV-1a-64 over a VARCHAR column's code points, as a HUGEINT
-    * in [0, 2^64) — the reduction loop of
-    * [[graft.expressions.Fnv64Impl.fnv1a64]]. Per character: xor the
-    * code point into the low 21 bits (code points < 2^21; BIGINT xor
-    * on the low split, since HUGEINT has no xor), then multiply by
-    * the FNV prime 2^40 + 435 as two in-range terms folded back
-    * mod 2^64.
-    */
-  private def fnvRawSql(s: String): String = {
-    val g = "(h - h % 2097152 + " +
-      "xor(CAST(h % 2097152 AS BIGINT), CAST(c AS BIGINT)))"
-    s"""list_reduce(
-       list_prepend(CAST('14695981039346656037' AS HUGEINT),
-         list_transform(range(1, length($s)+1),
-           i -> CAST(unicode($s[i:i]) AS HUGEINT))),
-       (h, c) -> ($g * 435 + $g % 16777216 * 1099511627776)
-                 % CAST('18446744073709551616' AS HUGEINT))"""
-  }
-
-  /** `k xor (k >> 33)` on a HUGEINT-in-[0,2^64) COLUMN, via 32-bit
-    * limbs (each fits BIGINT xor). */
-  private def xorShift33Sql(k: String): String =
-    s"""(xor(CAST($k // 4294967296 AS BIGINT),
-             CAST($k // 8589934592 // 4294967296 AS BIGINT))
-           * CAST(4294967296 AS HUGEINT)
-         + xor(CAST($k % 4294967296 AS BIGINT),
-               CAST($k // 8589934592 % 4294967296 AS BIGINT)))"""
-
-  /** `k * (chi·2^32 + clo) mod 2^64` via widening limb products —
-    * every intermediate < 2^66, far inside HUGEINT. */
-  private def mul64Sql(k: String, clo: Long, chi: Long): String =
-    s"""(($k % 4294967296 * $clo
-         + ($k % 4294967296 * $chi + $k // 4294967296 * $clo)
-           % 4294967296 * 4294967296)
-        % CAST('18446744073709551616' AS HUGEINT))"""
-
-  /** Staged CTE chain computing the full
-    * `signed(fmix64(fnv1a64(fs)))` of [[graft.expressions.Fnv64]] —
-    * one CTE per fmix step so each expression references a COLUMN
-    * (inlining the whole cascade would blow the SQL up
-    * exponentially). Output CTE `<p>5` carries `$keep, v` with v the
-    * signed BIGINT Spark's long reinterprets to.
-    */
-  private def fnvStagesSql(p: String, src: String, keep: String): String = {
-    // fmix64 multiplier limbs: 0xff51afd7ed558ccd, 0xc4ceb9fe1a85ec53
-    val (c1lo, c1hi) = (0xed558ccdL, 0xff51afd7L)
-    val (c2lo, c2hi) = (0x1a85ec53L, 0xc4ceb9feL)
-    s"""${p}0 AS (SELECT $keep, ${fnvRawSql("fs")} AS k FROM $src),
-       ${p}1 AS (SELECT $keep, ${xorShift33Sql("k")} AS k FROM ${p}0),
-       ${p}2 AS (SELECT $keep, ${mul64Sql("k", c1lo, c1hi)} AS k FROM ${p}1),
-       ${p}3 AS (SELECT $keep, ${xorShift33Sql("k")} AS k FROM ${p}2),
-       ${p}4 AS (SELECT $keep, ${mul64Sql("k", c2lo, c2hi)} AS k FROM ${p}3),
-       ${p}5 AS (SELECT $keep,
-         CAST(CASE WHEN ${xorShift33Sql("k")}
-                >= CAST('9223372036854775808' AS HUGEINT)
-           THEN ${xorShift33Sql("k")}
-                - CAST('18446744073709551616' AS HUGEINT)
-           ELSE ${xorShift33Sql("k")} END AS BIGINT) AS v FROM ${p}4)"""
-  }
+  // FNV-1a-64 + fmix64 oracle mirror lives in [[FnvSql]] (shared
+  // with t24's fast Count-Min cells); `FnvSql.stages` emits the full
+  // signed(fmix64(fnv1a64(fs))) CTE chain.
+  private def fnvStagesSql(p: String, src: String, keep: String): String =
+    FnvSql.stages(p, src, keep)
 
   /** The d05 fast-profile candidates, mirrored from
     * [[Dedup.lshBandSignaturesFast]]: per-permutation min of

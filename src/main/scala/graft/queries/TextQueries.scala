@@ -348,6 +348,27 @@ object TextQueries {
         .select($"word", $"n",
           Sketches.cmsEstimate($"cms", $"word", CmsDepth, CmsWidth)
             .as("cms_est"))
+    }),
+
+    // t23 under the PRODUCTION hash profile (VERDICT r11 #5, the
+    // d03→d05 discipline): same grid, same one-pass partial-agg
+    // build, but cells from floorMod(fmix64(fnv1a64("r|token")),
+    // width) — one multiply+xor per character instead of depth md5
+    // digests per token (the ~3x constant SCALE.md names for t23).
+    // The oracle rebuilds the SAME cells through FnvSql's HUGEINT
+    // limb arithmetic, so the cheap profile is rows+schema+hash
+    // verified exactly like the md5 one — estimates included.
+    "t24_countmin_fast" -> ((s, d) => {
+      import s.implicits._
+      val toks = Tables.documents(s, d)
+        .select(explode(TextOps.tokenize($"text")).as("word"))
+      val cms = Sketches.countMinFast(toks, "word", CmsDepth, CmsWidth)
+      val top = toks.groupBy($"word").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"word".asc).limit(20)
+      top.crossJoin(cms)
+        .select($"word", $"n",
+          Sketches.cmsEstimateFast($"cms", $"word", CmsDepth, CmsWidth)
+            .as("cms_est"))
     })
   )
 
@@ -1088,6 +1109,33 @@ object TextQueries {
                   GROUP BY 1 ORDER BY n DESC, word ASC LIMIT 20)
           SELECT t.word, t.n, min(c.c) AS cms_est
           FROM top t JOIN cells c ON c.b = ${cell("c.r", "t.word")}
+          GROUP BY t.word, t.n"""
+    },
+
+    // t24: the fast-profile grid rebuilt in SQL — FnvSql's
+    // signed(fmix64(fnv1a64('r|word'))) cascade, cell =
+    // ((v % W) + W) % W (floorMod on the signed long), grid counts
+    // summed over DISTINCT words' exact counts (identical to
+    // per-occurrence increments), probe reuses the same hashed rows.
+    "t24_countmin_fast" -> {
+      val rs = (0 until CmsDepth).mkString("[", ", ", "]")
+      val W = CmsWidth
+      s"""WITH toks AS (SELECT unnest($tokSql) AS word FROM documents),
+          wc AS (SELECT word, count(*) AS n FROM toks GROUP BY 1),
+          rr AS (SELECT unnest($rs) AS r),
+          cstr AS (SELECT w.word, w.n, rr.r,
+                     CAST(rr.r AS VARCHAR) || '|' || w.word AS fs
+                   FROM wc w, rr),
+          ${FnvSql.stages("ch", "cstr", "word, n, r")},
+          cells AS (SELECT r, ((v % $W) + $W) % $W AS b,
+                      CAST(sum(n) AS BIGINT) AS c
+                    FROM ch5 GROUP BY 1, 2),
+          top AS (SELECT word, n FROM wc
+                  ORDER BY n DESC, word ASC LIMIT 20)
+          SELECT t.word, t.n, min(c.c) AS cms_est
+          FROM top t
+          JOIN ch5 h ON h.word = t.word
+          JOIN cells c ON c.r = h.r AND c.b = ((h.v % $W) + $W) % $W
           GROUP BY t.word, t.n"""
     }
   )

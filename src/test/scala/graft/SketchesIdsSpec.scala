@@ -69,6 +69,52 @@ class SketchesIdsSpec extends AnyFunSuite {
     assert(collided > 0, "no collisions: widen the test domain")
   }
 
+  test("fast-profile grid: partition-order independent, matches the " +
+      "cellFast reference, estimates one-sided, probes agree") {
+    import spark.implicits._
+    val rows = items
+    val ref = new Array[Long](Depth * Width)
+    rows.foreach { it =>
+      (0 until Depth).foreach { r =>
+        ref(r * Width + CountMinAgg.cellFast(r, it, Width)) += 1L
+      }
+    }
+    for (parts <- Seq(1, 16)) {
+      val grid = Sketches.countMinFast(
+        rows.toDF("word").repartition(parts), "word", Depth, Width)
+        .as[Seq[Long]].head()
+      assert(grid == ref.toSeq, s"fnv grid drifted at parts=$parts")
+    }
+    val df = rows.toDF("word").repartition(8)
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val grid = Sketches.countMinFast(df, "word", Depth, Width)
+    val probed = df.distinct().crossJoin(grid)
+      .select($"word",
+        Sketches.cmsEstimateFast($"cms", $"word", Depth, Width).as("est"))
+      .as[(String, Long)].collect()
+    var collided = 0
+    probed.foreach { case (w, est) =>
+      assert(est >= exact(w), s"$w under-estimated: $est < ${exact(w)}")
+      if (est > exact(w)) collided += 1
+    }
+    assert(collided > 0, "no collisions: widen the test domain")
+  }
+
+  test("fast scala cell and the cmsCellFast column are the same hash " +
+      "(the t24 oracle-parity hinge), incl. non-ascii and empty") {
+    import spark.implicits._
+    val words = Seq("the", "répé", "a|b", "", "x" * 100)
+    val got = words.toDF("word")
+      .select($"word",
+        Sketches.cmsCellFast(0, $"word", Width).as("c0"),
+        Sketches.cmsCellFast(3, $"word", Width).as("c3"))
+      .as[(String, Long, Long)].collect().toSeq.sortBy(_._1)
+    val want = words.map(w =>
+      (w, CountMinAgg.cellFast(0, w, Width).toLong,
+        CountMinAgg.cellFast(3, w, Width).toLong)).sortBy(_._1)
+    assert(got == want)
+  }
+
   test("scala cell function and the sql cmsCell column are the same " +
       "hash (the oracle-parity hinge)") {
     import spark.implicits._
