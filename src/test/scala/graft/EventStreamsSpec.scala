@@ -30,6 +30,24 @@ class EventStreamsSpec extends AnyFunSuite {
   def ts(minutes: Long): Timestamp = new Timestamp(Base + minutes * 60000L)
   def mins(t: Long): Long = (t - Base) / 60000L
 
+  /** Run `f` with the named state-store provider in effect — the
+    * foreachBatch sinks are near-stateless, but a 100 TB deployment
+    * runs RocksDB everywhere, so their exactly-once/idempotent-replay
+    * contracts are asserted under BOTH providers (VERDICT r11 #7).
+    * providerClass is read at stream start; restored after. */
+  private def withStateStore[A](provider: String)(f: => A): A =
+    if (provider == "rocksdb") {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "org.apache.spark.sql.execution.streaming" +
+        ".state.RocksDBStateStoreProvider")
+      try f
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    } else f
+
   val rows = Seq(
     // user 1: two sessions separated by > 30 min
     SessionInput(1L, ts(0), 1.0), SessionInput(1L, ts(10), 2.0),
@@ -502,8 +520,9 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  for (store <- Seq("default", "rocksdb"))
   test("streaming snapshot upsert merges micro-batches and rewrites " +
-      "only touched buckets") {
+      s"only touched buckets [$store]") { withStateStore(store) {
     import spark.implicits._
     import graft.operators.Curation
     import graft.streaming.CorpusStreams
@@ -549,9 +568,11 @@ class EventStreamsSpec extends AnyFunSuite {
     untouched.foreach { b =>
       assert(bucketFiles(b) == before(b), s"bucket $b was rewritten")
     }
-  }
+  } }
 
-  test("streaming rollup sink: fragments merge to the batch answer; replay is idempotent") {
+  for (store <- Seq("default", "rocksdb"))
+  test("streaming rollup sink: fragments merge to the batch answer; " +
+      s"replay is idempotent [$store]") { withStateStore(store) {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files
@@ -596,7 +617,7 @@ class EventStreamsSpec extends AnyFunSuite {
       .write.partitionBy("batch_id").mode("overwrite")
       .option("partitionOverwriteMode", "dynamic").parquet(dir)
     assert(serving == first, "batch replay double-counted")
-  }
+  } }
 
   test("streaming first-per-day dedup converges to the batch answer") {
     import spark.implicits._
