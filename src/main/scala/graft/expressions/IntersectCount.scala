@@ -109,6 +109,21 @@ case class IntersectCountI64(left: Expression, right: Expression)
 }
 
 object IntersectCountImpl {
+  /** Reused probe table, one per executor thread (round 12): the
+    * kernel previously allocated a fresh `long[2·|small|]` per
+    * CANDIDATE PAIR — at d20 scale that is the verify join's
+    * dominant steady-state allocation, feeding exactly the GC-pacing
+    * bimodality SCALE.md's forked studies trace (finding 3 / the
+    * round-12 GC A/B). A thread-local backing array grown
+    * high-water-mark style drops steady-state kernel allocation to
+    * zero: the per-call `Arrays.fill` of the used prefix costs the
+    * same O(cap) writes the allocator's zeroing already paid, minus
+    * the garbage. Bounded by 2× the largest doc's shingle count per
+    * thread. Semantics untouched (ExpressionSpec parity).
+    */
+  private val tableTl: ThreadLocal[Array[Long]] =
+    ThreadLocal.withInitial(() => new Array[Long](1024))
+
   /** [[count]] over primitive longs: open-addressing table (capacity
     * = next pow2 ≥ 2·|small|), `Long.MinValue` slot = empty, matched
     * slots tombstoned back to empty so probe-side duplicates count
@@ -123,8 +138,12 @@ object IntersectCountImpl {
     var cap = 4
     while (cap < ns * 2) cap <<= 1
     val mask = cap - 1
-    val table = new Array[Long](cap)
-    java.util.Arrays.fill(table, Long.MinValue)
+    var table = tableTl.get()
+    if (table.length < cap) {
+      table = new Array[Long](cap)
+      tableTl.set(table)
+    }
+    java.util.Arrays.fill(table, 0, cap, Long.MinValue)
     var smallHasNull = false
     var hasMinValue = false // Long.MinValue can't live in the table
     var i = 0

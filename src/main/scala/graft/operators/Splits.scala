@@ -358,4 +358,52 @@ object Splits {
       .select(col(idCol), col("w"),
         greatest(col("w"), col("tau")).as("w_hat"))
   }
+
+  /** Sequence packing (sp13) — the concatenate-and-chunk step every
+    * LLM pretraining pipeline runs last: documents laid head-to-tail
+    * on one token tape in deterministic shuffle order
+    * (hash60(id|salt), id — the [[shuffleRank]] order), with training
+    * sequence b covering tape positions [b·seqLen, (b+1)·seqLen).
+    * Output per doc: `bin` = the sequence its FIRST token lands in,
+    * `off` = its offset inside that bin, plus `n_tokens` — enough for
+    * a writer to materialize packed sequences (a doc straddles into
+    * following bins when off + n_tokens > seqLen: the GPT-style
+    * chunking that never pads and never truncates).
+    *
+    * Scale shape: the tape position is a GLOBAL running token sum,
+    * but never a global window (a 100 TB single-task sort). hash60's
+    * top bits range-bucket the tape order exactly (bucket order IS
+    * tape order — the [[tokenBudgetCap]]/[[shuffleRank]] trick);
+    * per-bucket token sums collect to a ≤`buckets`-row driver prefix
+    * table broadcast back, and each row's tape position = its
+    * bucket's offset + the within-bucket exclusive running sum — the
+    * only corpus window is PARTITIONED by bucket. Requires
+    * `tokensCol` ≥ 0 and total tokens < 2⁶³.
+    */
+  def packSequences(docs: DataFrame, idCol: String, tokensCol: Column,
+      salt: String, seqLen: Long, buckets: Int = 1024): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    require(buckets > 0 && (buckets & (buckets - 1)) == 0,
+      "buckets must be a power of two")
+    val shift = 60 - (31 - Integer.numberOfLeadingZeros(buckets))
+    val withRk = docs
+      .select(col(idCol), tokensCol.cast("long").as("n_tokens"))
+      .withColumn("__rk", hash60(col(idCol), salt))
+      .withColumn("__bkt", shiftright(col("__rk"), shift))
+    val sums = withRk.groupBy(col("__bkt"))
+      .agg(sum(col("n_tokens")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = sums.scanLeft(0L)(_ + _._2)
+    val offsetMap = sums.map(_._1).zip(offsets).toMap
+    val inBucket = Window.partitionBy(col("__bkt"))
+      .orderBy(col("__rk"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withRk
+      .withColumn("__tape",
+        element_at(typedLit(offsetMap), col("__bkt")) +
+          coalesce(sum(col("n_tokens")).over(inBucket), lit(0L)))
+      .select(col(idCol), col("n_tokens"),
+        expr(s"__tape DIV $seqLen").as("bin"),
+        pmod(col("__tape"), lit(seqLen)).as("off"))
+  }
 }

@@ -141,8 +141,28 @@ object SplitQueries {
     // hash, so the oracle agrees bit-for-bit.
     "sp12_priority_sample" -> ((s, d) =>
       Splits.prioritySample(Tables.documents(s, d), "doc_id",
-        expr("octet_length(text)"), Salt, k = PriorityK))
+        expr("octet_length(text)"), Salt, k = PriorityK)),
+
+    // Sequence packing — docs laid head-to-tail on a token tape in
+    // hash-shuffle order, chunked into seqLen-token training
+    // sequences (bin = sequence of the doc's first token, off =
+    // position inside it; straddling docs spill into following bins,
+    // GPT-style, no padding). The oracle is the naive global
+    // running-sum window; the Spark side must reproduce it through
+    // the bucketed prefix-offset plan (the only corpus window is
+    // bucket-partitioned — at 100 TB a global ORDER BY window is a
+    // single-task sort). buckets=8 at fixture scale so bucket
+    // boundaries land mid-tape everywhere.
+    "sp13_sequence_packing" -> ((s, d) =>
+      Splits.packSequences(Tables.documents(s, d), "doc_id",
+        size(TextOps.tokenize(col("text"))), Salt,
+        seqLen = PackSeqLen, buckets = 8))
   )
+
+  /** sp13's training-sequence length in tokens — far below a source's
+    * token mass at every fixture, so bins, in-bin offsets, and
+    * straddling docs all occur. */
+  private val PackSeqLen = 256L
 
   /** sp12's sample size — small vs the sf0.001 corpus (600 docs) so
     * the tau threshold is exercised at every fixture. */
@@ -291,6 +311,25 @@ object SplitQueries {
             FROM r)
           SELECT doc_id, source, n_tokens FROM c
           WHERE cum_before < $TokenBudget""",
+    // sp13: the naive form — ONE global running-sum window in
+    // (hash, id) tape order, then integer div/mod into bins
+    "sp13_sequence_packing" ->
+      s"""WITH r AS (
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split(text, ' '),
+                     w -> len(w) > 0)) AS BIGINT) AS n_tokens,
+                   CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+                     || '|$Salt'), 1, 15)) AS BIGINT) AS rk
+            FROM documents),
+          c AS (
+            SELECT doc_id, n_tokens,
+                   coalesce(sum(n_tokens) OVER (ORDER BY rk, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS tape
+            FROM r)
+          SELECT doc_id, n_tokens, tape // $PackSeqLen AS bin,
+                 tape % $PackSeqLen AS off
+          FROM c""",
     // the oracle is the naive single-window form of the same total
     // order (rk, doc_id); the Spark side must reproduce it through
     // its bucketed prefix-offset plan

@@ -223,6 +223,38 @@ class TemporalOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("packSequences equals the naive global running-sum window at " +
+      "every bucket count; bins partition the tape exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.{Window => W}
+    val rng = new scala.util.Random(7L)
+    // zero-token docs included: they must still get a tape position
+    val df = (0L until 400L).map(i => (i, rng.nextInt(40).toLong))
+      .toDF("id", "nt")
+    val seqLen = 64L
+    val expected = df
+      .withColumn("__rk", Splits.hash60($"id", "s6"))
+      .withColumn("tape", coalesce(sum($"nt").over(
+        W.orderBy($"__rk", $"id")
+          .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      .select($"id", $"nt", expr(s"tape DIV $seqLen").as("bin"),
+        pmod($"tape", lit(seqLen)).as("off"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    for (buckets <- Seq(1, 8, 64)) {
+      val got = Splits.packSequences(df, "id", $"nt", "s6", seqLen,
+        buckets).as[(Long, Long, Long, Long)].collect()
+        .map(t => t._1 -> (t._2, t._3, t._4)).toMap
+      assert(got == expected, s"buckets=$buckets diverged")
+    }
+    // offsets stay in [0, seqLen), and the fixture actually exercises
+    // straddling (a doc whose tokens spill into the next bin) — the
+    // chunking semantics the operator exists for
+    assert(expected.values.forall { case (_, _, o) => o >= 0 && o < seqLen })
+    assert(expected.values.exists { case (nt, _, o) => o + nt > seqLen },
+      "no straddling docs — fixture too tame")
+  }
+
   test("pii redaction chain handles mixed content in one pass") {
     import spark.implicits._
     val redacted = Seq(
