@@ -32,7 +32,21 @@ object Bench {
     // dedicated-run times (d06 40.9 s sequential vs 4.5 s dedicated).
     val sc = spark.sparkContext
     val keepIds = sc.getPersistentRDDs.keySet
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Order-randomized pass (protocol recorded in the JSON): a FIXED
+    // alphabetical order gives every query the same predecessors
+    // every round, so same-JVM heap/GC debt biases the same block of
+    // successors — r11's "regression" of 18 contiguous run-order
+    // queries was exactly this artifact (the forked-JVM study showed
+    // full-pass lines overstate the short tail up to 8.5x). A
+    // per-run shuffled order spreads predecessor debt randomly, so a
+    // round-over-round per-query delta that persists across seeds is
+    // a real regression, not an ordering echo. Seed from
+    // SPARK_GRAFT_BENCH_SEED for reproducing a specific pass.
+    val seed = sys.env.get("SPARK_GRAFT_BENCH_SEED").map(_.toLong)
+      .getOrElse(System.nanoTime() % 1000000L)
+    val order = new scala.util.Random(seed)
+      .shuffle(SparkEntry.queries.toSeq.sortBy(_._1))
+    val results = order.map { case (name, fn) =>
       // untimed GC between queries: without it a query's time includes
       // collection debt left by its predecessor (m07 after the GBT
       // ensemble measured 2-4x its isolated time) — standard bench
@@ -68,14 +82,16 @@ object Bench {
     }
     def fmt(v: Double, dec: Int): String =
       s"%.${dec}f".formatLocal(java.util.Locale.ROOT, v)
-    def qJson(short: Boolean): String = results.map { case (k, v) =>
+    // emit name-sorted regardless of measured order, for stable diffs
+    val emitted = results.sortBy(_._1)
+    def qJson(short: Boolean): String = emitted.map { case (k, v) =>
       val key = if (short) k.takeWhile(_ != '_') else k
       "\"" + key + "\":" + fmt(v, if (short) 2 else 3)
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     def line(qs: String, extra: String): String =
-      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"$extra}"""
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","protocol":"warmup; per-query gc + blocking pin-sweep; shuffled run order","order_seed":$seed$extra}"""
     // The driver keeps only a ~2 KB stdout TAIL, and the full-name
     // 106-query record is ~3 KB — r4 and r6 both lost the JSON line's
     // head that way. Stdout therefore prints the record with short
