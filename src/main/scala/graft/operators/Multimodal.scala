@@ -265,6 +265,107 @@ object Multimodal {
     }
   }
 
+  /** 64-bit average-hash of an image asset, one row per asset. */
+  final case class ImageHash(asset_id: Long, h_hi: Long, h_lo: Long)
+
+  /** Perceptual average-hash (aHash) over decoded image rasters —
+    * the image analogue of content fingerprinting for near-dup
+    * screening: the w×h grayscale grid is block-averaged into an
+    * 8×8 cell grid (cell of pixel (x,y) = ((y·8)/h, (x·8)/w), floor
+    * division — cells differ by ≤1 row/col in size), and bit c is
+    * set iff cell c's mean EXCEEDS the whole-image mean. The bit
+    * rule is evaluated in INTEGER arithmetic —
+    * `cell_sum·(w·h) > total_sum·cell_count` — so the hash is exact,
+    * engine-portable, and DuckDB-mirrorable with no floating-point
+    * tie risk (every product ≤ 255·80²·80² ≪ 2⁶³ at the fixture
+    * dims; requires w·h·255·w·h < 2⁶³ in general, i.e. dims ≲ 10⁴).
+    * Output: the 64 bits as two non-negative 32-bit halves riding
+    * BIGINTs (h_hi = bits 32–63, h_lo = bits 0–31) — split so the
+    * oracle never builds a sign-overflowing 2⁶³ term. Near-identical
+    * images (small pixel perturbations, re-encodes) land within a
+    * few Hamming bits; [[phashNearDup]] pairs them at scale.
+    *
+    * Decode is the same real-codec batch shape as [[decode]]
+    * (per-partition `mapPartitions`, `javax.imageio`); non-image
+    * assets are filtered out, dims must be ≥ 8.
+    */
+  def aHash(assets: Dataset[MediaAsset]): Dataset[ImageHash] = {
+    implicit val enc = Encoders.product[ImageHash]
+    assets.filter(_.kind == "image").mapPartitions { it =>
+      it.map { a =>
+        val img = ImageIO.read(new ByteArrayInputStream(a.payload))
+        require(img != null,
+          s"asset ${a.asset_id}: undecodable image payload")
+        val raster = img.getRaster
+        val w = img.getWidth
+        val h = img.getHeight
+        require(w >= 8 && h >= 8,
+          s"asset ${a.asset_id}: aHash needs dims >= 8, got ${w}x$h")
+        val cs = new Array[Long](64)
+        val cn = new Array[Long](64)
+        var ts = 0L
+        var y = 0
+        while (y < h) {
+          val cy = y * 8 / h
+          var x = 0
+          while (x < w) {
+            val c = cy * 8 + x * 8 / w
+            val v = raster.getSample(x, y, 0) & 0xff
+            cs(c) += v
+            cn(c) += 1
+            ts += v
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        var hi = 0L
+        var lo = 0L
+        var c = 0
+        while (c < 64) {
+          if (cs(c) * n > ts * cn(c)) {
+            if (c >= 32) hi |= 1L << (c - 32) else lo |= 1L << c
+          }
+          c += 1
+        }
+        ImageHash(a.asset_id, hi, lo)
+      }
+    }
+  }
+
+  /** Near-duplicate image pairs from [[aHash]] fingerprints: the 64
+    * bits split into 4 disjoint 16-bit bands; by pigeonhole every
+    * pair within Hamming distance ≤ 3 agrees on at least one whole
+    * band (the d04 SimHash argument), so candidates are an equi-join
+    * on (band index, band value) — banded buckets, never all-pairs —
+    * verified by exact popcount over the xor'd halves. At 100 TB the
+    * only shuffle is the 4-rows-per-image band table keyed by 16-bit
+    * values; image payloads are never touched (aHash already ran in
+    * the scan pass).
+    */
+  def phashNearDup(hashes: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4 bands guarantee recall only for hamming <= 3, got $maxHamming")
+    val mask = lit(0xffffL)
+    val banded = hashes.select(col("asset_id"), col("h_hi"), col("h_lo"),
+      posexplode(array(
+        col("h_lo").bitwiseAND(mask),
+        shiftright(col("h_lo"), 16).bitwiseAND(mask),
+        col("h_hi").bitwiseAND(mask),
+        shiftright(col("h_hi"), 16).bitwiseAND(mask)))
+        .as(Seq("band", "sig")))
+    val x = banded.as("x")
+    val yy = banded.as("y")
+    x.join(yy, col("x.band") === col("y.band") &&
+        col("x.sig") === col("y.sig") &&
+        col("x.asset_id") < col("y.asset_id"))
+      .select(col("x.asset_id").as("a"), col("y.asset_id").as("b"),
+        (expr("bit_count(x.h_hi ^ y.h_hi)") +
+          expr("bit_count(x.h_lo ^ y.h_lo)")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Image resize: real decode → area-scale → re-encode PNG, metadata
     * updated to the new dimensions. Non-image assets pass through
     * untouched (audio/video resampling is a different operation).

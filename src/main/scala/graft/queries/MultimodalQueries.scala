@@ -56,6 +56,23 @@ object MultimodalQueries {
         Tables.documents(s, d).filter(col("doc_id") < 200),
         "doc_id", "text").toDF()
       Multimodal.frameSample(assets, everyMs = 500L)
+    }),
+
+    // Perceptual average-hash per image asset, through the REAL
+    // javax.imageio decode: 8x8 block means over the raster, bit c
+    // set iff cell mean > image mean — evaluated as the integer
+    // cross-product rule cs*(w*h) > ts*cn, so the oracle (which
+    // recomputes the raster from the deterministic fixture text in
+    // SQL) matches every bit with zero FP-tie risk. The hash table is
+    // the gate row; banded near-dup PAIRING over these hashes
+    // (4x16-bit bands, exact popcount verify) is spec'd on planted
+    // near-identical PNGs in MultimodalSpec — the fixture corpus has
+    // no two images with equal dims, so pairs would gate vacuously.
+    "mm04_image_ahash" -> ((s, d) => {
+      val assets = Multimodal.demoAssets(
+        Tables.documents(s, d).filter(col("doc_id") < 200),
+        "doc_id", "text")
+      Multimodal.aHash(assets).toDF()
     })
   )
 
@@ -126,6 +143,48 @@ object MultimodalQueries {
          SELECT asset_id, CAST(ts_ms // 500 AS INTEGER) AS frame_idx,
                 ts_ms
          FROM (SELECT asset_id, unnest(range(0, dur + 1, 500)) AS ts_ms
-               FROM v)"""
+               FROM v)""",
+    // mm04: the raster rebuilt from the deterministic fixture text
+    // (pixel i of the w x h grid = byte i%len of the doc — the mm02
+    // losslessness), block-binned into the same 8x8 cells by floor
+    // division, bit rule as the integer cross-product, 64 bits folded
+    // into two 32-bit halves (so no 2^63 sign overflow in BIGINT).
+    "mm04_image_ahash" ->
+      """WITH img AS (
+           SELECT doc_id AS asset_id, text,
+                  octet_length(encode(text)) AS len,
+                  16 + (octet_length(encode(text)) % 64) AS w,
+                  16 + ((octet_length(encode(text)) // 3) % 64) AS h
+           FROM documents WHERE doc_id < 200 AND doc_id % 3 = 0),
+         pv AS (
+           SELECT asset_id, w, h,
+                  unnest(list_transform(range(0, w * h),
+                    i -> ascii(text[CAST(i % len AS INTEGER) + 1]))) AS v,
+                  unnest(range(0, w * h)) AS i
+           FROM img),
+         cells AS (
+           SELECT asset_id,
+                  ((i // w) * 8 // h) * 8 + ((i % w) * 8 // w) AS c,
+                  CAST(sum(v) AS BIGINT) AS cs,
+                  CAST(count(*) AS BIGINT) AS cn,
+                  max(w * h) AS n
+           FROM pv GROUP BY 1, 2),
+         tot AS (
+           SELECT asset_id, CAST(sum(cs) AS BIGINT) AS ts,
+                  max(n) AS n
+           FROM cells GROUP BY 1),
+         bits AS (
+           SELECT c.asset_id, c.c,
+                  CASE WHEN c.cs * t.n > t.ts * c.cn
+                       THEN 1 ELSE 0 END AS bit
+           FROM cells c JOIN tot t USING (asset_id))
+         SELECT asset_id,
+                CAST(sum(CASE WHEN c >= 32
+                  THEN bit * (CAST(1 AS BIGINT) << CAST(c - 32 AS INTEGER))
+                  ELSE 0 END) AS BIGINT) AS h_hi,
+                CAST(sum(CASE WHEN c < 32
+                  THEN bit * (CAST(1 AS BIGINT) << CAST(c AS INTEGER))
+                  ELSE 0 END) AS BIGINT) AS h_lo
+         FROM bits GROUP BY 1"""
   )
 }

@@ -169,4 +169,50 @@ class MultimodalSpec extends AnyFunSuite {
     assert(byId.keySet === Set(2L))
     assert(byId(2L).map(_.getLong(2)).toSeq.sorted == Seq(0L))
   }
+
+  test("aHash near-dup pairing: a lightly perturbed re-encode pairs " +
+      "with its original; unrelated images do not") {
+    import spark.implicits._
+    val meta = Multimodal.MediaMeta("image/png", 32, 24, 0, 0L)
+    def img(id: Long, body: Array[Byte]) =
+      Multimodal.MediaAsset(id, "image",
+        Multimodal.encodePng(32, 24, body), meta)
+    // base: a strong light/dark block structure (aHash's home turf)
+    val base = Array.tabulate[Byte](32 * 24) { i =>
+      val x = i % 32
+      (if (x < 16) 230 else 20).toByte
+    }
+    // near-dup: a handful of pixels nudged — block means barely move
+    val near = base.clone()
+    for (i <- Seq(5, 100, 200, 500)) near(i) = (near(i) + 25).toByte
+    // far: the inverse structure — every bit flips
+    val far = base.map(b => (250 - (b & 0xff)).toByte)
+    val hashes = Multimodal.aHash(
+      Seq(img(1L, base), img(2L, near), img(3L, far)).toDS()).toDF()
+    val pairs = Multimodal.phashNearDup(hashes, maxHamming = 3)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+    // exact self-agreement: identical payloads pair at hamming 0
+    val dup = Multimodal.phashNearDup(Multimodal.aHash(
+        Seq(img(7L, base), img(8L, base)).toDS()).toDF(), 0)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(dup.map(t => (t._1, t._2)) == Seq((7L, 8L)) &&
+      dup.head._3 == 0)
+    // non-image assets are filtered, tiny dims refuse loudly
+    val wav = Multimodal.MediaAsset(9L, "audio",
+      Multimodal.encodeWav(8000, Array.tabulate[Byte](64)(_.toByte)),
+      Multimodal.MediaMeta("audio/wav", 0, 0, 8000, 0L))
+    assert(Multimodal.aHash(Seq(wav).toDS()).count() == 0L)
+    val tiny = Multimodal.MediaAsset(10L, "image",
+      Multimodal.encodePng(4, 4, Array.tabulate[Byte](16)(_.toByte)),
+      meta)
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.aHash(Seq(tiny).toDS()).collect()
+    }
+    assert(e.getMessage.contains("dims >= 8") ||
+      Option(e.getCause).exists(_.getMessage.contains("dims >= 8")))
+    intercept[IllegalArgumentException] {
+      Multimodal.phashNearDup(hashes, maxHamming = 4)
+    }
+  }
 }
