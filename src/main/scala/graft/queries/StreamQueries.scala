@@ -14,6 +14,14 @@ import graft.streaming.EventStreams
 object StreamQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** st11's per-dispatch cost budget in bytes — a few props-payloads
+    * per bin at every fixture, so bins, offsets and straddling all
+    * occur in every event type. Declared BEFORE the query maps: the
+    * oracle string interpolates it at object init, and a
+    * forward-referenced val reads as 0 there (the `// 0` NULL-bin
+    * bug this comment commemorates). */
+  private val DispatchBudget = 512L
+
   val queries: Map[String, Q] = Map(
     // Tumbling event-time windows + watermark (no-op in batch).
     "st01_tumbling_counts" -> ((s, d) =>
@@ -127,7 +135,20 @@ object StreamQueries {
         .join(exact, Seq("w_start_ms", "uid"), "left")
         .select(col("w_start_ms"), col("uid"), col("cms_est"),
           coalesce(col("n_exact"), lit(0L)).as("n_exact"))
-    })
+    }),
+
+    // Dispatch packing: per event_type, events on a byte-cost tape
+    // in (ts, event_id) order, chunked into fixed-budget dispatch
+    // bins — the ingest-tier batching face. Batch form here (one
+    // per-type-partitioned window — the sessionize class); the
+    // streaming twin carries ONE LONG of state per type and
+    // converges to this exact answer (EventStreamsSpec, default +
+    // RocksDB stores).
+    "st11_dispatch_packing" -> ((s, d) =>
+      EventStreams.dispatchPackBatch(
+        Tables.events(s, d).withColumn("c",
+          octet_length(col("props"))),
+        "c", budget = DispatchBudget))
   )
 
   /** st10 grid shape — narrow enough that distinct users actually
@@ -296,6 +317,26 @@ object StreamQueries {
           SELECT est.w_start_ms, est.uid, est.cms_est,
                  CAST(coalesce(ex.n_exact, 0) AS BIGINT) AS n_exact
           FROM est LEFT JOIN ex USING (w_start_ms, uid)"""
-    }
+    },
+
+    // st11: the naive per-type running-sum window, then integer
+    // div/mod into bins
+    "st11_dispatch_packing" ->
+      s"""WITH r AS (
+            SELECT event_id, event_type,
+                   CAST(octet_length(encode(props)) AS BIGINT) AS cost,
+                   ts
+            FROM events),
+          c AS (
+            SELECT event_id, event_type, cost,
+                   coalesce(sum(cost) OVER (PARTITION BY event_type
+                     ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS tape
+            FROM r)
+          SELECT event_id, event_type, cost,
+                 tape // $DispatchBudget AS bin,
+                 tape % $DispatchBudget AS off
+          FROM c"""
   )
 }

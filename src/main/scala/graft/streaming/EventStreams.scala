@@ -142,6 +142,78 @@ object EventStreams {
       }
   }
 
+  final case class PackInput(event_id: Long, event_type: String,
+      ts: Timestamp, cost: Long)
+  final case class PackCarry(tape: Long)
+  final case class PackedEvent(event_id: Long, event_type: String,
+      cost: Long, bin: Long, off: Long)
+
+  /** Streaming dispatch packing — the ingest-side twin of
+    * [[graft.operators.Splits.packSequences]]: per event_type,
+    * events are laid head-to-tail on a cost tape in (ts, event_id)
+    * order and chunked into `budget`-cost dispatch bins (bin of an
+    * event = the bin its first cost unit lands in, off = its
+    * position inside that bin) — how an ingest tier batches
+    * variable-size records into fixed-size dispatch units. State is
+    * ONE LONG per key (the carried tape position): never a buffered
+    * row, never grows, bounded by |event types| at any scale —
+    * the cheapest stateful operator in the engine. Within a
+    * micro-batch rows sort by (ts, event_id); across batches the
+    * correctness contract is per-key event-time-ordered arrival (the
+    * same offset-carrying assumption every log consumer makes — a
+    * straggler behind the carried tape would need its bin
+    * re-opened, which dispatch semantics forbid). Batch mirror with
+    * identical semantics: [[dispatchPackBatch]].
+    */
+  def dispatchPackStream(events: Dataset[PackInput],
+                         budget: Long): Dataset[PackedEvent] = {
+    require(budget > 0, "budget must be positive")
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[PackCarry, PackedEvent](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (tpe: String, rows: Iterator[PackInput],
+         state: GroupState[PackCarry]) =>
+          var tape = state.getOption.map(_.tape).getOrElse(0L)
+          val out = rows.toSeq.sortBy(r => (r.ts.getTime, r.event_id))
+            .map { r =>
+              val o = PackedEvent(r.event_id, tpe, r.cost,
+                tape / budget, tape % budget)
+              tape += r.cost
+              o
+            }
+          state.update(PackCarry(tape))
+          out.iterator
+      }
+  }
+
+  /** Batch dispatch packing with identical semantics — the oracle for
+    * [[dispatchPackStream]] and a gate face in its own right: one
+    * window PARTITIONED by event_type ordered by (ts, event_id) (the
+    * per-key-parallel sessionize class — a hot type costs one linear
+    * in-memory sort, see sk02's measured story; the unkeyed global
+    * form of the same running sum is sp13's bucketed plan). Expects
+    * (event_id, event_type, ts, `costCol`); emits
+    * (event_id, event_type, cost, bin, off).
+    */
+  def dispatchPackBatch(events: DataFrame, costCol: String,
+                        budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val byType = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .select(col("event_id"), col("event_type"),
+        col(costCol).cast("long").as("cost"), col("ts"))
+      .withColumn("__tape",
+        coalesce(sum(col("cost")).over(byType), lit(0L)))
+      .select(col("event_id"), col("event_type"), col("cost"),
+        expr(s"__tape DIV $budget").as("bin"),
+        pmod(col("__tape"), lit(budget)).as("off"))
+  }
+
   final case class DedupInput(user_id: Long, event_type: String,
                               ts: Timestamp, event_id: Long)
   final case class FirstSeen(ts: Long, event_id: Long)

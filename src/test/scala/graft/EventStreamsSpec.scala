@@ -521,6 +521,44 @@ class EventStreamsSpec extends AnyFunSuite {
   }
 
   for (store <- Seq("default", "rocksdb"))
+  test("streaming dispatch packing converges to the batch answer " +
+      s"with one long of state per type [$store]") { withStateStore(store) {
+    import spark.implicits._
+    import EventStreams.{PackInput, PackedEvent}
+    val rows = Seq(
+      PackInput(1L, "click", ts(0), 300L),
+      PackInput(2L, "view", ts(1), 200L),
+      PackInput(3L, "click", ts(2), 300L), // straddles bin 0 -> 1
+      PackInput(4L, "click", ts(3), 100L),
+      PackInput(5L, "view", ts(4), 400L),
+      PackInput(6L, "view", ts(5), 50L))
+    val budget = 512L
+    val mem = MemoryStream[PackInput](spark)
+    val q = EventStreams.dispatchPackStream(mem.toDS(), budget)
+      .writeStream.format("memory").queryName(s"pack_$store")
+      .outputMode("append").start()
+    try {
+      // three micro-batches, in-order arrival (the contract)
+      mem.addData(rows.take(2): _*); q.processAllAvailable()
+      mem.addData(rows.slice(2, 4): _*); q.processAllAvailable()
+      mem.addData(rows.drop(4): _*); q.processAllAvailable()
+      // the whole operator's state is one carry row per event type
+      val n = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(n == 2, s"expected 2 state rows (one per type), got $n")
+    } finally q.stop()
+    val got = spark.table(s"pack_$store").as[PackedEvent].collect()
+      .map(p => p.event_id -> (p.cost, p.bin, p.off)).toMap
+    val batch = EventStreams.dispatchPackBatch(
+        rows.toDS().toDF(), "cost", budget)
+      .as[PackedEvent].collect()
+      .map(p => p.event_id -> (p.cost, p.bin, p.off)).toMap
+    assert(got == batch)
+    // the straddle actually happened: event 3 starts in bin 0 at off
+    // 300 and spills past 512
+    assert(got(3L) == ((300L, 0L, 300L)), got(3L))
+  } }
+
+  for (store <- Seq("default", "rocksdb"))
   test("streaming snapshot upsert merges micro-batches and rewrites " +
       s"only touched buckets [$store]") { withStateStore(store) {
     import spark.implicits._
