@@ -56,6 +56,24 @@ def main():
         g, e = canon(got), canon(exp)
         ok_schema = list(g.columns) == list(e.columns)
         ok_rows = len(g) == len(e)
+        # Dtype-kind guard: the driver's hash is dtype-strict, so an
+        # integer column on the Spark side vs a float column from the
+        # oracle (e.g. DuckDB sum(BIGINT) -> HUGEINT -> pandas float64,
+        # r12 sp13/st11) must FAIL here even though values compare
+        # equal under check_dtype=False.
+        bad_kinds = []
+        if ok_schema:
+            for c in g.columns:
+                kg, ke = g[c].dtype.kind, e[c].dtype.kind
+                int_k, flt_k = set("iu"), set("f")
+                if (kg in int_k and ke in flt_k) or \
+                   (kg in flt_k and ke in int_k):
+                    bad_kinds.append(f"{c}: spark={g[c].dtype} "
+                                     f"oracle={e[c].dtype}")
+        if bad_kinds:
+            n_fail += 1
+            print(f"  [FAIL-dtype] {name}: {'; '.join(bad_kinds)}")
+            continue
         ok_vals = False
         if ok_schema and ok_rows:
             try:

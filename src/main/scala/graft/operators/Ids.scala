@@ -10,6 +10,13 @@ import org.apache.spark.sql.functions._
   * operator exists to avoid), and without `zipWithIndex`'s dependence
   * on physical partition layout.
   *
+  * EAGER: unlike most operators here, this one runs Spark jobs at
+  * call time (the `approxQuantile` sketch and the per-bucket count
+  * collect below) before returning its lazy result plan — callers
+  * composing purely lazy pipelines should call it last. The input
+  * lineage is evaluated twice in total (once for the counts, once by
+  * the returned plan); both are pruned scans, not shuffles.
+  *
   * Two passes, both bounded:
   *  1. `buckets − 1` boundary values of `rangeCol` via
   *     `approxQuantile` (an O(buckets) driver array — boundaries only
@@ -61,8 +68,11 @@ object Ids {
         size(filter(array(bounds.map(lit): _*), x => x <= col(rangeCol))))
     // per-bucket counts: ≤ `buckets` rows, a bounded driver array —
     // feeds both the skew guard and the exclusive prefix-sum offsets
-    // (computed here instead of a window: the counts are on the
-    // driver anyway, and the job now scans `withB` once, not twice)
+    // (computed here instead of a second global window). NOTE this
+    // collect() makes the call EAGER — a Spark count job runs at call
+    // time, and the `withB` lineage (scan + bucket expr) is evaluated
+    // again by the returned plan: two pruned scans total, traded for
+    // never shuffling the corpus into one global-window reducer.
     val counts = withB.groupBy(col("__b")).agg(count(lit(1)).as("__n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val total = counts.map(_._2).sum

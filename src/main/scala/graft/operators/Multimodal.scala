@@ -301,6 +301,12 @@ object Multimodal {
         val h = img.getHeight
         require(w >= 8 && h >= 8,
           s"asset ${a.asset_id}: aHash needs dims >= 8, got ${w}x$h")
+        // integer bit rule computes cell_sum·(w·h) with cell_sum up
+        // to 255·w·h — overflows Long once 255·(w·h)² ≥ 2⁶³, i.e.
+        // w·h ≥ ~1.9e8 (a ~13800² image). Fail loud, not wrong-hash.
+        require(w.toLong * h < 190000000L,
+          s"asset ${a.asset_id}: aHash integer bit rule overflows " +
+            s"Long at ${w}x$h (w*h must be < 1.9e8)")
         val cs = new Array[Long](64)
         val cn = new Array[Long](64)
         var ts = 0L

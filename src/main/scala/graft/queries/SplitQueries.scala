@@ -327,8 +327,9 @@ object SplitQueries {
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                      0) AS tape
             FROM r)
-          SELECT doc_id, n_tokens, tape // $PackSeqLen AS bin,
-                 tape % $PackSeqLen AS off
+          SELECT doc_id, n_tokens,
+                 CAST(tape // $PackSeqLen AS BIGINT) AS bin,
+                 CAST(tape % $PackSeqLen AS BIGINT) AS off
           FROM c""",
     // the oracle is the naive single-window form of the same total
     // order (rk, doc_id); the Spark side must reproduce it through

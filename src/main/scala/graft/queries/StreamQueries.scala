@@ -335,8 +335,8 @@ object StreamQueries {
                      0) AS tape
             FROM r)
           SELECT event_id, event_type, cost,
-                 tape // $DispatchBudget AS bin,
-                 tape % $DispatchBudget AS off
+                 CAST(tape // $DispatchBudget AS BIGINT) AS bin,
+                 CAST(tape % $DispatchBudget AS BIGINT) AS off
           FROM c"""
   )
 }
