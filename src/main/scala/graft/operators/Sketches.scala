@@ -68,6 +68,46 @@ object Sketches {
 
   /** [[cmsEstimate]] probing with the fast-profile cells — use with
     * grids built by [[countMinFast]]. */
+  /** Per-row LogLog decomposition of an item under the engine-wide
+    * 60-bit md5 slice: `bucket` = low `p` hash bits, `wbits` = the
+    * remaining 60−p bits, `rho` = 1 + leading zeros of `wbits`
+    * within its 60−p-bit field (from `length(bin(...))`, which
+    * prints no leading zeros — the DuckDB mirror ltrims). Registers
+    * are then `max(rho) GROUP BY bucket`: order- AND
+    * duplicate-insensitive, so the sketch partial-aggregates to
+    * O(2^p) longs per partition, merges by element-wise max, and is
+    * hash-verifiable cell by cell (t25 / st12). Every step is a
+    * codegen'd builtin — no UDF, no custom aggregate needed.
+    */
+  def logLog(item: Column, p: Int): Column = {
+    require(p >= 1 && p <= 20, s"logLog: p must be in [1,20], got $p")
+    val rhoMax = 60 - p + 1
+    val hv = conv(substring(md5(item), 1, 15), 16, 10).cast("long")
+    val bucket = (hv % (1L << p)).cast("int")
+    val wbits = shiftright(hv, p)
+    val rho = when(wbits === 0L, lit(rhoMax))
+      .otherwise(lit(rhoMax) - length(bin(wbits))).cast("int")
+    struct(bucket.as("bucket"), wbits.as("wbits"), rho.as("rho"))
+  }
+
+  /** Driver-side LogLog cardinality estimate from collected
+    * registers (missing buckets = 0): `alpha_m · m² / Σ 2^(−M_j)` —
+    * the raw HyperLogLog estimator (Flajolet et al., 2007), no
+    * small/large-range correction. For spec bounds and operator
+    * callers; the hash gate pins the REGISTERS, not this float.
+    */
+  def logLogEstimate(registers: Map[Int, Int], p: Int): Double = {
+    val m = 1 << p
+    val alpha =
+      if (m == 16) 0.673
+      else if (m == 32) 0.697
+      else if (m == 64) 0.709
+      else 0.7213 / (1 + 1.079 / m)
+    val z = (0 until m).map(b =>
+      math.pow(2.0, -registers.getOrElse(b, 0).toDouble)).sum
+    alpha * m * m / z
+  }
+
   def cmsEstimateFast(cms: Column, item: Column,
                       depth: Int, width: Int): Column =
     least((0 until depth).map(r =>

@@ -413,6 +413,33 @@ object DedupQueries {
         emb.filter(col("vec_id") < 10), ctrs, k = 10, nProbe = 4)
     }),
 
+    // ANN recall@k as a first-class gate row: per-query hit count of
+    // the e08 seeded-centroid IVF search against the e01 exact scan —
+    // the eval every production ANN deployment runs before trusting
+    // an index config. Both sides are deterministic (fixed centroids,
+    // no k-means fit, shared tie rules), so unlike e05's banded
+    // fallback this recall is hash-exact on ANY stack. Integer
+    // outputs only (`hits` via count of matches, never sum — the
+    // r12 sp13/st11 dtype lesson). At scale both sides are the
+    // already-audited e01/e08 plans (broadcast queries + scan-side
+    // TopKAgg heaps; exchange is |queries|·k rows), and the recall
+    // join/agg runs on |queries|·k rows — driver-trivial.
+    "e23_ann_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val qs = emb.filter(col("vec_id") < 10)
+      val ctrs = Similarity.randomPlanes(8, 64, seed = 7L)
+      val exact = Similarity.bruteForceKnn(emb, qs, k = 10)
+        .select(col("q_id"), col("n_id"))
+      val approx = Similarity.ivfSearch(emb, qs, ctrs, k = 10, nProbe = 4)
+        .select(col("q_id").as("a_qid"), col("n_id").as("a_id"))
+      exact.join(approx,
+          col("q_id") === col("a_qid") && col("n_id") === col("a_id"),
+          "left")
+        .groupBy(col("q_id"))
+        .agg(count(lit(1)).cast("int").as("k_eval"),
+          count(col("a_id")).as("hits"))
+    }),
+
     // One k-means Lloyd iteration against the e08 seeded centroids,
     // with FIXED-POINT (1/2^24-grid long-sum) means — the update is
     // order-independent integer arithmetic, so it hash-matches the
@@ -1588,6 +1615,32 @@ object DedupQueries {
     // e16 is result-identical to e08 by construction (persisted
     // index, same centroids/assignment/scoring) — same oracle.
     "e16_ivf_persisted" -> ivfScoringOracleSql,
+    // e23: exact top-k (the e01 relation, id-only) LEFT JOIN the e08
+    // IVF relation (ivfScoringOracleSql verbatim as a nested-WITH
+    // CTE); hits via count(matched) — count, never sum, so both
+    // engines emit BIGINT (the r12 dtype lesson).
+    "e23_ann_recall" ->
+      s"""WITH exact AS (
+            WITH q AS (
+              SELECT vec_id AS q_id, embedding AS q_vec
+              FROM embeddings WHERE vec_id < 10),
+            scored AS (
+              SELECT q_id, e.vec_id AS n_id,
+                     ${dotSql("q_vec", "e.embedding")} /
+                     (${normSql("q_vec")} * ${normSql("e.embedding")})
+                       AS cos
+              FROM embeddings e, q WHERE e.vec_id <> q_id),
+            ranked AS (
+              SELECT q_id, n_id, row_number() OVER (
+                PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rn
+              FROM scored)
+            SELECT q_id, n_id FROM ranked WHERE rn <= 10),
+          approx AS ($ivfScoringOracleSql)
+          SELECT e.q_id, CAST(count(*) AS INTEGER) AS k_eval,
+                 count(a.n_id) AS hits
+          FROM exact e LEFT JOIN approx a
+            ON e.q_id = a.q_id AND e.n_id = a.n_id
+          GROUP BY e.q_id""",
     // e17: same nearest-cell assignment CTE as e08; the mean is an
     // INTEGER sum of 1/2^24-floor-quantized coordinates, divided in
     // the same double order as the Spark plan — exact, no rounding

@@ -148,13 +148,40 @@ object StreamQueries {
       EventStreams.dispatchPackBatch(
         Tables.events(s, d).withColumn("c",
           octet_length(col("props"))),
-        "c", budget = DispatchBudget))
+        "c", budget = DispatchBudget)),
+
+    // Windowed distinct-user LogLog registers — st10's pattern
+    // (sketch state per window, registers pinned by the hash gate)
+    // for cardinality instead of frequency; `ndv_exact` is the
+    // verification baseline whose per-(window, user) state is
+    // exactly what the sketch replaces at scale. Streaming
+    // convergence (default + RocksDB stores) in EventStreamsSpec.
+    "st12_windowed_loglog" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("ts"), col("user_id"))
+      val regs = EventStreams.windowUserLogLog(ev, LogLogStP)
+        .select(unix_millis(col("w_start")).as("w_start_ms"),
+          col("bucket"), col("register"))
+      val exact = ev
+        .select(col("ts"), graft.operators.Sketches
+          .logLog(col("user_id").cast("string"), LogLogStP).as("ll"))
+        .select(col("ts"), col("ll.bucket").as("bucket"),
+          col("ll.wbits").as("wbits"))
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("bucket"))
+        .agg(countDistinct(col("wbits")).as("ndv_exact"))
+        .select(unix_millis(col("w.start")).as("w_start_ms"),
+          col("bucket"), col("ndv_exact"))
+      regs.join(exact, Seq("w_start_ms", "bucket"))
+    })
   )
 
   /** st10 grid shape — narrow enough that distinct users actually
     * collide within an hour, so est > exact occurs in the gate data. */
   private val CmsD = 4
   private val CmsW = 8
+
+  /** st12 bucket bits: m = 16 registers per window — small enough
+    * that every bucket is hit within an hour at fixture scale. */
+  private val LogLogStP = 4
 
   val oracleSql: Map[String, String] = Map(
     "st01_tumbling_counts" ->
@@ -337,6 +364,31 @@ object StreamQueries {
           SELECT event_id, event_type, cost,
                  CAST(tape // $DispatchBudget AS BIGINT) AS bin,
                  CAST(tape % $DispatchBudget AS BIGINT) AS off
-          FROM c"""
+          FROM c""",
+
+    // st12: hourly LogLog registers + exact per-bucket ndv from the
+    // same 60-bit md5 slice (ltrim-of-bin is leading-zero-safe in
+    // either engine's bin width)
+    "st12_windowed_loglog" -> {
+      val m = 1 << LogLogStP
+      val rhoMax = 60 - LogLogStP + 1
+      s"""WITH ev AS (
+            SELECT CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT)
+                     AS w,
+                   CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+                     1, 15)) AS BIGINT) AS hv
+            FROM events),
+          b AS (SELECT w, CAST(hv % $m AS INTEGER) AS bucket,
+                  hv >> $LogLogStP AS wbits FROM ev),
+          r AS (SELECT w, bucket, wbits,
+                  CASE WHEN wbits = 0 THEN $rhoMax
+                       ELSE $rhoMax - length(ltrim(bin(wbits), '0'))
+                  END AS rho
+                FROM b)
+          SELECT w AS w_start_ms, bucket,
+                 CAST(max(rho) AS INTEGER) AS register,
+                 count(DISTINCT wbits) AS ndv_exact
+          FROM r GROUP BY 1, 2"""
+    }
   )
 }

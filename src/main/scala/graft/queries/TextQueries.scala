@@ -369,8 +369,80 @@ object TextQueries {
         .select($"word", $"n",
           Sketches.cmsEstimateFast($"cms", $"word", CmsDepth, CmsWidth)
             .as("cms_est"))
+    }),
+
+    // LogLog distinct-token cardinality: the HLL mechanism with its
+    // registers opened to the hash gate, the way t23 opened the CMS
+    // grid. Register(b) = max over tokens in bucket b of
+    // (1 + leading zeros of the 54-bit hash remainder) — max() is
+    // order- AND duplicate-insensitive, so the sketch is mergeable,
+    // partition-layout independent, and hash-verifiable cell by
+    // cell; the bit-length comes from length(bin(w)) with identical
+    // no-leading-zeros semantics in Spark and DuckDB. `ndv_exact`
+    // per bucket is the verification baseline (its distinct-shuffle
+    // is vocab-bounded); the 100 TB path is the register columns
+    // alone — LogLogM longs of partial-agg state per partition, one
+    // 64-row exchange, corpus never shuffled. Estimation from the
+    // registers (harmonic mean) and its error bar are spec'd in
+    // LogLogSpec, not hash-gated: the gate pins the REGISTERS.
+    "t25_loglog_ndv" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(explode(TextOps.tokenize($"text")).as("w"))
+        .select(Sketches.logLog($"w", LogLogP).as("ll"))
+        .select($"ll.bucket".as("bucket"), $"ll.wbits".as("wbits"),
+          $"ll.rho".as("rho"))
+        .groupBy($"bucket")
+        .agg(max($"rho").as("register"),
+          countDistinct($"wbits").as("ndv_exact"))
+    }),
+
+    // Corpus drift: per-source KL divergence from the whole-corpus
+    // unigram distribution over the top-V vocabulary (0.5-add
+    // smoothing so absent terms contribute) — the
+    // which-source-moved-the-mix monitor a multi-corpus training
+    // pipeline re-runs per snapshot. ONE corpus scan feeds a
+    // (source × vocab-word) partial agg; vocabulary, per-source
+    // totals, the corpus total, and the V×S scoring grid all derive
+    // from that bounded relation with broadcast joins — the corpus
+    // itself is never shuffled and never rescanned. Float
+    // discipline: only the per-source SUM is rounded (6 dp, the t12
+    // precedent); per-term probabilities mirror the oracle's
+    // operation order exactly.
+    "t26_unigram_drift" -> ((s, d) => {
+      import s.implicits._
+      val sw = Tables.documents(s, d)
+        .select(col("source"), explode(TextOps.tokenize($"text")).as("w"))
+        .groupBy($"source", $"w").agg(count(lit(1)).as("c"))
+        .persist() // shared by vocab/totals/grid; freed by the sweep
+      val vocab = sw.groupBy($"w").agg(sum($"c").as("cn"))
+        .orderBy($"cn".desc, $"w".asc).limit(DriftV)
+      val tots = sw.groupBy($"source").agg(sum($"c").as("tot"))
+      val totc = sw.agg(sum($"c").as("tc"))
+      val halfV = 0.5 * DriftV
+      val grid = tots.crossJoin(broadcast(vocab))
+        .join(sw.select($"source", $"w", $"c".as("cnt")),
+          Seq("source", "w"), "left")
+        .crossJoin(broadcast(totc))
+        .select($"source", $"tot", $"cn", coalesce($"cnt", lit(0L)).as("cnt"),
+          $"tc")
+      val ps = ($"cnt" + lit(0.5)) / ($"tot" + lit(halfV))
+      val pc = ($"cn" + lit(0.5)) / ($"tc" + lit(halfV))
+      grid.groupBy($"source", $"tot")
+        .agg(round(sum(ps * log(ps / pc)), 6).as("kl"))
+        .select($"source", $"tot".as("n_tokens"), $"kl")
     })
   )
+
+  /** t26's vocabulary size — the smoothing denominator and grid
+    * width; bounded like t12's UnigramV. */
+  private val DriftV = 50
+
+  /** t25's register count: m = 64 buckets (p = 6 bucket bits off the
+    * 60-bit md5 slice; the remaining 54 bits feed the rank). Small
+    * enough that every bucket is exercised at fixture scale. */
+  private val LogLogP = 6
+  private val LogLogM = 1 << LogLogP
 
   /** t23's grid shape: depth 4 (δ ≈ 2%), width 512 — deliberately
     * narrow at fixture scale so collisions actually occur and the
@@ -1137,6 +1209,53 @@ object TextQueries {
           JOIN ch5 h ON h.word = t.word
           JOIN cells c ON c.r = h.r AND c.b = ((h.v % $W) + $W) % $W
           GROUP BY t.word, t.n"""
+    },
+
+    // t25: same 60-bit md5 slice, bucket = low p bits, rank from the
+    // bit length of the remainder (ltrim-of-bin is leading-zero-safe
+    // whatever width the engine prints); registers are max per
+    // bucket, exact ndv counts distinct remainders (≡ distinct
+    // hashes within a bucket).
+    "t25_loglog_ndv" -> {
+      val rhoMax = 60 - LogLogP + 1
+      s"""WITH toks AS (SELECT unnest($tokSql) AS w FROM documents),
+          hv AS (SELECT CAST(('0x' || substring(md5(w), 1, 15))
+                   AS BIGINT) AS hv FROM toks),
+          b AS (SELECT hv % $LogLogM AS bucket,
+                  hv >> $LogLogP AS wbits FROM hv),
+          r AS (SELECT CAST(bucket AS INTEGER) AS bucket, wbits,
+                  CASE WHEN wbits = 0 THEN $rhoMax
+                       ELSE $rhoMax - length(ltrim(bin(wbits), '0'))
+                  END AS rho
+                FROM b)
+          SELECT bucket, CAST(max(rho) AS INTEGER) AS register,
+                 count(DISTINCT wbits) AS ndv_exact
+          FROM r GROUP BY bucket"""
+    },
+
+    // t26: identical smoothing/operation order; only the per-source
+    // aggregate sum is rounded (never per-term values — the t12/ULP
+    // discipline), totals cast to BIGINT (the r12 dtype lesson).
+    "t26_unigram_drift" -> {
+      val halfV = 0.5 * DriftV
+      s"""WITH toks AS (SELECT source, unnest($tokSql) AS w
+                        FROM documents),
+          sw AS (SELECT source, w, count(*) AS c FROM toks GROUP BY 1, 2),
+          vocab AS (SELECT w, sum(c) AS cn FROM sw GROUP BY 1
+                    ORDER BY cn DESC, w ASC LIMIT $DriftV),
+          tots AS (SELECT source, CAST(sum(c) AS BIGINT) AS tot
+                   FROM sw GROUP BY 1),
+          totc AS (SELECT CAST(sum(c) AS BIGINT) AS tc FROM sw),
+          grid AS (SELECT t.source, t.tot, v.cn,
+                     CAST(coalesce(x.c, 0) AS BIGINT) AS cnt,
+                     (SELECT tc FROM totc) AS tc
+                   FROM tots t CROSS JOIN vocab v
+                   LEFT JOIN sw x ON x.source = t.source AND x.w = v.w)
+          SELECT source, tot AS n_tokens,
+                 round(sum(((cnt + 0.5) / (tot + $halfV)) *
+                   ln(((cnt + 0.5) / (tot + $halfV)) /
+                      ((cn + 0.5) / (tc + $halfV)))), 6) AS kl
+          FROM grid GROUP BY source, tot"""
     }
   )
 }

@@ -69,6 +69,35 @@ object EventStreams {
       .select(col("w.start").as("w_start"), col("cms"), col("n_events"))
   }
 
+  /** Per-window LogLog registers over the user stream — distinct-user
+    * telemetry whose state is O(m) longs PER WINDOW no matter how
+    * many distinct users an hour carries (the per-(window, user)
+    * COUNT(DISTINCT) this replaces keys state by the user domain —
+    * exactly the unbounded-state shape streaming aggregation must
+    * avoid). register(b) = max over the window's users of
+    * (1 + leading zeros of the hash remainder): max() is order- and
+    * duplicate-insensitive, so micro-batch partials fold into window
+    * state and the registers converge byte-identically to this batch
+    * face (EventStreamsSpec); the watermark evicts old windows.
+    * Hash = the engine-wide 60-bit md5 slice; bucket = low
+    * log₂(m) bits, rank from the bit length of the remainder —
+    * every step a DuckDB-mirrorable builtin, so st12 pins the
+    * registers through the hash gate like t25 does for documents.
+    */
+  def windowUserLogLog(events: DataFrame, logm: Int,
+                       windowLen: String = "1 hour",
+                       watermark: String = "2 hours"): DataFrame =
+    events
+      .select(col("ts"), graft.operators.Sketches
+        .logLog(col("user_id").cast("string"), logm).as("ll"))
+      .select(col("ts"), col("ll.bucket").as("bucket"),
+        col("ll.rho").as("rho"))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen).as("w"), col("bucket"))
+      .agg(max(col("rho")).as("register"))
+      .select(col("w.start").as("w_start"), col("bucket"),
+        col("register"))
+
   final case class SessionInput(user_id: Long, ts: Timestamp,
                                 value: Double)
   final case class SessionState(start: Long, end: Long, n: Int,

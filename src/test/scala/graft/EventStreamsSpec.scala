@@ -485,6 +485,34 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  for (store <- Seq("default", "rocksdb"))
+  test("windowed loglog registers converge to the batch registers " +
+      s"across micro-batches [$store]") { withStateStore(store) {
+    import spark.implicits._
+    val events = rows.toDF()
+    val batch = EventStreams.windowUserLogLog(events, 4)
+      .select(unix_millis($"w_start"), $"bucket", $"register")
+      .as[(Long, Int, Int)].collect().toSet
+
+    val mem = MemoryStream[SessionInput](spark)
+    val stream = EventStreams.windowUserLogLog(mem.toDS().toDF(), 4)
+    val q = stream.writeStream.format("memory")
+      .queryName(s"ll_out_$store").outputMode("complete").start()
+    try {
+      // split MID-window: the second batch's partial registers must
+      // max-fold into stored state (duplicate- and order-insensitive)
+      mem.addData(rows.take(3): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(3): _*)
+      q.processAllAvailable()
+      val got = spark.table(s"ll_out_$store")
+        .select(unix_millis($"w_start"), $"bucket", $"register")
+        .as[(Long, Int, Int)].collect().toSet
+      assert(got == batch)
+      assert(got.nonEmpty && got.forall(_._3 >= 1))
+    } finally q.stop()
+  }}
+
   test("windowed count-min in APPEND mode: watermark finalizes a " +
       "window's grid once and evicts its state") {
     import spark.implicits._

@@ -130,6 +130,40 @@ class SketchesIdsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  private def llRegisters(xs: Seq[String], p: Int): Map[Int, Int] = {
+    import spark.implicits._
+    xs.toDF("w").select(Sketches.logLog($"w", p).as("ll"))
+      .groupBy($"ll.bucket").agg(max($"ll.rho").as("r"))
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+  }
+
+  test("loglog registers are duplicate-insensitive and merge by " +
+      "element-wise max") {
+    val xs = Seq.tabulate(3000)(i => s"item$i")
+    val once = llRegisters(xs, 6)
+    // duplicates change nothing: max(rho) is idempotent per item
+    assert(llRegisters(xs ++ xs ++ xs.take(500), 6) == once)
+    // split-and-max == whole: the mergeability streaming state needs
+    val (a, b) = xs.splitAt(1200)
+    val (ra, rb) = (llRegisters(a, 6), llRegisters(b, 6))
+    val merged = (ra.keySet ++ rb.keySet).map(k =>
+      k -> math.max(ra.getOrElse(k, 0), rb.getOrElse(k, 0))).toMap
+    assert(merged == once)
+  }
+
+  test("loglog estimate from the registers lands within the m=64 " +
+      "error band of the true cardinality") {
+    for (n <- Seq(500, 5000, 20000)) {
+      val distinct = Seq.tabulate(n)(i => s"tok-$i-x")
+      // feed with duplicates so the estimate sees a realistic stream
+      val est = Sketches.logLogEstimate(
+        llRegisters(distinct ++ distinct.take(n / 3), 6), 6)
+      // raw HLL estimator, 1.04/sqrt(64) = 13% standard error; allow 3σ
+      assert(math.abs(est - n) / n < 0.4,
+        s"n=$n est=$est rel=${math.abs(est - n) / n}")
+    }
+  }
+
   test("contiguousIds equals the global row_number for any bucket " +
       "count, with heavy range-key ties") {
     import spark.implicits._
