@@ -23,6 +23,11 @@ import graft.operators.Quantiles
 object RelationalQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** ly07's output-bin size target (in n_chars units) — sized so the
+    * sf0.01 fixture's (source, lang) file groups pack into several
+    * bins with real remainders. */
+  private val CompactTargetBytes = 200000L
+
   val queries: Map[String, Q] = Map(
     // A1/A10/A12 — TPC-H Q1-shaped hash aggregate with partial agg.
     "q01_agg_pricing" -> ((s, d) => {
@@ -225,6 +230,33 @@ object RelationalQueries {
       graft.operators.Layout.equiDepthHistogram(
         Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
         "n_chars", 8)),
+
+    // Small-file compaction planning — THE recurring 100 TB
+    // housekeeping job: size-ordered tape packing of input file
+    // groups into ~target-size output bins (which group merges into
+    // which rewrite task). Here a "file" is a (source, lang) group
+    // of documents with bytes = Σ n_chars; the plan orders files
+    // bytes-DESC and chunks the running sum at CompactTargetBytes.
+    // The window is over FILE METADATA (≤ #files rows — ~10⁵ at
+    // 100 TB), never the corpus: one metadata-sized sort, the
+    // corpus is touched by one partial-agg scan. The pmod partition
+    // key is the r01 non-foldable-constant trick (bounded-data
+    // window without the move-all-data warning).
+    "ly07_compaction_bins" -> ((s, d) => {
+      val files = Tables.documents(s, d)
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("bytes"))
+      val tape = Window
+        .partitionBy(pmod(col("bytes"), lit(1L)))
+        .orderBy(col("bytes").desc, col("source").asc, col("lang").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      files
+        .withColumn("__cum", coalesce(sum(col("bytes")).over(tape),
+          lit(0L)))
+        .select(col("source"), col("lang"), col("n_docs"), col("bytes"),
+          expr(s"__cum DIV $CompactTargetBytes").as("bin"),
+          pmod(col("__cum"), lit(CompactTargetBytes)).as("off"))
+    }),
 
     // J1 chained — 5-way star join, all dims broadcast.
     "q04_join_star" -> ((s, d) => {
@@ -644,6 +676,22 @@ object RelationalQueries {
           FROM documents d, b
           GROUP BY 1"""
     },
+    // ly07: naive single-window form of the same size-ordered tape;
+    // every sum-derived output CAST to BIGINT (the r12 dtype lesson)
+    "ly07_compaction_bins" ->
+      s"""WITH f AS (SELECT source, lang, count(*) AS n_docs,
+                       CAST(sum(n_chars) AS BIGINT) AS bytes
+                     FROM documents GROUP BY 1, 2),
+          c AS (SELECT source, lang, n_docs, bytes,
+                  coalesce(sum(bytes) OVER (
+                    ORDER BY bytes DESC, source, lang
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS cum
+                FROM f)
+          SELECT source, lang, n_docs, bytes,
+                 CAST(cum // $CompactTargetBytes AS BIGINT) AS bin,
+                 CAST(cum % $CompactTargetBytes AS BIGINT) AS off
+          FROM c""",
     "bk01_bucketed_join" ->
       """SELECT o_orderpriority, count(*) AS n_items,
          round(sum(l_quantity), 2) AS sum_qty

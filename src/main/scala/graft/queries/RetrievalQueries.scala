@@ -75,6 +75,34 @@ object RetrievalQueries {
       val shortlist = Similarity.hammingTopK(emb, qs, k = RerankShortN)
         .select(col("q_id"), col("n_id"))
       Retrieval.rerankCosine(emb, qs, shortlist, k = RerankK)
+    }),
+
+    // Rank-quality eval of the two-stage pipeline: relevant(q) = the
+    // exact cosine top-1; rel_rank = where the r02 rerank surfaces
+    // it (0 = missed by the Hamming shortlist); rr = 1/rank, whose
+    // mean is the pipeline's MRR. e23's recall face measures the
+    // IVF index; this measures the SERVING pipeline — together they
+    // close the eval loop a production vector stack runs before
+    // shipping an index or a shortlist width. Deterministic on any
+    // stack (no trained stages); the corpus-side cost is r02's own
+    // audited plan, the eval join touches |queries| rows.
+    "r04_pipeline_mrr" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val qs = emb.filter(col("vec_id") < 10)
+      val rel = Similarity.bruteForceKnn(emb, qs, k = 1)
+        .select(col("q_id"), col("n_id").as("rel_id"))
+      val shortlist = Similarity.hammingTopK(emb, qs, k = RerankShortN)
+        .select(col("q_id"), col("n_id"))
+      val reranked = Retrieval.rerankCosine(emb, qs, shortlist,
+          k = RerankK)
+        .select(col("q_id").as("r_qid"), col("n_id").as("r_nid"),
+          col("rn"))
+      rel.join(reranked,
+          col("q_id") === col("r_qid") && col("rel_id") === col("r_nid"),
+          "left")
+        .select(col("q_id"), col("rel_id"),
+          coalesce(col("rn"), lit(0)).as("rel_rank"),
+          coalesce(lit(1.0) / col("rn"), lit(0.0)).as("rr"))
     })
   )
 
@@ -158,7 +186,35 @@ object RetrievalQueries {
                  CAST(count(*) AS INTEGER) AS n_lists
           FROM u GROUP BY id
           ORDER BY rrf_score DESC, id LIMIT $RrfK""",
-    "r02_rerank_exact" ->
+    "r02_rerank_exact" -> r02Sql,
+    // r03: exact top-1 relevance + the full r02 relation nested as a
+    // CTE; rank/rr via LEFT JOIN on the relevant id (rr = 1/rank is
+    // exact IEEE division of an integer — deterministic both sides)
+    "r04_pipeline_mrr" ->
+      s"""WITH rel AS (
+            WITH q AS (
+              SELECT vec_id AS q_id, embedding AS q_vec
+              FROM embeddings WHERE vec_id < 10),
+            scored AS (
+              SELECT q_id, e.vec_id AS n_id,
+                     ${dotSql("q_vec", "e.embedding")} /
+                     (${normSql("q_vec")} * ${normSql("e.embedding")})
+                       AS cos
+              FROM embeddings e, q WHERE e.vec_id <> q_id),
+            ranked AS (
+              SELECT q_id, n_id, row_number() OVER (
+                PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rn
+              FROM scored)
+            SELECT q_id, n_id AS rel_id FROM ranked WHERE rn = 1),
+          rr02 AS ($r02Sql)
+          SELECT rel.q_id, rel.rel_id,
+                 CAST(coalesce(r.rn, 0) AS INTEGER) AS rel_rank,
+                 coalesce(CAST(1 AS DOUBLE) / r.rn,
+                   CAST(0 AS DOUBLE)) AS rr
+          FROM rel LEFT JOIN rr02 r
+            ON r.q_id = rel.q_id AND r.n_id = rel.rel_id""")
+
+  private def r02Sql: String =
       s"""WITH sk AS (
             SELECT vec_id, $sketchSql AS s FROM embeddings),
           qsk AS (
@@ -190,5 +246,4 @@ object RetrievalQueries {
               AS rn
             FROM rescored)
           SELECT q_id, n_id, cos, rn FROM ranked WHERE rn <= $RerankK"""
-  )
 }

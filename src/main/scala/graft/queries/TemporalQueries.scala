@@ -65,6 +65,45 @@ object TemporalQueries {
             .as("ms_until_view"))
     }),
 
+    // Nearest as-of (polars merge_asof strategy="nearest"): each
+    // purchase joined to the closest view by |Δt| within a 2-hour
+    // tolerance in EITHER direction; ties at equal distance resolve
+    // backward (the at-or-before match wins), each direction keeping
+    // its own equal-time tie rule (backward: highest id; forward:
+    // lowest — the asofLookupTolerant contract). Composition, not a
+    // new kernel: one backward + one forward tolerant lookup (two
+    // union+window scans, each the aj01/aj02 single-shuffle shape),
+    // then a purely in-row argmin — no candidate fan-out, no
+    // range-join explosion, same per-key scan economics at 100 TB.
+    "aj03_asof_nearest" -> ((s, d) => {
+      val e = ev(s, d)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("t"))
+      val views = e.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"),
+          col("t").as("vt"))
+      val back = AsOfJoin.asofLookupTolerant(purchases, views,
+          "user_id", "t", "vt", "view_id",
+          tolerance = TwoHoursMs, forward = false)
+        .select(col("event_id"), col("t"),
+          col("asof_id").as("b_id"),
+          (col("t") - col("asof_time")).as("b_d"))
+      val fwd = AsOfJoin.asofLookupTolerant(purchases, views,
+          "user_id", "t", "vt", "view_id",
+          tolerance = TwoHoursMs, forward = true)
+        .select(col("event_id").as("f_eid"),
+          col("asof_id").as("f_id"),
+          (col("asof_time") - col("t")).as("f_d"))
+      val pickBack = col("f_id").isNull ||
+        (col("b_id").isNotNull && col("b_d") <= col("f_d"))
+      back.join(fwd, col("event_id") === col("f_eid"))
+        .select(col("event_id"),
+          coalesce(when(pickBack, col("b_id")).otherwise(col("f_id")),
+            lit(-1L)).as("view_id"),
+          coalesce(when(pickBack, col("b_d")).otherwise(col("f_d")),
+            lit(-1L)).as("ms_dist"))
+    }),
+
     // Interval join: per purchase, activity of the same user in the
     // 2h window starting at the purchase (bucketed equi-join — a hash
     // join on (user, bin), never a nested-loop; see RangeJoin).
@@ -228,6 +267,28 @@ object TemporalQueries {
                  CAST(coalesce(j.view_id, -1) AS BIGINT) AS view_id,
                  CAST(coalesce(j.until_ms, -1) AS BIGINT)
                    AS ms_until_view
+          FROM p LEFT JOIN j ON p.event_id = j.event_id AND j.rn = 1""",
+    // aj03: flat candidate rule equivalent to compose-then-argmin —
+    // dist ASC, then backward before forward (equal-dist tie), then
+    // each direction's own id rule (backward: highest id; forward:
+    // lowest), encoded as one three-key ORDER BY
+    "aj03_asof_nearest" ->
+      s"""WITH e AS ($evSql),
+          p AS (SELECT event_id, user_id, t FROM e
+                WHERE event_type = 'purchase'),
+          v AS (SELECT event_id AS view_id, user_id, t AS vt FROM e
+                WHERE event_type = 'view'),
+          j AS (SELECT p.event_id, v.view_id, abs(v.vt - p.t) AS dist,
+                  row_number() OVER (PARTITION BY p.event_id
+                    ORDER BY abs(v.vt - p.t) ASC,
+                      CASE WHEN v.vt <= p.t THEN 0 ELSE 1 END ASC,
+                      CASE WHEN v.vt <= p.t THEN -v.view_id
+                           ELSE v.view_id END ASC) AS rn
+                FROM p JOIN v ON p.user_id = v.user_id
+                  AND abs(v.vt - p.t) <= $TwoHoursMs)
+          SELECT p.event_id,
+                 CAST(coalesce(j.view_id, -1) AS BIGINT) AS view_id,
+                 CAST(coalesce(j.dist, -1) AS BIGINT) AS ms_dist
           FROM p LEFT JOIN j ON p.event_id = j.event_id AND j.rn = 1""",
     "ij01_interval_join" ->
       s"""WITH e AS ($evSql),
