@@ -214,6 +214,39 @@ object CurationQueries {
     // full-recompute semantics; est_ok (the q17 band discipline)
     // proves the sketch estimate survived write → read → union within
     // 5% of the exact distinct.
+    // In-pass ingest telemetry via Dataset.observe (CollectMetrics):
+    // the QA numbers every 100 TB ingest must produce — row count,
+    // byte volume, bad-field count, id range — computed DURING the
+    // write pass, not by a second scan (at 100 TB the re-scan IS the
+    // cost; observe's accumulator-backed metrics are free). The
+    // ingest writes to parquet with the metrics riding the same job;
+    // the gate face returns the observed values as a one-row frame
+    // so the TELEMETRY ITSELF is DuckDB-hash-verified. Eager like
+    // contiguousIds (the ingest action runs at call time) — the
+    // observation is only defined after the pass.
+    "c13_observed_ingest" -> ((s, d) => {
+      val obs = new org.apache.spark.sql.Observation()
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-c13-").toString + "/ingest"
+      Tables.documents(s, d)
+        .observe(obs,
+          count(lit(1)).as("n_rows"),
+          sum(col("n_chars")).as("sum_chars"),
+          count(when(col("lang").isNull || col("lang") === "", lit(1)))
+            .as("n_bad_lang"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+        .write.parquet(dir)
+      val m = obs.get
+      import s.implicits._
+      Seq((m("n_rows").asInstanceOf[Long],
+        m("sum_chars").asInstanceOf[Long],
+        m("n_bad_lang").asInstanceOf[Long],
+        m("min_id").asInstanceOf[Long],
+        m("max_id").asInstanceOf[Long]))
+        .toDF("n_rows", "sum_chars", "n_bad_lang", "min_id", "max_id")
+    }),
+
     "c09_incremental_rollup" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val dir = java.nio.file.Files
@@ -477,6 +510,16 @@ object CurationQueries {
           FROM prev FULL OUTER JOIN cur ON prev.doc_id = cur.doc_id
           WHERE prev.doc_id IS NULL OR cur.doc_id IS NULL
              OR old_fp <> new_fp""",
+    // c13: the observed metrics recomputed declaratively — the
+    // telemetry must equal what a full second scan would say
+    "c13_observed_ingest" ->
+      """SELECT count(*) AS n_rows,
+                CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                CAST(count(CASE WHEN lang IS NULL OR lang = ''
+                  THEN 1 END) AS BIGINT) AS n_bad_lang,
+                CAST(min(doc_id) AS BIGINT) AS min_id,
+                CAST(max(doc_id) AS BIGINT) AS max_id
+         FROM documents""",
     // c09: the oracle is the FULL recompute — counts/sums must agree
     // with the engine's persisted-base + delta merge exactly, and the
     // sketch-estimate band flag is asserted TRUE (q17 discipline: a

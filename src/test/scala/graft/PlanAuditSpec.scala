@@ -153,6 +153,43 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("round-13 plan shapes: aj03 is two window scans, ly07's window " +
+      "is metadata-bound, t26 joins broadcast, no new cartesians") {
+    // aj03: exactly the two union+window per-key scans its design
+    // promises (backward + forward tolerant lookup), never a
+    // range-join candidate fan-out
+    val aj = PlanSummary.finalPlanString(
+      SparkEntry.queries("aj03_asof_nearest")(spark, sf))
+    assert(!aj.contains("CartesianProduct"), s"aj03 fan-out:\n$aj")
+    // one per-key shuffle per direction (each feeding its lookup's
+    // __aid/__at Window pair over a single sort) — a third means a
+    // direction's union+window scan split
+    assert("Exchange hashpartitioning".r.findAllIn(aj).length == 2,
+      s"aj03 shuffle count drifted:\n$aj")
+    // ly07: ONE window, and it runs over the post-aggregate file
+    // metadata (the aggregate appears below it in the tree) — the
+    // corpus itself contributes only the partial-agg scan
+    val ly = PlanSummary.finalPlanString(
+      SparkEntry.queries("ly07_compaction_bins")(spark, sf))
+    assert("\\bWindow\\b".r.findAllIn(ly).length == 1,
+      s"ly07 window count drifted:\n$ly")
+    assert(ly.contains("HashAggregate"), s"ly07 lost the file agg:\n$ly")
+    // t26: the V×S scoring grid must meet its inputs by broadcast —
+    // a sort-merge join here means bounded-side inference regressed
+    val t26 = PlanSummary.finalPlanString(
+      SparkEntry.queries("t26_unigram_drift")(spark, sf))
+    assert(t26.contains("BroadcastHashJoin") &&
+      !t26.contains("SortMergeJoin"), s"t26 grid join regressed:\n$t26")
+    // the eval/sketch composites stay cartesian-free
+    for (name <- Seq("e23_ann_recall", "r04_pipeline_mrr",
+        "t25_loglog_ndv", "st12_windowed_loglog")) {
+      val plan = PlanSummary.finalPlanString(
+        SparkEntry.queries(name)(spark, sf))
+      assert(!plan.contains("CartesianProduct"),
+        s"$name gained a cartesian:\n$plan")
+    }
+  }
+
   test("c08 snapshot diff is one pk join of fingerprints, text never shuffles") {
     val plan = PlanSummary.finalPlanString(
       SparkEntry.queries("c08_snapshot_diff")(spark, sf))
