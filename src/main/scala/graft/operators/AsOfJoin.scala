@@ -112,4 +112,80 @@ object AsOfJoin {
       .select(left.columns.toSeq.map(c => col(s"__payload.`$c`")) ++
         Seq(col("asof_id"), col("asof_time")): _*)
   }
+
+  /** Nearest as-of (polars merge_asof strategy="nearest"): the quote
+    * closest in |time| within `tolerance` in EITHER direction;
+    * equal-distance ties resolve backward, each direction keeping
+    * its own equal-time tie rule (backward: greatest id; forward:
+    * lowest id — the [[asofLookupTolerant]] contracts).
+    *
+    * ONE shuffle total: both directions ride the same union of
+    * probes and quotes, hash-partitioned by key once — the backward
+    * scan is the ascending-time running `last`, the forward scan the
+    * SAME running `last` under descending time (same partitioning,
+    * so EnsureRequirements inserts only a second in-partition sort,
+    * no second Exchange), and the argmin is in-row. The
+    * compose-two-lookups alternative costs two shuffled scans PLUS a
+    * probe-side join — at two 100 TB fact tables that join is a
+    * third full shuffle; this form never rematerializes the probes.
+    * (Scan-order tie encoding: quotes sort before probes at equal
+    * time in both directions — side 0 < 1 with ASC side in both
+    * orders; `__rid` ASC under ascending time makes the backward
+    * last-seen the greatest id, `__rid` DESC under descending time
+    * makes the forward last-seen the lowest id.)
+    *
+    * @return left columns + `asof_id` + `asof_time` + `asof_dist`
+    *         (nulls = no quote within tolerance either way)
+    */
+  def asofNearest(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, rightId: String,
+      tolerance: Long): DataFrame = {
+    require(tolerance >= 0, s"tolerance must be >= 0, got $tolerance")
+    val payloadType = StructType(left.schema.fields)
+    val probes = left.select(
+      col(key).as("__k"),
+      col(leftTime).cast("long").as("__t"),
+      lit(1).as("__side"),
+      lit(null).cast("long").as("__rid"),
+      struct(left.columns.toSeq.map(col): _*).as("__payload"))
+    val quotes = right.select(
+      col(key).as("__k"),
+      col(rightTime).cast("long").as("__t"),
+      lit(0).as("__side"),
+      col(rightId).cast("long").as("__rid"),
+      lit(null).cast(payloadType).as("__payload"))
+    val wB = Window.partitionBy("__k")
+      .orderBy(col("__t").asc, col("__side").asc, col("__rid").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy("__k")
+      .orderBy(col("__t").desc, col("__side").asc, col("__rid").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val qt = when(col("__side") === 0, col("__t"))
+    val scanned = probes.unionByName(quotes)
+      .withColumn("__bid", last(col("__rid"), ignoreNulls = true).over(wB))
+      .withColumn("__bat", last(qt, ignoreNulls = true).over(wB))
+      .withColumn("__fid", last(col("__rid"), ignoreNulls = true).over(wF))
+      .withColumn("__fat", last(qt, ignoreNulls = true).over(wF))
+      .filter(col("__side") === 1)
+    // direction-correct non-negative gaps, overflow-guarded like the
+    // directional lookups; out-of-tolerance → null (no-match)
+    val bd = try_subtract(col("__t"), col("__bat"))
+    val fd = try_subtract(col("__fat"), col("__t"))
+    val scored = scanned
+      .withColumn("__bd", when(bd <= tolerance, bd))
+      .withColumn("__fd", when(fd <= tolerance, fd))
+    val pickBack = col("__fd").isNull ||
+      (col("__bd").isNotNull && col("__bd") <= col("__fd"))
+    scored
+      .withColumn("asof_id",
+        when(pickBack, when(col("__bd").isNotNull, col("__bid")))
+          .otherwise(col("__fid")))
+      .withColumn("asof_time",
+        when(pickBack, when(col("__bd").isNotNull, col("__bat")))
+          .otherwise(col("__fat")))
+      .withColumn("asof_dist",
+        when(pickBack, col("__bd")).otherwise(col("__fd")))
+      .select(left.columns.toSeq.map(c => col(s"__payload.`$c`")) ++
+        Seq(col("asof_id"), col("asof_time"), col("asof_dist")): _*)
+  }
 }

@@ -70,11 +70,12 @@ object TemporalQueries {
     // tolerance in EITHER direction; ties at equal distance resolve
     // backward (the at-or-before match wins), each direction keeping
     // its own equal-time tie rule (backward: highest id; forward:
-    // lowest — the asofLookupTolerant contract). Composition, not a
-    // new kernel: one backward + one forward tolerant lookup (two
-    // union+window scans, each the aj01/aj02 single-shuffle shape),
-    // then a purely in-row argmin — no candidate fan-out, no
-    // range-join explosion, same per-key scan economics at 100 TB.
+    // lowest). ONE shuffle total (AsOfJoin.asofNearest): both
+    // directions ride the same union scan — ascending and descending
+    // running `last` over one hash partitioning, argmin in-row. The
+    // first-shipped compose-two-lookups form cost two shuffled scans
+    // plus a probe-side join; at two fact tables that join is a
+    // third full shuffle (plan pin: exactly one Exchange).
     "aj03_asof_nearest" -> ((s, d) => {
       val e = ev(s, d)
       val purchases = e.filter(col("event_type") === "purchase")
@@ -82,26 +83,11 @@ object TemporalQueries {
       val views = e.filter(col("event_type") === "view")
         .select(col("event_id").as("view_id"), col("user_id"),
           col("t").as("vt"))
-      val back = AsOfJoin.asofLookupTolerant(purchases, views,
-          "user_id", "t", "vt", "view_id",
-          tolerance = TwoHoursMs, forward = false)
-        .select(col("event_id"), col("t"),
-          col("asof_id").as("b_id"),
-          (col("t") - col("asof_time")).as("b_d"))
-      val fwd = AsOfJoin.asofLookupTolerant(purchases, views,
-          "user_id", "t", "vt", "view_id",
-          tolerance = TwoHoursMs, forward = true)
-        .select(col("event_id").as("f_eid"),
-          col("asof_id").as("f_id"),
-          (col("asof_time") - col("t")).as("f_d"))
-      val pickBack = col("f_id").isNull ||
-        (col("b_id").isNotNull && col("b_d") <= col("f_d"))
-      back.join(fwd, col("event_id") === col("f_eid"))
+      AsOfJoin.asofNearest(purchases, views, "user_id", "t", "vt",
+          "view_id", tolerance = TwoHoursMs)
         .select(col("event_id"),
-          coalesce(when(pickBack, col("b_id")).otherwise(col("f_id")),
-            lit(-1L)).as("view_id"),
-          coalesce(when(pickBack, col("b_d")).otherwise(col("f_d")),
-            lit(-1L)).as("ms_dist"))
+          coalesce(col("asof_id"), lit(-1L)).as("view_id"),
+          coalesce(col("asof_dist"), lit(-1L)).as("ms_dist"))
     }),
 
     // Interval join: per purchase, activity of the same user in the

@@ -161,10 +161,11 @@ class PlanAuditSpec extends AnyFunSuite {
     val aj = PlanSummary.finalPlanString(
       SparkEntry.queries("aj03_asof_nearest")(spark, sf))
     assert(!aj.contains("CartesianProduct"), s"aj03 fan-out:\n$aj")
-    // one per-key shuffle per direction (each feeding its lookup's
-    // __aid/__at Window pair over a single sort) — a third means a
-    // direction's union+window scan split
-    assert("Exchange hashpartitioning".r.findAllIn(aj).length == 2,
+    // ONE shuffle for BOTH directions (asofNearest: ascending and
+    // descending window scans share the hash partitioning; a second
+    // Exchange means the single-shuffle kernel regressed to the
+    // compose-two-lookups shape)
+    assert("Exchange hashpartitioning".r.findAllIn(aj).length == 1,
       s"aj03 shuffle count drifted:\n$aj")
     // ly07: ONE window, and it runs over the post-aggregate file
     // metadata (the aggregate appears below it in the tree) — the
