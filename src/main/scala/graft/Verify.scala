@@ -25,6 +25,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        e.printStackTrace()
         // Fail-loud sentinel: a crashed query must not vanish from the
         // gate. Write a 0-row frame whose schema can never match an
         // oracle (and whose rowcount fails a rows-only check), so the

@@ -90,11 +90,14 @@ object AsOfJoin {
     val w = Window.partitionBy("__k")
       .orderBy(col("__t").asc, col("__side").asc, col("__rid").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // both running lasts in ONE projection → one Window node (split
+    // across withColumns, the projection between them blocks
+    // CollapseWindow and WindowExec walks each partition twice)
     val scanned = probes.unionByName(quotes)
-      .withColumn("__aid", last(col("__rid"), ignoreNulls = true).over(w))
-      .withColumn("__at",
+      .select(col("*"),
+        last(col("__rid"), ignoreNulls = true).over(w).as("__aid"),
         last(when(col("__side") === 0, col("__t")), ignoreNulls = true)
-          .over(w))
+          .over(w).as("__at"))
       .filter(col("__side") === 1)
     // gap in scan domain = the direction-correct distance (backward:
     // lt−rt; forward: rt−lt); beyond tolerance → no-match nulls.
@@ -161,11 +164,14 @@ object AsOfJoin {
       .orderBy(col("__t").desc, col("__side").asc, col("__rid").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val qt = when(col("__side") === 0, col("__t"))
+    // per-direction last() pairs each in ONE projection → one Window
+    // node per direction (two sorted passes total, not four)
     val scanned = probes.unionByName(quotes)
-      .withColumn("__bid", last(col("__rid"), ignoreNulls = true).over(wB))
-      .withColumn("__bat", last(qt, ignoreNulls = true).over(wB))
-      .withColumn("__fid", last(col("__rid"), ignoreNulls = true).over(wF))
-      .withColumn("__fat", last(qt, ignoreNulls = true).over(wF))
+      .select(col("*"),
+        last(col("__rid"), ignoreNulls = true).over(wB).as("__bid"),
+        last(qt, ignoreNulls = true).over(wB).as("__bat"),
+        last(col("__rid"), ignoreNulls = true).over(wF).as("__fid"),
+        last(qt, ignoreNulls = true).over(wF).as("__fat"))
       .filter(col("__side") === 1)
     // direction-correct non-negative gaps, overflow-guarded like the
     // directional lookups; out-of-tolerance → null (no-match)

@@ -228,7 +228,17 @@ object CurationQueries {
       val obs = new org.apache.spark.sql.Observation()
       val dir = java.nio.file.Files
         .createTempDirectory("graft-c13-").toString + "/ingest"
-      Tables.documents(s, d)
+      // ISOLATED session for the observed pass: Observation registers
+      // itself in the session's ObservationManager and (Spark 4.1
+      // classic) is never unregistered — a registered observation
+      // makes the SESSION unserializable (NotSerializableException:
+      // ObservationManager) for any LATER job that captures it in a
+      // task closure (spark.ml trainings do), which sporadically
+      // killed m01/m05 in full gate runs. newSession() shares the
+      // SparkContext but owns its manager, so the registration dies
+      // with the clone and the shared session stays closure-clean.
+      val iso = s.newSession()
+      Tables.documents(iso, d)
         .observe(obs,
           count(lit(1)).as("n_rows"),
           sum(col("n_chars")).as("sum_chars"),

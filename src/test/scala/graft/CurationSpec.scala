@@ -173,6 +173,26 @@ class CurationSpec extends AnyFunSuite {
     assert(out.size == 6) // row count preserved: nothing eaten
   }
 
+  test("c13 observed ingest leaves the shared session serializable " +
+      "(Observation isolation regression)") {
+    // Spark 4.1 classic: Dataset.observe(Observation, ...) registers
+    // the observation in the session's ObservationManager and never
+    // unregisters it; a non-empty manager makes the SESSION
+    // Java-unserializable, which killed later spark.ml trainings
+    // ("Task not serializable ... ObservationManager") in full gate
+    // runs. c13 must run its observed pass on an isolated
+    // newSession(), so serializing the shared session afterwards
+    // still works.
+    val out = queries.CurationQueries
+      .queries("c13_observed_ingest")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.length == 1 && out.head.getLong(0) > 0)
+    val oos = new java.io.ObjectOutputStream(
+      java.io.OutputStream.nullOutputStream())
+    try oos.writeObject(spark) // throws NotSerializableException on regression
+    finally oos.close()
+  }
+
   test("c09 mergeable rollup: persisted epoch + delta merge equals full recompute; sketch unions, not adds") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -164,9 +164,13 @@ class PlanAuditSpec extends AnyFunSuite {
     // ONE shuffle for BOTH directions (asofNearest: ascending and
     // descending window scans share the hash partitioning; a second
     // Exchange means the single-shuffle kernel regressed to the
-    // compose-two-lookups shape)
+    // compose-two-lookups shape), and ONE Window node per direction
+    // (the last() pairs share a projection — split windows double
+    // the sorted passes)
     assert("Exchange hashpartitioning".r.findAllIn(aj).length == 1,
       s"aj03 shuffle count drifted:\n$aj")
+    assert("\\bWindow\\b".r.findAllIn(aj).length == 2,
+      s"aj03 window-node count drifted:\n$aj")
     // ly07: ONE window, and it runs over the post-aggregate file
     // metadata (the aggregate appears below it in the tree) — the
     // corpus itself contributes only the partial-agg scan
