@@ -81,6 +81,22 @@ object Sketches {
     */
   def logLog(item: Column, p: Int): Column = {
     require(p >= 1 && p <= 20, s"logLog: p must be in [1,20], got $p")
+    import org.apache.spark.sql.graftbridge.ColumnBridge._
+    val hv = conv(substring(md5(item), 1, 15), 16, 10).cast("long")
+    val bucket = (hv % (1L << p)).cast("int")
+    val wbits = shiftright(hv, p)
+    // rank via the allocation-free LZCNT kernel; [[logLogComposed]]
+    // is the builtin-only executable spec it must equal
+    val rho = column(graft.expressions.LogLogRho(expression(wbits), p))
+    struct(bucket.as("bucket"), wbits.as("wbits"), rho.as("rho"))
+  }
+
+  /** [[logLog]] in pure builtins — `length(bin(w))` allocates a
+    * digit string per row, so this form is the executable SPEC of
+    * the kernel (parity in SketchesIdsSpec), the oracle mirror
+    * shape, and the fallback if the kernel is ever unavailable. */
+  def logLogComposed(item: Column, p: Int): Column = {
+    require(p >= 1 && p <= 20, s"logLog: p must be in [1,20], got $p")
     val rhoMax = 60 - p + 1
     val hv = conv(substring(md5(item), 1, 15), 16, 10).cast("long")
     val bucket = (hv % (1L << p)).cast("int")

@@ -31,6 +31,16 @@ trait StringInputTypes
     children.map(_ => org.apache.spark.sql.types.StringType)
 }
 
+/** Declared `bigint` input types — same reasoning as
+  * [[StringInputTypes]].
+  */
+trait LongInputTypes
+    extends org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  this: Expression =>
+  override def inputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] =
+    children.map(_ => org.apache.spark.sql.types.LongType)
+}
+
 /** Declared `array<string>` input types — same reasoning as
   * [[StringInputTypes]].
   */

@@ -137,6 +137,25 @@ class SketchesIdsSpec extends AnyFunSuite {
       .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
   }
 
+  test("loglog rho kernel (LZCNT) equals the builtin bin()-length " +
+      "form — full decomposition and boundary ranks") {
+    import spark.implicits._
+    val xs = Seq.tabulate(5000)(i => s"v$i")
+    def decomp(f: (org.apache.spark.sql.Column, Int) =>
+        org.apache.spark.sql.Column) =
+      xs.toDF("w").select(f($"w", 6).as("l"))
+        .select($"l.bucket", $"l.wbits", $"l.rho")
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2)))
+        .toSet
+    assert(decomp(Sketches.logLog) == decomp(Sketches.logLogComposed))
+    // rank boundaries, incl. the zero remainder (no special case in
+    // the kernel: bitlen(0) = 0 falls out of LZCNT arithmetic)
+    for ((w, expect) <- Seq(0L -> 55, 1L -> 54, 2L -> 53, 3L -> 53,
+        (1L << 53) -> 1, ((1L << 54) - 1) -> 1))
+      assert(graft.expressions.LogLogRhoImpl.rho(w, 55) == expect,
+        s"rho($w)")
+  }
+
   test("loglog registers are duplicate-insensitive and merge by " +
       "element-wise max") {
     val xs = Seq.tabulate(3000)(i => s"item$i")
