@@ -147,6 +147,11 @@ object TwoLayerNet {
     var oldCost = 0.0
     val costs = scala.collection.mutable.ArrayBuffer.empty[Double]
     val rdd = data.rdd
+    // same fan-in rule as GradientDescent.run: a tree stage per
+    // iteration only pays when there are enough partitions to fan in;
+    // the gate's 8-partition layout aggregates directly (one job per
+    // iteration, not two), a 1000-executor run gets the tree
+    val depth = if (rdd.getNumPartitions <= 16) 1 else 2
     val sW1 = new AdamState(nIn * nH); val sB1 = new AdamState(nH)
     val sW2 = new AdamState(nH * nOut); val sB2 = new AdamState(nOut)
 
@@ -170,7 +175,7 @@ object TwoLayerNet {
           }
           (c1 + c2, add(a1, b1), add(a2, b2), add(a3, b3), add(a4, b4))
         },
-        depth = 2)
+        depth = depth)
       bc.destroy()
 
       val avgCost = cost / n

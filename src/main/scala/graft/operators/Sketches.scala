@@ -113,6 +113,13 @@ object Sketches {
     * callers; the hash gate pins the REGISTERS, not this float.
     */
   def logLogEstimate(registers: Map[Int, Int], p: Int): Double = {
+    // the alpha constants below (0.673/0.697/0.709 and the closed
+    // form) are defined by Flajolet et al. (2007) only for m >= 16;
+    // below that the raw estimator is biased, so refuse rather than
+    // silently mis-estimate (register EXTRACTION still allows p >= 1
+    // via logLogComposed — only this float is domain-restricted)
+    require(p >= 4 && p <= 20,
+      s"logLogEstimate: p must be in [4,20] (m >= 16), got $p")
     val m = 1 << p
     val alpha =
       if (m == 16) 0.673

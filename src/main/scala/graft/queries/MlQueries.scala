@@ -223,6 +223,90 @@ object MlQueries {
       out
     }),
 
+    // L3 end-to-end (RDD_NN.py:214-350 semantics): CSV → RDD-flavor
+    // tokenize → 1000-word DISASTER-only vocabulary → TF-IDF → 300
+    // full-batch GD iterations of the 1000→128→2 leaky-ReLU/sigmoid
+    // net, once per optimizer (SGD, then the reference's Adam
+    // variant) → confusion metrics on the held-out split. BASELINE.md
+    // row: 71.10% acc / 66.56 f1 (Part2.ipynb cell 54). Same gate
+    // discipline as m07: deterministic gateSplit (shared salt — a
+    // user comparing the LR and NN stacks wants the same held-out
+    // docs), exact confusion counts + split sizes, banded cost-curve
+    // booleans vs committed goldens (M08Golden, emitted by
+    // tools.M08Dump); OracleEnv degrades to quality bands on foreign
+    // stacks. One row per optimizer.
+    "m08_rdd_nn_train" -> ((s, _) => {
+      import s.implicits._
+      def timed[A](f: => A): (A, Double) = {
+        val t0 = System.nanoTime(); val a = f
+        (a, (System.nanoTime() - t0) / 1e9)
+      }
+      val ((f, training, testing, trainN, testN), featSec) = timed {
+        val fz = graft.features.RddPipeline.featurize(s, Csv.TrainCsv,
+          dim = 1000, dictFilter = Some("1"))
+        val (tr, te) = graft.features.RddPipeline.gateSplit(fz.data)
+        val nTr = tr.persist().count()
+        val nTe = te.persist().count()
+        (fz, tr, te, nTr, nTe)
+      }
+      val bitExact = graft.core.OracleEnv.bitExact
+      def relOk(x: Double, golden: Double, tol: Double): Boolean =
+        math.abs(x / golden - 1.0) <= tol
+      val (curveTol, lastTol) = if (bitExact) (1e-6, 1e-6) else (1e-3, 0.02)
+      val rows = Seq("SGD", "Adam").map { opt =>
+        val g = M08Golden.byOpt(opt)
+        val (res, trainSec) = timed {
+          graft.gd.TwoLayerNet.train(training,
+            graft.gd.TwoLayerNet.Config(optimizer = opt))
+        }
+        val (c, evalSec) = timed {
+          val bc = s.sparkContext.broadcast(res.params)
+          val preds = testing.map(d => (d.id, d.label.toInt,
+              graft.gd.TwoLayerNet.predict(d, bc.value, 128, 2)))
+            .toDF("id", "y", "pred")
+          val conf = graft.gd.Predict.confusion(preds)
+          bc.destroy()
+          conf
+        }
+        System.err.println(f"[m08/$opt] featurize=$featSec%.1fs " +
+          f"train=$trainSec%.1fs eval=$evalSec%.1fs")
+        graft.core.GateDiag.record("m08_rdd_nn_train",
+          s"${opt}_tp" -> c.tp, s"${opt}_tn" -> c.tn,
+          s"${opt}_fp" -> c.fp, s"${opt}_fn" -> c.fn,
+          s"${opt}_accuracy" -> c.accuracy, s"${opt}_f1" -> c.f1,
+          s"${opt}_costs_head" -> res.costs.take(5),
+          s"${opt}_last_cost" -> res.costs.last,
+          s"${opt}_golden_counts" -> Seq(g.tp, g.tn, g.fp, g.fn))
+        val curveOk = res.costs.take(5).zip(g.costsHead)
+          .forall { case (a, b) => relOk(a, b, curveTol) }
+        val lastOk = relOk(res.costs.last, g.lastCost, lastTol)
+        (opt, c, curveOk, lastOk)
+      }
+      graft.core.GateDiag.record("m08_rdd_nn_train",
+        "train_n" -> trainN, "test_n" -> testN,
+        "golden_train_n" -> M08Golden.trainN,
+        "golden_test_n" -> M08Golden.testN,
+        "train_partitions" -> training.rdd.getNumPartitions)
+      val out =
+        if (bitExact)
+          rows.map { case (opt, c, curveOk, lastOk) =>
+            (opt, trainN, testN, c.tp, c.tn, c.fp, c.fn, curveOk, lastOk)
+          }.toDF("optimizer", "train_n", "test_n", "tp", "tn", "fp",
+            "fn", "curve_head_ok", "last_cost_ok")
+        else
+          rows.map { case (opt, c, curveOk, lastOk) =>
+            val g = M08Golden.byOpt(opt)
+            (opt, trainN, testN,
+              math.abs(c.accuracy - g.accuracy) <= 0.03,
+              math.abs(c.f1 - g.f1) <= 0.03, curveOk, lastOk)
+          }.toDF("optimizer", "train_n", "test_n", "acc_ok", "f1_ok",
+            "curve_head_ok", "last_cost_ok")
+      // out is a local relation (the training/eval above ran eagerly),
+      // so the cached inputs can be released before returning
+      training.unpersist(); testing.unpersist(); f.release()
+      out
+    }),
+
     "m01_ml_logreg" -> ((s, _) => evalDf(s, "lr")),
     "m02_ml_naivebayes" -> ((s, _) => evalDf(s, "nb")),
     "m03_ml_linearsvc" -> ((s, _) => evalDf(s, "svc")),
@@ -285,7 +369,35 @@ object MlQueries {
           CAST($testN AS BIGINT) AS test_n,
           true AS acc_in_band, true AS f1_in_band"""
 
+  /** One UNION ALL branch per optimizer for m08's oracle — pinned
+    * counts + true bands in bit-exact mode, quality bands otherwise
+    * (the m07 shape, ×2 rows).
+    */
+  private def m08OracleSql: String =
+    if (graft.core.OracleEnv.bitExact)
+      Seq("SGD", "Adam").map { opt =>
+        val g = M08Golden.byOpt(opt)
+        s"""SELECT '$opt' AS optimizer,
+            CAST(${M08Golden.trainN} AS BIGINT) AS train_n,
+            CAST(${M08Golden.testN} AS BIGINT) AS test_n,
+            CAST(${g.tp} AS BIGINT) AS tp, CAST(${g.tn} AS BIGINT) AS tn,
+            CAST(${g.fp} AS BIGINT) AS fp, CAST(${g.fn} AS BIGINT) AS fn,
+            true AS curve_head_ok, true AS last_cost_ok"""
+      }.mkString(" UNION ALL ")
+    else
+      Seq("SGD", "Adam").map { opt =>
+        s"""SELECT '$opt' AS optimizer,
+            CAST(${M08Golden.trainN} AS BIGINT) AS train_n,
+            CAST(${M08Golden.testN} AS BIGINT) AS test_n,
+            true AS acc_ok, true AS f1_ok,
+            true AS curve_head_ok, true AS last_cost_ok"""
+      }.mkString(" UNION ALL ")
+
   def oracleSql: Map[String, String] = Map(
+    // m08's gate row: per-optimizer exact split sizes + confusion
+    // counts and band-checked cost booleans in pinned mode; split
+    // sizes + band booleans in banded mode. See M08Golden.
+    "m08_rdd_nn_train" -> m08OracleSql,
     // m07's gate row (round-10, closing the last no_oracle): exact
     // split sizes + confusion counts and band-checked cost booleans
     // in pinned mode; split sizes + four band booleans in banded
@@ -317,7 +429,7 @@ object MlQueries {
       "0.7225433526011561", "0.698837801613344", 6056L, 1557L),
     "s01_csv_clean" ->
       s"""SELECT id, $cleanSql AS clean,
-          length($cleanSql) AS length
+          CAST(length($cleanSql) AS INTEGER) AS length
           FROM $csvSrc""",
     "s02_class_balance" ->
       s"""SELECT target AS class, count(*) AS n FROM $csvSrc GROUP BY 1""",
@@ -363,6 +475,55 @@ private[graft] object M07Golden {
     4216.414299346146, 3856.071352832995, 3725.6656559139387,
     3608.9963884484137, 3504.4336183940495)
   val lastCost = 2539.226162730571
+}
+
+/** m08's committed goldens, emitted by `tools.M08Dump` and vetted
+  * like M07Golden: the deterministic gateSplit (shared with m07, so
+  * the NN and LR stacks hold out the SAME docs) makes split sizes and
+  * per-optimizer confusion counts bit-stable across runs and core
+  * counts; the cost curves jitter only in their final ULPs
+  * (driver-merge arrival order of the 8 training partials), so the
+  * gate band-checks them at 1e-6 relative instead of pinning.
+  * Stability evidence: M08Dump run 2× at local[8] and 1× under
+  * gate.sh defaults (local[32]) — split sizes, counts and acc/f1
+  * bit-identical in all three; max cost drift 1.8e-13 relative
+  * (Adam last cost — Adam's sqrt/divide chain amplifies the partial-
+  * merge jitter more than m07's plain SGD, still 7 decades under the
+  * 1e-6 band). Same ENVIRONMENT PIN
+  * caveat as trainerOracle — OracleEnv switches the gate to quality
+  * bands on foreign JVM/arch/BLAS stacks. The init is the engine's
+  * seeded uniform (TwoLayerNet.init, seed 123); the reference
+  * re-inits UNSEEDED per `learning()` call (RDD_NN.py:231-234), so
+  * exact RNG parity is impossible and determinism wins (the SURVEY
+  * §7 randomSplit precedent). Quality parity vs the reference's
+  * 71.10%/66.56 (BASELINE.md, Part2 cell 54) is asserted by the
+  * banded mode's ±0.03 bands around the measured goldens.
+  */
+private[graft] object M08Golden {
+  final case class OptGolden(tp: Long, tn: Long, fp: Long, fn: Long,
+      accuracy: Double, f1: Double, costsHead: Array[Double],
+      lastCost: Double)
+  // Fewer docs than m07's 6083/1527: the 1000-word disaster-only
+  // dictionary leaves some tweets with no in-vocabulary tokens, and
+  // those rows drop out of the TF-IDF relation before the split.
+  val trainN = 5906L
+  val testN = 1475L
+  // SGD lands at 72.5% acc / 66.4 f1 vs the reference's unseeded-init
+  // 71.10% / 66.56 (BASELINE.md) — inside the banded mode's ±0.03.
+  val sgd = OptGolden(
+    tp = 400L, tn = 670L, fp = 152L, fn = 253L,
+    accuracy = 0.7254237288135593, f1 = 0.6639004149377593,
+    costsHead = Array(0.30881968717432867, 0.30879426480256805,
+      0.3087815599278407, 0.3087682234910823, 0.30875422449247497),
+    lastCost = 0.15479968992372675)
+  val adam = OptGolden(
+    tp = 453L, tn = 673L, fp = 149L, fn = 200L,
+    accuracy = 0.7633898305084745, f1 = 0.7219123505976096,
+    costsHead = Array(0.30881968717432867, 0.3041783560089532,
+      0.30187707135912323, 0.2994752044837839, 0.29697014971920765),
+    lastCost = 0.016272698277105476)
+  def byOpt(opt: String): OptGolden =
+    if (opt == "SGD") sgd else adam
 }
 
 /** SQL literal lists shared by the ML-stack oracles. */

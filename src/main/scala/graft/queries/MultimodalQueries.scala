@@ -78,7 +78,8 @@ object MultimodalQueries {
 
   val oracleSql: Map[String, String] = Map(
     "mm01_binary_meta" ->
-      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+      """SELECT doc_id,
+         CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
          md5(text) AS fingerprint,
          CAST(ceil(octet_length(encode(text)) / 65536.0) AS BIGINT)
            AS n_chunks

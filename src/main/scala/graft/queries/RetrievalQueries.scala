@@ -187,7 +187,7 @@ object RetrievalQueries {
           FROM u GROUP BY id
           ORDER BY rrf_score DESC, id LIMIT $RrfK""",
     "r02_rerank_exact" -> r02Sql,
-    // r03: exact top-1 relevance + the full r02 relation nested as a
+    // r04: exact top-1 relevance + the full r02 relation nested as a
     // CTE; rank/rr via LEFT JOIN on the relevant id (rr = 1/rank is
     // exact IEEE division of an integer — deterministic both sides)
     "r04_pipeline_mrr" ->

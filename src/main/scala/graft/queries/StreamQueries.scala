@@ -156,6 +156,27 @@ object StreamQueries {
     // verification baseline whose per-(window, user) state is
     // exactly what the sketch replaces at scale. Streaming
     // convergence (default + RocksDB stores) in EventStreamsSpec.
+    // Windowed event-type-mix KL drift vs the whole table's smoothed
+    // distribution — the t26 drift monitor as a continuous windowed
+    // face (VERDICT r13 #5). The reference model is a bounded
+    // driver-side collect (one row per event type, the domain the
+    // output is keyed by); the windowed face is pure built-in sums,
+    // so the streaming twin converges exactly (EventStreamsSpec,
+    // default + RocksDB stores, append-mode eviction).
+    "st13_windowed_drift" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("ts"), col("event_type"))
+      val byType = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cn"))
+        .orderBy(col("event_type")).collect()
+      val tc = byType.map(_.getLong(1)).sum
+      val halfT = 0.5 * byType.length
+      val model = byType.toSeq.map(r =>
+        r.getString(0) -> (r.getLong(1) + 0.5) / (tc + halfT))
+      EventStreams.windowTypeKl(ev, model)
+        .select(unix_millis(col("w_start")).as("w_start_ms"),
+          col("n_events"), col("kl"))
+    }),
+
     "st12_windowed_loglog" -> ((s, d) => {
       val ev = Tables.events(s, d).select(col("ts"), col("user_id"))
       val regs = EventStreams.windowUserLogLog(ev, LogLogStP)
@@ -389,6 +410,37 @@ object StreamQueries {
                  CAST(max(rho) AS INTEGER) AS register,
                  count(DISTINCT wbits) AS ndv_exact
           FROM r GROUP BY 1, 2"""
-    }
+    },
+
+    // st13: identical smoothing and operation order to the engine
+    // (the t26 float discipline) — reference probabilities from the
+    // whole table, per-window smoothed mix scored against them; only
+    // the final KL scalar is rounded. The SQL SUM over the T grid
+    // terms may add in a different order than the engine's literal
+    // expression chain — both are ~1e-16 apart, absorbed by the 6 dp
+    // round.
+    "st13_windowed_drift" ->
+      """WITH m AS (
+           SELECT event_type, count(*) AS cn FROM events GROUP BY 1),
+         s AS (
+           SELECT CAST(sum(cn) AS BIGINT) AS tc,
+                  CAST(count(*) AS BIGINT) AS t FROM m),
+         w AS (
+           SELECT date_trunc('hour', ts) AS ws, event_type,
+                  count(*) AS c
+           FROM events GROUP BY 1, 2),
+         wt AS (
+           SELECT ws, CAST(sum(c) AS BIGINT) AS tot FROM w GROUP BY 1),
+         grid AS (
+           SELECT wt.ws, wt.tot,
+                  (m.cn + 0.5) / (s.tc + 0.5 * s.t) AS pc,
+                  (coalesce(wc.c, 0) + 0.5) / (wt.tot + 0.5 * s.t) AS ps
+           FROM wt CROSS JOIN m CROSS JOIN s
+           LEFT JOIN w wc
+             ON wc.ws = wt.ws AND wc.event_type = m.event_type)
+         SELECT CAST(epoch_ms(ws) AS BIGINT) AS w_start_ms,
+                tot AS n_events,
+                round(sum(ps * ln(ps / pc)), 6) AS kl
+         FROM grid GROUP BY 1, 2"""
   )
 }

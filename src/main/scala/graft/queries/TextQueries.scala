@@ -414,18 +414,37 @@ object TextQueries {
       val sw = Tables.documents(s, d)
         .select(col("source"), explode(TextOps.tokenize($"text")).as("w"))
         .groupBy($"source", $"w").agg(count(lit(1)).as("c"))
-        .persist() // shared by vocab/totals/grid; freed by the sweep
+        .persist() // shared by the four bounded reads below, then freed
+      // All four reads of sw happen EAGERLY while it is persisted —
+      // the first materializes the cache (the single corpus scan),
+      // the rest are cache hits — and each collects only a bounded
+      // relation: V vocab rows, one row per source, one corpus
+      // total, and the ≤ S×V in-vocab counts. sw is unpersisted
+      // before returning, so no caller leaks the cache (ADVICE r13:
+      // the old form deferred the unpersist to the harness sweep).
+      // S is bounded by construction — the monitor's output is one
+      // row per source, so a corpus with unbounded `source`
+      // cardinality is the wrong input for this query, not a scale
+      // path this plan must survive.
       val vocab = sw.groupBy($"w").agg(sum($"c").as("cn"))
         .orderBy($"cn".desc, $"w".asc).limit(DriftV)
+        .as[(String, Long)].collect()
       val tots = sw.groupBy($"source").agg(sum($"c").as("tot"))
-      val totc = sw.agg(sum($"c").as("tc"))
+        .as[(String, Long)].collect()
+      val tc = sw.agg(sum($"c")).head.getLong(0)
+      val inVocab = sw.filter($"w".isin(vocab.map(_._1).toSeq: _*))
+        .select($"source", $"w", $"c").as[(String, String, Long)]
+        .collect().map { case (src, w, c) => (src, w) -> c }.toMap
+      sw.unpersist(blocking = false)
+      // The V×S scoring grid as a local relation; the KL arithmetic
+      // below is UNCHANGED Catalyst expressions (same ops, same
+      // order), so the float contract with the oracle is intact.
       val halfV = 0.5 * DriftV
-      val grid = tots.crossJoin(broadcast(vocab))
-        .join(sw.select($"source", $"w", $"c".as("cnt")),
-          Seq("source", "w"), "left")
-        .crossJoin(broadcast(totc))
-        .select($"source", $"tot", $"cn", coalesce($"cnt", lit(0L)).as("cnt"),
-          $"tc")
+      val grid = (for {
+        (src, tot) <- tots.toSeq
+        (w, cn) <- vocab.toSeq
+      } yield (src, tot, cn, inVocab.getOrElse((src, w), 0L), tc))
+        .toDF("source", "tot", "cn", "cnt", "tc")
       val ps = ($"cnt" + lit(0.5)) / ($"tot" + lit(halfV))
       val pc = ($"cn" + lit(0.5)) / ($"tc" + lit(halfV))
       grid.groupBy($"source", $"tot")
@@ -844,10 +863,10 @@ object TextQueries {
             SELECT doc_id, min(md5(shingle)) AS msf FROM sh GROUP BY 1) m
           ON d.doc_id = m.doc_id""",
     "t07_token_counts" ->
-      s"""SELECT doc_id, len($tokSql) AS ws_tokens,
-          len(regexp_extract_all(text,
+      s"""SELECT doc_id, CAST(len($tokSql) AS INTEGER) AS ws_tokens,
+          CAST(len(regexp_extract_all(text,
             '${graft.text.Analysis.BpeIshRe.replace("'", "''")}'))
-            AS bpe_tokens
+            AS INTEGER) AS bpe_tokens
           FROM documents""",
     "t08_pii_redact" ->
       s"""SELECT id,

@@ -98,6 +98,42 @@ object EventStreams {
       .select(col("w.start").as("w_start"), col("bucket"),
         col("register"))
 
+  /** Per-window KL drift of the event-type mix against a pinned
+    * reference distribution — t26's corpus-drift monitor
+    * (per-source unigram KL) as a CONTINUOUS windowed face: the
+    * reference model is fixed (types + smoothed reference
+    * probabilities, e.g. last snapshot's mix), each event-time
+    * window scores its own smoothed mix against it, and the
+    * watermark finalizes + evicts windows. State per window is
+    * |model| conditional sums plus the count — longs, not keyed by
+    * any unbounded domain — so a 1000-executor deployment carries
+    * O(windows × |model|) state no matter the event rate. Every
+    * aggregate is a built-in `sum`/`count` (mergeable), so
+    * micro-batch partials fold exactly and the stream face converges
+    * to this batch face (EventStreamsSpec, default + RocksDB).
+    * Smoothing/arithmetic mirror t26: ps = (c + 0.5)/(tot + 0.5·T),
+    * KL = Σ ps·ln(ps/pc), rounded at 6 dp (only the final scalar).
+    */
+  def windowTypeKl(events: DataFrame, model: Seq[(String, Double)],
+                   windowLen: String = "1 hour",
+                   watermark: String = "2 hours"): DataFrame = {
+    require(model.nonEmpty, "windowTypeKl: empty reference model")
+    val halfT = 0.5 * model.size
+    val cnts = model.zipWithIndex.map { case ((ty, _), i) =>
+      sum(when(col("event_type") === ty, 1L).otherwise(0L)).as(s"c_$i")
+    }
+    val agged = events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen).as("w"))
+      .agg(cnts.head, (cnts.tail :+ count(lit(1)).as("tot")): _*)
+    val kl = model.zipWithIndex.map { case ((_, pc), i) =>
+      val ps = (col(s"c_$i") + lit(0.5)) / (col("tot") + lit(halfT))
+      ps * log(ps / lit(pc))
+    }.reduce(_ + _)
+    agged.select(col("w.start").as("w_start"),
+      col("tot").as("n_events"), round(kl, 6).as("kl"))
+  }
+
   final case class SessionInput(user_id: Long, ts: Timestamp,
                                 value: Double)
   final case class SessionState(start: Long, end: Long, n: Int,

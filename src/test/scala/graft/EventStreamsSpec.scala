@@ -513,6 +513,121 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }}
 
+  for (store <- Seq("default", "rocksdb"))
+  test("windowed type-KL drift converges to the batch answer " +
+      s"across micro-batches [$store]") { withStateStore(store) {
+    import spark.implicits._
+    import EventStreams.PackInput
+    val model = Seq("click" -> 0.55, "view" -> 0.45)
+    val evs = Seq(
+      PackInput(1L, "click", ts(0), 0L), PackInput(2L, "view", ts(10), 0L),
+      PackInput(3L, "click", ts(20), 0L), PackInput(4L, "click", ts(70), 0L),
+      PackInput(5L, "view", ts(80), 0L), PackInput(6L, "view", ts(130), 0L))
+    val batch = EventStreams.windowTypeKl(evs.toDF(), model)
+      .select(unix_millis($"w_start"), $"n_events", $"kl")
+      .as[(Long, Long, Double)].collect().toSet
+
+    val mem = MemoryStream[PackInput](spark)
+    val q = EventStreams.windowTypeKl(mem.toDS().toDF(), model)
+      .writeStream.format("memory").queryName(s"kl_out_$store")
+      .outputMode("complete").start()
+    try {
+      // split MID-window: the second batch's conditional sums must
+      // fold into stored window state (sum/count are mergeable)
+      mem.addData(evs.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(evs.drop(2): _*)
+      q.processAllAvailable()
+      val got = spark.table(s"kl_out_$store")
+        .select(unix_millis($"w_start"), $"n_events", $"kl")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == batch)
+      assert(got.nonEmpty && got.forall(r => !r._3.isNaN))
+    } finally q.stop()
+  }}
+
+  test("windowed type-KL in APPEND mode: watermark finalizes a " +
+      "window's score once, evicts state, and drops late data") {
+    import spark.implicits._
+    import EventStreams.PackInput
+    val model = Seq("click" -> 0.55, "view" -> 0.45)
+    val early = Seq(
+      PackInput(1L, "click", ts(0), 0L), PackInput(2L, "view", ts(10), 0L),
+      PackInput(3L, "click", ts(20), 0L))
+    val mem = MemoryStream[PackInput](spark)
+    val stream = EventStreams.windowTypeKl(mem.toDS().toDF(), model,
+      watermark = "1 minute")
+    val q = stream.writeStream.format("memory")
+      .queryName("kl_append").outputMode("append").start()
+    try {
+      mem.addData(early: _*)
+      q.processAllAvailable()
+      assert(spark.table("kl_append").count() == 0)
+      mem.addData(PackInput(99L, "view", ts(10000), 0L))
+      q.processAllAvailable()
+      mem.addData(PackInput(99L, "view", ts(10001), 0L))
+      q.processAllAvailable()
+      def w0 = spark.table("kl_append")
+        .filter(unix_millis($"w_start") === Base)
+        .select($"n_events", $"kl").as[(Long, Double)].collect().toSeq
+      val batch = EventStreams.windowTypeKl(early.toDF(), model)
+        .select($"n_events", $"kl").as[(Long, Double)].collect().toSeq
+      val finalized = w0
+      assert(finalized == batch && finalized.nonEmpty)
+      // late data behind the watermark must not reopen the window:
+      // an admitted click would change both n_events and the score
+      mem.addData(PackInput(777L, "click", ts(15), 0L))
+      q.processAllAvailable()
+      assert(w0 == finalized,
+        "late data reopened a finalized window's KL score")
+      val left = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(left <= 2, s"finalized window state not evicted: $left")
+    } finally q.stop()
+  }
+
+  test("windowed loglog in APPEND mode: watermark finalizes a " +
+      "window's registers once, evicts state, and drops late data") {
+    import spark.implicits._
+    val early = rows.filter(_.ts.getTime < Base + 3600000L)
+    val mem = MemoryStream[SessionInput](spark)
+    val stream = EventStreams.windowUserLogLog(mem.toDS().toDF(), 4,
+      watermark = "1 minute")
+    val q = stream.writeStream.format("memory")
+      .queryName("ll_append").outputMode("append").start()
+    try {
+      mem.addData(early: _*)
+      q.processAllAvailable()
+      // nothing final yet: watermark hasn't passed the first window
+      assert(spark.table("ll_append").count() == 0)
+      // advance event time far past window 0 (+1 min delay); second
+      // batch lets the end-of-batch watermark take effect
+      mem.addData(SessionInput(99L, ts(10000), 0.0))
+      q.processAllAvailable()
+      mem.addData(SessionInput(99L, ts(10001), 0.0))
+      q.processAllAvailable()
+      def w0 = spark.table("ll_append")
+        .filter(unix_millis($"w_start") === Base)
+        .select($"bucket", $"register").as[(Int, Int)].collect().toSet
+      val batch = EventStreams.windowUserLogLog(early.toDF(), 4)
+        .select($"bucket", $"register").as[(Int, Int)].collect().toSet
+      // window 0 emitted exactly once, registers byte-identical to
+      // the batch face
+      val finalized = w0
+      assert(finalized == batch && finalized.nonEmpty)
+      // late data behind the watermark must NOT reopen the finalized
+      // window: a new user inside window 0 would raise a register if
+      // it were admitted, and append mode would emit a duplicate row
+      mem.addData(SessionInput(777L, ts(15), 0.0))
+      q.processAllAvailable()
+      assert(w0 == finalized,
+        "late data reopened a finalized window's registers")
+      // finalized windows' state evicted: at most the advancer's
+      // open-window buckets remain (one user -> one bucket)
+      val left = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(left <= 2, s"finalized window state not evicted: $left")
+    } finally q.stop()
+  }
+
   test("windowed count-min in APPEND mode: watermark finalizes a " +
       "window's grid once and evicts its state") {
     import spark.implicits._

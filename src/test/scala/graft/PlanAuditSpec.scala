@@ -179,12 +179,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("\\bWindow\\b".r.findAllIn(ly).length == 1,
       s"ly07 window count drifted:\n$ly")
     assert(ly.contains("HashAggregate"), s"ly07 lost the file agg:\n$ly")
-    // t26: the V×S scoring grid must meet its inputs by broadcast —
-    // a sort-merge join here means bounded-side inference regressed
+    // t26: the corpus is paid once, eagerly, inside the bounded-stats
+    // collects; the RETURNED plan must therefore score only the local
+    // V×S grid — a parquet scan or any join here means the eager
+    // bounded-read restructure (ADVICE r14) regressed to rescanning
     val t26 = PlanSummary.finalPlanString(
       SparkEntry.queries("t26_unigram_drift")(spark, sf))
-    assert(t26.contains("BroadcastHashJoin") &&
-      !t26.contains("SortMergeJoin"), s"t26 grid join regressed:\n$t26")
+    assert(t26.contains("LocalTableScan") && !t26.contains("Scan parquet"),
+      s"t26 grid is no longer a local relation:\n$t26")
+    assert(!t26.contains("Join"), s"t26 grid gained a join:\n$t26")
     // the eval/sketch composites stay cartesian-free
     for (name <- Seq("e23_ann_recall", "r04_pipeline_mrr",
         "t25_loglog_ndv", "st12_windowed_loglog")) {
