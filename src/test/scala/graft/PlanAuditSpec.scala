@@ -19,6 +19,61 @@ class PlanAuditSpec extends AnyFunSuite {
 
   val sf = "/root/testdata/sf0.001"
 
+  test("suite invariants over the FULL query map: no CartesianProduct " +
+      "and no partition-less Window in any final executed plan") {
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    import org.apache.spark.sql.execution.window.{WindowExec,
+      WindowGroupLimitExec}
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+
+    // -- self-validate both detectors on deliberately-bad plans --
+    val bad = Seq((1, "a"), (2, "b"), (3, "c")).toDF("x", "g")
+    val badWin = PlanSummary.finalOperators(
+      bad.withColumn("rn", row_number().over(W.orderBy($"x"))))
+    assert(badWin.exists {
+      case w: WindowExec => w.partitionSpec.isEmpty
+      case _             => false
+    }, "detector failed to flag a known global window")
+    val abjt = "spark.sql.autoBroadcastJoinThreshold"
+    val aqeAbjt = "spark.sql.adaptive.autoBroadcastJoinThreshold"
+    val prev = (spark.conf.getOption(abjt), spark.conf.getOption(aqeAbjt))
+    spark.conf.set(abjt, "-1"); spark.conf.set(aqeAbjt, "-1")
+    val badCart =
+      try PlanSummary.finalOperators(
+        bad.join(Seq(7, 8).toDF("y"), $"x" < $"y", "inner"))
+      finally {
+        prev._1.fold(spark.conf.unset(abjt))(spark.conf.set(abjt, _))
+        prev._2.fold(spark.conf.unset(aqeAbjt))(spark.conf.set(aqeAbjt, _))
+      }
+    assert(badCart.exists(_.isInstanceOf[CartesianProductExec]),
+      "detector failed to flag a known cartesian product")
+
+    // -- the invariants, over every registered query --
+    // m0* excluded: imperative train/eval pipelines whose gate rows
+    // are local relations, not single declarative plans (the PLANS.md
+    // exclusion); everything else must uphold both invariants — a
+    // CartesianProduct is quadratic at 100 TB, and a Window with an
+    // empty partitionSpec is a single-reducer global sort (bounded
+    // metadata-sized global tapes mark themselves with a constant
+    // partition key, e.g. ly07, and are deliberately not flagged).
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(_.startsWith("m0"))
+    for (name <- names) {
+      val ops = PlanSummary.finalOperators(
+        SparkEntry.queries(name)(spark, sf))
+      assert(!ops.exists(_.isInstanceOf[CartesianProductExec]),
+        s"$name: CartesianProduct in the executed plan")
+      val global = ops.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+        case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => w
+      }
+      assert(global.isEmpty,
+        s"$name: partition-less Window (single-reducer global sort)")
+    }
+  }
+
   test("every q-query keeps ≥1 WholeStageCodegen span in its final AQE plan") {
     val qs = SparkEntry.queries.keys.filter(_.startsWith("q")).toSeq.sorted
     assert(qs.size >= 19)
