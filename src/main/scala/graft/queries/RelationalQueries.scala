@@ -111,6 +111,51 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_orders"))
     }),
 
+    // Third strategy for the selective fact join, completing the
+    // trio with q03 (broadcast) and bk01 (bucketing): the
+    // OPTIMIZER-INJECTED runtime Bloom filter. When the dimension is
+    // too big to broadcast and the tables aren't co-bucketed, Spark's
+    // InjectRuntimeFilter builds a bloom_filter_agg over the filtered
+    // dimension's join keys and plants might_contain(xxhash64(key))
+    // as a scan-adjacent Filter on the FACT side — at 100 TB the fact
+    // rows that would die in the join die at the scan, before the
+    // shuffle writes them. The gate fixtures sit far below the
+    // production injection thresholds (app side ≥ 10 GB), so this
+    // face pins them to the demo shape on an ISOLATED session (c13
+    // discipline — conf changes must not leak to the shared session);
+    // broadcast is disabled because the runtime filter targets the
+    // shuffle-join regime (with BHJ the probe side never shuffles and
+    // injection is pointless). The injected probe is false-positive
+    // tolerant — the join still verifies every surviving row — so
+    // results are EXACTLY the plain join's (the oracle is the plain
+    // SQL join). PlanAuditSpec pins bloom_filter_agg + a
+    // BloomFilterMightContain expression in the final executed plan.
+    "bk03_bloom_runtime_join" -> ((s, d) => {
+      val iso = s.newSession()
+      iso.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled",
+        "true")
+      iso.conf.set("spark.sql.optimizer.runtime.bloomFilter." +
+        "applicationSideScanSizeThreshold", "0")
+      iso.conf.set("spark.sql.optimizer.runtime.bloomFilter." +
+        "creationSideThreshold", "512MB")
+      iso.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // the two-predicate dim filter keeps ~1/15 of orders — the
+      // regime where the probe pays even on local "shuffle" (measured
+      // A/B in SCALE.md round 14 (c): 1.4–1.7× at sf10; at 1/3
+      // selectivity the probe overhead WINS locally, which the same
+      // note documents as the strategy boundary)
+      val ord = Tables.orders(iso, d)
+        .filter(col("o_orderstatus") === "P" &&
+          col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      Tables.lineitem(iso, d)
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+    }),
+
     // Partition-pruned layout as a gate query: the corpus written
     // once partitionBy(lang), then a lang-filtered rollup whose scan
     // carries the predicate as a PartitionFilter — it reads ONE
@@ -570,6 +615,49 @@ object RelationalQueries {
         .groupBy($"o_orderpriority")
         .agg(count(lit(1)).as("n"),
           round(sum($"l_quantity"), 2).as("sum_qty"))
+    }),
+
+    // AQE's OptimizeSkewedJoin as the runtime answer to the same
+    // problem sk01 solves by hand: join the corpus on LANGUAGE — a
+    // handful of keys, en a hot one, and the shuffle rows carry the
+    // document text, so at 100 TB the en reducer is the straggler
+    // that decides the job. The adaptive engine measures the map
+    // output at stage boundary and splits the skewed partition into
+    // advisory-sized chunks, replicating the matching dim rows —
+    // semantically invisible (the oracle is the plain join). Fixture
+    // adaptations, pinned on an ISOLATED session (c13 discipline):
+    // broadcast disabled (the runtime-skew path is the shuffle-join
+    // regime — with BHJ there is nothing to skew); thresholds shrunk
+    // from the 256 MB/64 MB production defaults to fixture scale; and
+    // repartition(13) upstream because a skewed REDUCE partition is
+    // only splittable along MAP-output boundaries — the single-row-
+    // group fixture parquet yields ONE mapper, and a one-block
+    // partition is indivisible (at 100 TB there are thousands of
+    // mappers; this is the fixture emulating that, not a data move
+    // the production plan needs). The downstream rollup groups by
+    // source, NOT lang, deliberately: grouping by a superset of the
+    // join key would let the final agg reuse the join's exact hash
+    // partitioning, and AQE refuses to split partitions a downstream
+    // stage depends on. PlanAuditSpec pins SortMergeJoin(skew=true) +
+    // AQEShuffleRead skewed in the final plan.
+    "sk04_aqe_skew_join" -> ((s, d) => {
+      val iso = s.newSession()
+      iso.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      iso.conf.set("spark.sql.adaptive.skewJoin." +
+        "skewedPartitionThresholdInBytes", "8KB")
+      iso.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "8KB")
+      iso.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "1.1")
+      import iso.implicits._
+      val docs = Tables.documents(iso, d).repartition(13)
+      val dim = Seq(("en", 600), ("fr", 500), ("es", 500), ("de", 450),
+        ("zh", 400)).toDF("lang", "min_chars")
+      docs.join(dim, "lang")
+        .filter(col("n_chars") >= col("min_chars"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).cast("long").as("sum_len"))
     })
   )
 
@@ -697,6 +785,18 @@ object RelationalQueries {
          round(sum(l_quantity), 2) AS sum_qty
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderpriority""",
+    // bk03: the runtime Bloom filter is a physical pruning aid — the
+    // logical result is the plain selective join, which is exactly
+    // what the oracle checks (false positives are re-verified by the
+    // join, so the filter cannot change the answer)
+    "bk03_bloom_runtime_join" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         count(*) AS n_items,
+         round(sum(l_extendedprice), 2) AS sum_price,
+         round(sum(l_quantity), 2) AS sum_qty
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderstatus = 'P' AND o_orderpriority = '1-URGENT'
+         GROUP BY 1""",
     "q04_join_star" ->
       """SELECT r_name, n_name,
          round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
@@ -810,6 +910,18 @@ object RelationalQueries {
       """SELECT o_orderpriority, count(*) AS n,
          round(sum(l_quantity), 2) AS sum_qty
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-         GROUP BY o_orderpriority"""
+         GROUP BY o_orderpriority""",
+    // sk04: the skew split is a physical scheduling decision — the
+    // logical result is the plain threshold join; the dim literal is
+    // mirrored as VALUES
+    "sk04_aqe_skew_join" ->
+      """SELECT source, count(*) AS n_docs,
+         CAST(sum(length(text)) AS BIGINT) AS sum_len
+         FROM documents
+         JOIN (VALUES ('en', 600), ('fr', 500), ('es', 500),
+               ('de', 450), ('zh', 400)) AS t(lang, min_chars)
+           USING (lang)
+         WHERE n_chars >= min_chars
+         GROUP BY source"""
   )
 }

@@ -288,6 +288,39 @@ class PlanAuditSpec extends AnyFunSuite {
       s"e21 plan must not grow with selK: selK=2 → $p2 chars, selK=5 → $p5")
   }
 
+  test("bk03 carries an injected runtime bloom filter: creation agg + " +
+      "scan-side might_contain probe, shuffle join regime") {
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    val df = SparkEntry.queries("bk03_bloom_runtime_join")(spark, sf)
+    val ops = PlanSummary.finalOperators(df)
+    // the optimizer must have planted the probe on the fact side —
+    // walk expressions, not strings (the subquery nesting varies)
+    val hasProbe = ops.exists(_.expressions.exists(_.exists(
+      _.isInstanceOf[BloomFilterMightContain])))
+    assert(hasProbe, "bk03 lost the injected bloom might_contain probe")
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("bloom_filter_agg"),
+      s"bk03 lost the bloom creation aggregate:\n$plan")
+    // the face demonstrates the SHUFFLE-join regime (broadcast
+    // disabled on its isolated session) — the fact side must meet the
+    // dim through a shuffle join, with the probe pruning before it
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"bk03 must run in the shuffle-join regime:\n$plan")
+  }
+
+  test("sk04 splits the hot-language partition at runtime: " +
+      "SortMergeJoin(skew=true) with a skewed shuffle read") {
+    val plan = PlanSummary.finalPlanString(
+      SparkEntry.queries("sk04_aqe_skew_join")(spark, sf))
+    assert(plan.contains("skew=true"),
+      s"sk04: AQE no longer marks the join skewed:\n$plan")
+    assert(plan.contains("AQEShuffleRead skewed"),
+      s"sk04: the skewed shuffle read disappeared:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"sk04 must run in the shuffle-join regime:\n$plan")
+  }
+
   test("finalPlanString reads the post-AQE plan, not the initial one") {
     val df = SparkEntry.queries("q01_agg_pricing")(spark, sf)
     // before execution the AQE string has no codegen markers — the
