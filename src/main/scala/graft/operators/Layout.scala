@@ -122,26 +122,13 @@ object Layout {
       .mode("overwrite").parquet(outPath)
   }
 
-  /** ANALYZE-style per-column statistics in ONE scan (c10): row
-    * count, null count, distinct count, min/max — the table the
-    * planner's join-reorder / broadcast decisions and a data-quality
-    * monitor both read. Numeric columns report min/max as doubles
-    * (pass an expression to numeric-ize dates: `unix_millis`),
-    * string columns lexicographically. All stats fold in a single
-    * aggregation; the multi-column exact `countDistinct` plans as one
-    * Expand pass (rows × columns map-side, one shuffle). At 100 TB
-    * swap exact NDV for `approx_count_distinct` (one HLL per column,
-    * no Expand) — the estimate is what a planner needs, and the q17
-    * band discipline gates it; the exact form is used here because
-    * the gate hash-compares values.
-    */
   /** [[tableStats]] with HLL-estimated NDV (`approx_count_distinct`)
-    * — the 100 TB form the exact version's scaladoc promises: one
-    * sketch per column folds in the SAME single aggregation with NO
-    * Expand pass (plan-asserted in LayoutSpec), so stats cost stops
-    * scaling with column count × row count. Estimates carry ~2%
-    * standard error; everything else (rows, nulls, min/max) stays
-    * exact. Measured vs the exact form in SCALE.md.
+    * — the 100 TB form: one sketch per column folds in a SINGLE
+    * aggregation over ONE scan with NO Expand pass (plan-asserted in
+    * LayoutSpec), so stats cost stops scaling with column count ×
+    * row count. Estimates carry ~2% standard error; everything else
+    * (rows, nulls, min/max) stays exact. Measured vs the exact form
+    * in SCALE.md.
     */
   def tableStatsApprox(df: DataFrame,
                        numericCols: Seq[(String, Column)],
@@ -149,10 +136,54 @@ object Layout {
     statsImpl(df, numericCols, stringCols,
       e => approx_count_distinct(e, rsd = 0.02))
 
+  /** ANALYZE-style per-column statistics with EXACT distinct counts
+    * (c10): row count, null count, NDV, min/max — the table the
+    * planner's join-reorder / broadcast decisions and a data-quality
+    * monitor both read. Numeric columns report min/max as doubles
+    * (pass an expression to numeric-ize dates: `unix_millis`),
+    * string columns lexicographically.
+    *
+    * Plan shape: ONE NARROW BRANCH PER COLUMN, union'd. Each branch
+    * carries exactly one distinct aggregate, so Catalyst plans it as
+    * the two-phase distinct rewrite — partial per-partition dedup of
+    * that single column before its shuffle — over a parquet scan
+    * pruned to that column. The earlier single-aggregation form
+    * (C `countDistinct`s in one agg) planned as an Expand: every row
+    * replicated C times through one wide shuffle, which at sf10 cost
+    * 3× the union form (measured A/B, SCALE.md round 14 (d)). The
+    * branch count is the COLUMN count — scan-setup overhead, not
+    * data — and each scan reads one column, so the union form's
+    * total I/O equals the Expand form's single scan. At 100 TB the
+    * [[tableStatsApprox]] sketch form is still the intended path;
+    * this exact form exists because the gate hash-compares values.
+    */
   def tableStats(df: DataFrame,
                  numericCols: Seq[(String, Column)],
-                 stringCols: Seq[String]): DataFrame =
-    statsImpl(df, numericCols, stringCols, e => countDistinct(e))
+                 stringCols: Seq[String]): DataFrame = {
+    val nullS = lit(null).cast("string")
+    val nullD = lit(null).cast("double")
+    val branches = numericCols.map { case (name, e) =>
+      df.select(e.as("v"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("v").isNull.cast("long")).as("n_nulls"),
+          countDistinct(col("v")).as("ndv"),
+          min(col("v")).cast("double").as("min_n"),
+          max(col("v")).cast("double").as("max_n"))
+        .select(lit(name).as("column"), col("n_rows"), col("n_nulls"),
+          col("ndv"), col("min_n"), col("max_n"),
+          nullS.as("min_s"), nullS.as("max_s"))
+    } ++ stringCols.map { c =>
+      df.select(col(c).as("v"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("v").isNull.cast("long")).as("n_nulls"),
+          countDistinct(col("v")).as("ndv"),
+          min(col("v")).as("mn"), max(col("v")).as("mx"))
+        .select(lit(c).as("column"), col("n_rows"), col("n_nulls"),
+          col("ndv"), nullD.as("min_n"), nullD.as("max_n"),
+          col("mn").as("min_s"), col("mx").as("max_s"))
+    }
+    branches.reduce(_ unionAll _)
+  }
 
   private def statsImpl(df: DataFrame,
                         numericCols: Seq[(String, Column)],

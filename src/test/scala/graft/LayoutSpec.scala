@@ -140,7 +140,7 @@ class LayoutSpec extends AnyFunSuite {
       raw.orderBy("lang").collect().toSeq)
   }
 
-  test("ly04 tableStats: planted nulls, dupes, min/max; one scan") {
+  test("ly04 tableStats: planted nulls, dupes, min/max; no Expand") {
     import spark.implicits._
     val df = Seq(
       (Some(5L), Some("b")), (Some(5L), None),
@@ -156,12 +156,17 @@ class LayoutSpec extends AnyFunSuite {
     val sCol = stats("s")
     assert(sCol.getLong(2) == 1 && sCol.getLong(3) == 2 &&
       sCol.getString(6) == "a" && sCol.getString(7) == "b")
-    // single aggregation: exactly one scan of the input in the plan
+    // union-of-narrow-branches contract: one single-distinct branch
+    // per column (two-phase distinct rewrite), NEVER the rows×columns
+    // Expand the old single-agg form planned (3× slower at sf10 —
+    // SCALE.md round 14 (d))
     val plan = graft.operators.Layout.tableStats(df,
         Seq("x" -> col("x")), Seq("s"))
-      .queryExecution.optimizedPlan.toString
-    assert(!plan.contains("Union"),
-      s"tableStats must be one scan, not per-column branches:\n$plan")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"),
+      s"tableStats regressed to the Expand plan:\n$plan")
+    assert(plan.contains("Union"),
+      s"tableStats lost its per-column branches:\n$plan")
   }
 
   test("tableStatsApprox: no Expand pass; estimates band-true vs exact") {
@@ -174,16 +179,13 @@ class LayoutSpec extends AnyFunSuite {
     val strings = Seq("o_orderstatus", "o_orderpriority")
     val approx = graft.operators.Layout
       .tableStatsApprox(orders, numeric, strings)
-    // the exact form's multi-column countDistinct needs an Expand
-    // (rows × columns); the sketches fold with none
-    val exactPlan = graft.operators.Layout
-      .tableStats(orders, numeric, strings)
-      .queryExecution.executedPlan.toString
+    // the sketch form folds every column in ONE aggregation over ONE
+    // scan: no Expand AND no per-column union branches
     val approxPlan = approx.queryExecution.executedPlan.toString
-    assert(exactPlan.contains("Expand"),
-      "fixture invalid: exact form no longer expands")
     assert(!approxPlan.contains("Expand"),
       s"approx stats must not Expand:\n$approxPlan")
+    assert(!approxPlan.contains("Union"),
+      s"approx stats must stay a single scan:\n$approxPlan")
     // HLL estimates within 5% of exact per column
     val ex = graft.operators.Layout.tableStats(orders, numeric, strings)
       .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
