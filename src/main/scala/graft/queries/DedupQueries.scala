@@ -652,13 +652,19 @@ object DedupQueries {
   /** Shared SQL fragments, mirrored from the Scala operators. */
   private val tokSql = "list_filter(string_split(text, ' '), w -> len(w) > 0)"
 
+  // `sh` is MATERIALIZED: every jaccard-family oracle references it
+  // 2-4 times (sizes + both sides of the `inter` self-join + minh),
+  // and DuckDB 1.0 re-inlines plain CTEs per reference — at pseudo-sf1
+  // that recompute is the difference between d06 at 131 s and 20 s
+  // (and the d10/d18 480 s timeouts of VERIFY_sf1_r14). Purely a
+  // physical hint; results are byte-identical.
   private def shingleCte(where: String = "",
                          src: String = "documents"): String =
     s"""tok AS (
          SELECT doc_id, unnest($tokSql) AS w,
                 generate_subscripts($tokSql, 1) AS pos
          FROM $src $where),
-       sh AS (
+       sh AS MATERIALIZED (
          SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
          FROM tok a
          JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
@@ -879,11 +885,11 @@ object DedupQueries {
     */
   private val dupClusterCtes: String =
     s"""${shingleCte()}, $jaccardCte, $minhashCandsCte,
-        pairs AS (
+        pairs AS MATERIALIZED (
           SELECT jac.a, jac.b
           FROM jac JOIN cands ON jac.a = cands.a AND jac.b = cands.b
           WHERE jac.jaccard >= 0.5),
-        edges AS (
+        edges AS MATERIALIZED (
           SELECT a, b FROM pairs
           UNION SELECT b AS a, a AS b FROM pairs),
         reach AS (
@@ -891,7 +897,7 @@ object DedupQueries {
           UNION
           SELECT e.b AS node, r.root
           FROM reach r JOIN edges e ON e.a = r.node),
-        clusters AS (
+        clusters AS MATERIALIZED (
           SELECT node AS doc_id, min(root) AS cluster_id
           FROM reach GROUP BY node)"""
 
@@ -920,14 +926,14 @@ object DedupQueries {
             FROM deg d JOIN s$k ON d.a = s$k.t, nn)"""
     }.mkString(",\n")
     s"""WITH ${shingleCte()}, $jaccardCte, $minhashCandsCte,
-        pairs AS (
+        pairs AS MATERIALIZED (
           SELECT jac.a, jac.b
           FROM jac JOIN cands ON jac.a = cands.a AND jac.b = cands.b
           WHERE jac.jaccard >= 0.5),
-        edges AS (
+        edges AS MATERIALIZED (
           SELECT a, b FROM pairs
           UNION SELECT b AS a, a AS b FROM pairs),
-        deg AS (SELECT a, count(*) AS deg FROM edges GROUP BY a),
+        deg AS MATERIALIZED (SELECT a, count(*) AS deg FROM edges GROUP BY a),
         nn AS (SELECT count(*) AS n FROM deg),
         r0 AS (
           SELECT a AS id, deg, $scale // nn.n AS r FROM deg, nn),
@@ -1448,7 +1454,7 @@ object DedupQueries {
           q AS (
             SELECT doc_id, CAST(len($tokSql) AS BIGINT) AS quality
             FROM documents),
-          member AS (
+          member AS MATERIALIZED (
             SELECT c.doc_id, c.cluster_id, q.quality
             FROM clusters c JOIN q USING (doc_id)),
           win AS (
