@@ -652,23 +652,30 @@ object DedupQueries {
   /** Shared SQL fragments, mirrored from the Scala operators. */
   private val tokSql = "list_filter(string_split(text, ' '), w -> len(w) > 0)"
 
-  // `sh` is MATERIALIZED: every jaccard-family oracle references it
-  // 2-4 times (sizes + both sides of the `inter` self-join + minh),
-  // and DuckDB 1.0 re-inlines plain CTEs per reference — at pseudo-sf1
-  // that recompute is the difference between d06 at 131 s and 20 s
-  // (and the d10/d18 480 s timeouts of VERIFY_sf1_r14). Purely a
-  // physical hint; results are byte-identical.
+  // `sh` defaults to MATERIALIZED: every jaccard-family oracle
+  // references it 2-4 times (sizes + both sides of the `inter`
+  // self-join + minh), and DuckDB 1.0 re-inlines plain CTEs per
+  // reference — at pseudo-sf1 that recompute is the difference
+  // between d06 at 131 s and 20 s (and the d10/d18 480 s timeouts of
+  // VERIFY_sf1_r14). Purely a physical hint; results byte-identical.
+  // Opt OUT (materialized = false) when a LATER filter must push
+  // through `sh` into the token scan: materialization is a pushdown
+  // barrier in DuckDB 1.0, which costs d12 (whose eval side is the
+  // final `jac.a < 100` predicate) more than the recompute saves.
   private def shingleCte(where: String = "",
-                         src: String = "documents"): String =
+                         src: String = "documents",
+                         materialized: Boolean = true): String = {
+    val hint = if (materialized) "MATERIALIZED " else ""
     s"""tok AS (
          SELECT doc_id, unnest($tokSql) AS w,
                 generate_subscripts($tokSql, 1) AS pos
          FROM $src $where),
-       sh AS MATERIALIZED (
+       sh AS $hint(
          SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
          FROM tok a
          JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
          JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2)"""
+  }
 
   private val jaccardCte =
     """sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
@@ -1195,7 +1202,7 @@ object DedupQueries {
     // d12 = d05 restricted to batch (<100) × corpus (≥100) pairs;
     // band signatures are per-doc, so the split changes nothing else
     "d12_incremental_neardup" ->
-      s"""WITH ${shingleCte()}, $jaccardCte, $fnvCandsCte
+      s"""WITH ${shingleCte(materialized = false)}, $jaccardCte, $fnvCandsCte
           SELECT jac.a, jac.b, jac.jaccard
           FROM jac JOIN cands ON jac.a = cands.a AND jac.b = cands.b
           WHERE jac.jaccard >= 0.5
