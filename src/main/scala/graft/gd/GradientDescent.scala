@@ -174,8 +174,18 @@ object GradientDescent {
   }
 
   def run(data: Dataset[SparseDoc], dim: Int, loss: Loss,
-          cfg: Config): Result = {
-    val sc = data.sparkSession.sparkContext
+          cfg: Config): Result =
+    runRdd(data.rdd, dim, loss, cfg)
+
+  /** RDD form — callers that iterate many times should persist the
+    * RDD itself (deserialized object cache) so each of the 300
+    * iteration-jobs reads `SparseDoc`s directly instead of re-decoding
+    * the Dataset's cached InternalRows every pass (guide §1.2 step 2;
+    * A/B in OPTIMIZATION_r14.md m07).
+    */
+  def runRdd(rdd: org.apache.spark.rdd.RDD[SparseDoc], dim: Int,
+             loss: Loss, cfg: Config): Result = {
+    val sc = rdd.sparkContext
     val coef = cfg.initialCoef.map(_.clone())
       .getOrElse(new Array[Double](dim))
     require(coef.length == dim)
@@ -184,7 +194,6 @@ object GradientDescent {
     var oldCost = 0.0 // reference starts old_cost at 0 → first bold-
                       // driver step always halves lr
     val costs = scala.collection.mutable.ArrayBuffer.empty[Double]
-    val rdd = data.rdd
     // depth-2 tree reduce only pays when there are enough partitions
     // to fan in (an intermediate stage per iteration otherwise): local
     // runs with a handful of partitions aggregate directly; a

@@ -1,5 +1,6 @@
 package graft.gd
 
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.Dataset
 
 /** The reference's 2-layer network (`RDD_NN.py:119-301`, SURVEY.md
@@ -36,17 +37,38 @@ object TwoLayerNet {
 
   @inline private def sigmoid(x: Double): Double = 1.0 / (1.0 + math.exp(-x))
 
+  /** Per-partition row scratch: every buffer `rowCostGrad` needs is
+    * either fully overwritten (h, yh via arraycopy, db1, db2, yt) or
+    * reset from the params (hh) before use, so reuse across rows is
+    * bit-identical to fresh allocation — it just stops the hot loop
+    * from allocating ~400 doubles per row × rows × iterations
+    * (guide §1.2 step 2: per-task work; the GC debt was the
+    * measurable cost, see OPTIMIZATION_r14.md m08).
+    */
+  private[gd] final class RowScratch(nH: Int, nOut: Int) {
+    val yt = new Array[Double](nOut)
+    val hh = new Array[Double](nH)
+    val h = new Array[Double](nH)
+    val yh = new Array[Double](nOut)
+    val db2 = new Array[Double](nOut)
+    val db1 = new Array[Double](nH)
+  }
+
   /** Fused forward+backward for one row; returns the row's SSE cost
     * and adds its gradients into the buffers.
     */
   private[gd] def rowCostGrad(doc: SparseDoc, p: Params,
       nIn: Int, nH: Int, nOut: Int,
       dW1: Array[Double], dB1: Array[Double],
-      dW2: Array[Double], dB2: Array[Double]): Double = {
+      dW2: Array[Double], dB2: Array[Double],
+      scr: RowScratch): Double = {
     // one-hot: label 1 → [0,1], else [1,0] (RDD_NN.py:111-116)
-    val yt = if (doc.label == 1.0) Array(0.0, 1.0) else Array(1.0, 0.0)
+    val yt = scr.yt
+    if (doc.label == 1.0) { yt(0) = 0.0; yt(1) = 1.0 }
+    else { yt(0) = 1.0; yt(1) = 0.0 }
 
-    val hh = p.b1.clone()
+    val hh = scr.hh
+    System.arraycopy(p.b1, 0, hh, 0, nH)
     var k = 0
     while (k < doc.indices.length) {
       val xi = doc.values(k)
@@ -55,11 +77,12 @@ object TwoLayerNet {
       while (j < nH) { hh(j) += xi * p.w1(row + j); j += 1 }
       k += 1
     }
-    val h = new Array[Double](nH)
+    val h = scr.h
     var j = 0
     while (j < nH) { h(j) = if (hh(j) >= 0) hh(j) else 0.01 * hh(j); j += 1 }
 
-    val yh = p.b2.clone()
+    val yh = scr.yh
+    System.arraycopy(p.b2, 0, yh, 0, nOut)
     j = 0
     while (j < nH) {
       val hj = h(j)
@@ -69,7 +92,7 @@ object TwoLayerNet {
     }
 
     var cost = 0.0
-    val db2 = new Array[Double](nOut)
+    val db2 = scr.db2
     var o = 0
     while (o < nOut) {
       val yp = sigmoid(yh(o))
@@ -81,7 +104,7 @@ object TwoLayerNet {
       o += 1
     }
 
-    val db1 = new Array[Double](nH)
+    val db1 = scr.db1
     j = 0
     while (j < nH) {
       var acc = 0.0
@@ -138,15 +161,25 @@ object TwoLayerNet {
   case class Result(params: Params, costs: Array[Double])
 
   def train(data: Dataset[SparseDoc], cfg: Config,
-            initial: Option[Params] = None): Result = {
-    val sc = data.sparkSession.sparkContext
+            initial: Option[Params] = None): Result =
+    trainRdd(data.rdd, cfg, initial)
+
+  /** RDD form — callers that iterate many times should persist the
+    * RDD itself (deserialized object cache) so the per-iteration pass
+    * reads `SparseDoc`s directly instead of re-decoding the Dataset's
+    * cached InternalRows 600 times (guide §1.2 step 2; measured in
+    * OPTIMIZATION_r14.md m08).
+    */
+  def trainRdd(rdd: RDD[SparseDoc], cfg: Config,
+               initial: Option[Params] = None): Result = {
+    val sc = rdd.sparkContext
     val p = initial.getOrElse(init(cfg))
     val nIn = cfg.nIn; val nH = cfg.nHidden; val nOut = cfg.nOut
-    val n = data.count().toDouble
+    val n = rdd.count().toDouble
+    require(n > 0, "empty training set")
     var lr = cfg.learningRate
     var oldCost = 0.0
     val costs = scala.collection.mutable.ArrayBuffer.empty[Double]
-    val rdd = data.rdd
     // same fan-in rule as GradientDescent.run: a tree stage per
     // iteration only pays when there are enough partitions to fan in;
     // the gate's 8-partition layout aggregates directly (one job per
@@ -154,28 +187,47 @@ object TwoLayerNet {
     val depth = if (rdd.getNumPartitions <= 16) 1 else 2
     val sW1 = new AdamState(nIn * nH); val sB1 = new AdamState(nH)
     val sW2 = new AdamState(nH * nOut); val sB2 = new AdamState(nOut)
+    type Buf = (Double, Array[Double], Array[Double], Array[Double], Array[Double])
+    val combOp: (Buf, Buf) => Buf = {
+      case ((c1, a1, a2, a3, a4), (c2, b1, b2, b3, b4)) =>
+        def add(x: Array[Double], y: Array[Double]): Array[Double] = {
+          var k = 0
+          while (k < x.length) { x(k) += y(k); k += 1 }
+          x
+        }
+        (c1 + c2, add(a1, b1), add(a2, b2), add(a3, b3), add(a4, b4))
+    }
 
     var i = 0
     while (i < cfg.iterations) {
       val bc = sc.broadcast(p)
-      type Buf = (Double, Array[Double], Array[Double], Array[Double], Array[Double])
-      val zero: Buf = (0.0, new Array[Double](nIn * nH),
-        new Array[Double](nH), new Array[Double](nH * nOut),
-        new Array[Double](nOut))
-      val (cost, dW1, dB1, dW2, dB2) = rdd.treeAggregate(zero)(
-        seqOp = { case ((c, w1, b1, w2, b2), doc) =>
-          (c + rowCostGrad(doc, bc.value, nIn, nH, nOut, w1, b1, w2, b2),
-            w1, b1, w2, b2)
-        },
-        combOp = { case ((c1, a1, a2, a3, a4), (c2, b1, b2, b3, b4)) =>
-          def add(x: Array[Double], y: Array[Double]): Array[Double] = {
-            var k = 0
-            while (k < x.length) { x(k) += y(k); k += 1 }
-            x
+      // Gradient buffers are allocated INSIDE the partition (the old
+      // treeAggregate form shipped a (nIn·nH + …)-double zero value
+      // in every task closure — ~1 MB serialized per task per
+      // iteration at m08's dims). Per-partition accumulation order is
+      // unchanged, so the cost/grad doubles are bit-identical; the
+      // cross-partition merge stays the same arrival-order reduce the
+      // goldens' 1e-6 bands already cover.
+      val partials = rdd.mapPartitions { docs =>
+        if (!docs.hasNext) Iterator.empty
+        else {
+          val pp = bc.value
+          val w1 = new Array[Double](nIn * nH)
+          val b1 = new Array[Double](nH)
+          val w2 = new Array[Double](nH * nOut)
+          val b2 = new Array[Double](nOut)
+          val scr = new RowScratch(nH, nOut)
+          var c = 0.0
+          while (docs.hasNext) {
+            c += rowCostGrad(docs.next(), pp, nIn, nH, nOut,
+              w1, b1, w2, b2, scr)
           }
-          (c1 + c2, add(a1, b1), add(a2, b2), add(a3, b3), add(a4, b4))
-        },
-        depth = depth)
+          Iterator.single((c, w1, b1, w2, b2): Buf)
+        }
+      }
+      val (cost, dW1, dB1, dW2, dB2) =
+        if (depth <= 1) partials.reduce(combOp)
+        else partials.treeReduce(combOp, depth)
       bc.destroy()
 
       val avgCost = cost / n

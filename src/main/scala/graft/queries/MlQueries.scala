@@ -171,13 +171,18 @@ object MlQueries {
         // at 100 TB this would stay at the cluster's parallelism,
         // not shrink).
         val (tr, testing) = graft.features.RddPipeline.gateSplit(fz.data)
-        val nTr = tr.persist().count()
+        // persist the RDD itself (deserialized objects), not the
+        // Dataset: the 300 iteration-jobs then read SparseDocs
+        // directly instead of re-decoding cached InternalRows every
+        // pass (guide §1.2 step 2; A/B in OPTIMIZATION_r14.md)
+        val trRdd = tr.rdd.persist()
+        val nTr = trRdd.count()
         val nTe = testing.persist().count()
-        (fz, tr, testing, nTr, nTe)
+        (fz, trRdd, testing, nTr, nTe)
       }
       // phase 2: the 300 GD iterations
       val (res, trainSec) = timed {
-        graft.gd.GradientDescent.run(training, 10000,
+        graft.gd.GradientDescent.runRdd(training, 10000,
           graft.gd.LogisticLoss,
           graft.gd.GradientDescent.Config(iterations = 300,
             learningRate = 0.01, optimizer = "SGD",
@@ -203,7 +208,7 @@ object MlQueries {
         "golden_test_n" -> M07Golden.testN,
         "golden_counts" -> Seq(M07Golden.tp, M07Golden.tn,
           M07Golden.fp, M07Golden.fn),
-        "train_partitions" -> training.rdd.getNumPartitions)
+        "train_partitions" -> training.getNumPartitions)
       val (curveTol, lastTol) = if (bitExact) (1e-6, 1e-6) else (1e-3, 0.02)
       val curveOk = res.costs.take(5).zip(M07Golden.costsHead)
         .forall { case (a, b) => relOk(a, b, curveTol) }
@@ -241,22 +246,35 @@ object MlQueries {
         val t0 = System.nanoTime(); val a = f
         (a, (System.nanoTime() - t0) / 1e9)
       }
-      val ((f, training, testing, trainN, testN), featSec) = timed {
+      val ((f, trainingRdd, testing, trainN, testN), featSec) = timed {
         val fz = graft.features.RddPipeline.featurize(s, Csv.TrainCsv,
           dim = 1000, dictFilter = Some("1"))
         val (tr, te) = graft.features.RddPipeline.gateSplit(fz.data)
-        val nTr = tr.persist().count()
+        // persist the RDD itself (deserialized objects), not the
+        // Dataset: 600 iteration-jobs then read SparseDocs directly
+        // instead of re-decoding cached InternalRows every pass
+        // (guide §1.2 step 2; A/B in OPTIMIZATION_r14.md)
+        val trRdd = tr.rdd.persist()
+        val nTr = trRdd.count()
         val nTe = te.persist().count()
-        (fz, tr, te, nTr, nTe)
+        (fz, trRdd, te, nTr, nTe)
       }
       val bitExact = graft.core.OracleEnv.bitExact
       def relOk(x: Double, golden: Double, tol: Double): Boolean =
         math.abs(x / golden - 1.0) <= tol
       val (curveTol, lastTol) = if (bitExact) (1e-6, 1e-6) else (1e-3, 0.02)
-      val rows = Seq("SGD", "Adam").map { opt =>
+      // The two trainings are independent full-batch GD runs over the
+      // same cached 8-partition RDD; each iteration is one tiny 8-task
+      // job, so running them from two driver threads back-fills the
+      // idle cores (guide §2.6 "overlap independent jobs") — results
+      // are per-run identical, only the wall clock halves.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val futures = Seq("SGD", "Adam").map { opt => (opt, Future {
         val g = M08Golden.byOpt(opt)
         val (res, trainSec) = timed {
-          graft.gd.TwoLayerNet.train(training,
+          graft.gd.TwoLayerNet.trainRdd(trainingRdd,
             graft.gd.TwoLayerNet.Config(optimizer = opt))
         }
         val (c, evalSec) = timed {
@@ -270,8 +288,8 @@ object MlQueries {
         }
         System.err.println(f"[m08/$opt] featurize=$featSec%.1fs " +
           f"train=$trainSec%.1fs eval=$evalSec%.1fs")
-        graft.core.GateDiag.record("m08_rdd_nn_train",
-          s"${opt}_tp" -> c.tp, s"${opt}_tn" -> c.tn,
+        val diag = Seq(
+          s"${opt}_tp" -> (c.tp: Any), s"${opt}_tn" -> c.tn,
           s"${opt}_fp" -> c.fp, s"${opt}_fn" -> c.fn,
           s"${opt}_accuracy" -> c.accuracy, s"${opt}_f1" -> c.f1,
           s"${opt}_costs_head" -> res.costs.take(5),
@@ -280,13 +298,20 @@ object MlQueries {
         val curveOk = res.costs.take(5).zip(g.costsHead)
           .forall { case (a, b) => relOk(a, b, curveTol) }
         val lastOk = relOk(res.costs.last, g.lastCost, lastTol)
-        (opt, c, curveOk, lastOk)
-      }
+        (opt, c, curveOk, lastOk, diag)
+      }) }
+      val outcomes = futures.map { case (_, fu) =>
+        Await.result(fu, Duration.Inf) }
+      // GateDiag.record REPLACES a query's entry, so emit ONE record
+      // with both optimizers' raw measurements (the old per-opt
+      // records clobbered each other and only the footer survived)
       graft.core.GateDiag.record("m08_rdd_nn_train",
-        "train_n" -> trainN, "test_n" -> testN,
-        "golden_train_n" -> M08Golden.trainN,
-        "golden_test_n" -> M08Golden.testN,
-        "train_partitions" -> training.rdd.getNumPartitions)
+        (outcomes.flatMap(_._5) ++ Seq[(String, Any)](
+          "train_n" -> trainN, "test_n" -> testN,
+          "golden_train_n" -> M08Golden.trainN,
+          "golden_test_n" -> M08Golden.testN,
+          "train_partitions" -> trainingRdd.getNumPartitions)): _*)
+      val rows = outcomes.map { case (o, c, cu, la, _) => (o, c, cu, la) }
       val out =
         if (bitExact)
           rows.map { case (opt, c, curveOk, lastOk) =>
@@ -303,7 +328,7 @@ object MlQueries {
             "curve_head_ok", "last_cost_ok")
       // out is a local relation (the training/eval above ran eagerly),
       // so the cached inputs can be released before returning
-      training.unpersist(); testing.unpersist(); f.release()
+      trainingRdd.unpersist(); testing.unpersist(); f.release()
       out
     }),
 
