@@ -941,8 +941,47 @@ object Dedup {
     * `Checkpoints.release(result)` (harness sweeps do this between
     * queries; sessions free everything at stop).
     */
-  def dupClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+  def dupClusters(pairs: DataFrame, maxIters: Int = 25,
+                  localFinishEdges: Long = 1L << 20): DataFrame = {
     val p = pairs.select(col("a"), col("b")).persist()
+    // Bounded local finish (round 14, guide §1.2 step 1 — the
+    // per-round fixed cost was the measured time, not the data):
+    // materialize the expensive upstream pair pipeline once, and when
+    // the pair list is small enough to sit on the driver (≤16 MB at
+    // the 2^20 default — the dupClustersStar/Splits bound), union-find
+    // it there instead of paying 2 shuffles + an action per
+    // propagation round. Min-id-per-component is the same integer
+    // relation either way (parity spec'd in DupClustersSpec);
+    // distributed label propagation below runs only while the graph
+    // is genuinely bigger than the bound. localFinishEdges = 0 forces
+    // the distributed path (specs use it for round-count coverage).
+    val nPairs = p.count()
+    if (nPairs <= localFinishEdges) {
+      val es = p.collect().map(r => (r.getLong(0), r.getLong(1)))
+      p.unpersist()
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) {
+          val nxt = parent.getOrElse(c, c); parent(c) = r; c = nxt
+        }
+        r
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) {
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      val nodes = es.iterator.flatMap(e => Iterator(e._1, e._2))
+        .toArray.distinct
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      return nodes.iterator.map(nd => (nd, find(nd))).toSeq
+        .toDF("doc_id", "cluster_id")
+    }
     val edges = p.select(col("a").as("src"), col("b").as("dst"))
       .union(p.select(col("b").as("src"), col("a").as("dst")))
       .persist()
@@ -1671,7 +1710,8 @@ object Dedup {
     * receives mass, so the per-round joins are total — no
     * outer-join patch-up.
     */
-  def centralityFixedPoint(pairs: DataFrame, iters: Int): DataFrame = {
+  def centralityFixedPoint(pairs: DataFrame, iters: Int,
+                           localFinishEdges: Long = 1L << 20): DataFrame = {
     val Scale = 1L << 40
     // the pair derivation upstream (shingle → minhash → band join) is
     // the expensive part; checkpoint the symmetric edge list ONCE so
@@ -1684,6 +1724,37 @@ object Dedup {
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
       .distinct().localCheckpoint()
+    // Bounded local finish (round 14): ALL arithmetic is Q40 integer
+    // (order-independent, truncating div), so when the symmetric edge
+    // list fits the driver bound (≤16 MB at the 2^20 default) the
+    // whole power iteration runs there bit-identically instead of
+    // paying 2 shuffles per round × iters. The distributed Pregel
+    // path below is the shape that runs when the graph is genuinely
+    // big; parity spec'd in DupClustersSpec (localFinishEdges = 0
+    // forces it).
+    val nEdges = edges.count()
+    if (nEdges <= localFinishEdges) {
+      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      graft.core.Checkpoints.release(edges)
+      val deg = scala.collection.mutable.Map.empty[Long, Long]
+      es.foreach { case (s, _) => deg(s) = deg.getOrElse(s, 0L) + 1L }
+      val n = deg.size.toLong
+      require(n > 0, "centrality needs a non-empty pair graph")
+      val base = (Scale * 15L / 100L) / n
+      var r = deg.iterator.map { case (k, _) => k -> Scale / n }.toMap
+      for (_ <- 1 to iters) {
+        val s = scala.collection.mutable.Map.empty[Long, Long]
+        es.foreach { case (src, dst) =>
+          s(dst) = s.getOrElse(dst, 0L) + r(src) / deg(src)
+        }
+        r = deg.iterator.map { case (k, _) =>
+          k -> (base + 85L * s(k) / 100L) }.toMap
+      }
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      return r.toSeq.map { case (k, v) => (k, v) }
+        .toDF("doc_id", "rank_fp")
+    }
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val n = deg.count()
     require(n > 0, "centrality needs a non-empty pair graph")

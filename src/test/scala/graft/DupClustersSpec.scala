@@ -29,18 +29,22 @@ class DupClustersSpec extends AnyFunSuite {
   }
 
   test("diameter-5 chain: converges at maxIters = 5, fails at 4") {
-    val labels = Dedup.dupClusters(chain(6), maxIters = 5)
+    // localFinishEdges = 0 forces the distributed propagation rounds
+    // (the default bounded local finish would union-find this tiny
+    // graph on the driver and never trip the round guard)
+    val labels = Dedup.dupClusters(chain(6), maxIters = 5,
+        localFinishEdges = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels.keySet == (0L to 5L).toSet)
     assert(labels.values.toSet == Set(0L))
 
     val ex = intercept[IllegalArgumentException](
-      Dedup.dupClusters(chain(6), maxIters = 4))
+      Dedup.dupClusters(chain(6), maxIters = 4, localFinishEdges = 0L))
     assert(ex.getMessage.contains("did not converge"))
   }
 
   test("diameter-25 chain converges within the default budget") {
-    val labels = Dedup.dupClusters(chain(26))
+    val labels = Dedup.dupClusters(chain(26), localFinishEdges = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels.keySet == (0L to 25L).toSet)
     assert(labels.values.toSet == Set(0L))
@@ -48,7 +52,7 @@ class DupClustersSpec extends AnyFunSuite {
 
   test("diameter > maxIters fails loudly with the escape-hatch hint") {
     val ex = intercept[IllegalArgumentException](
-      Dedup.dupClusters(chain(40), maxIters = 8))
+      Dedup.dupClusters(chain(40), maxIters = 8, localFinishEdges = 0L))
     assert(ex.getMessage.contains("dupClustersStar"))
   }
 
@@ -72,8 +76,13 @@ class DupClustersSpec extends AnyFunSuite {
       val edges = Seq.fill(n)((rng.nextInt(200).toLong,
         rng.nextInt(200).toLong))
         .filter(e => e._1 != e._2).toDF("a", "b")
-      val prop = Dedup.dupClusters(edges)
+      val prop = Dedup.dupClusters(edges, localFinishEdges = 0L)
         .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      // label propagation's own bounded local finish (the default
+      // path at this size) must land on the identical relation
+      val propLocal = Dedup.dupClusters(edges)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(propLocal == prop, s"trial $trial dupClusters local finish diverged")
       // distributed rounds to the fixpoint…
       val star = Dedup.dupClustersStar(edges, localFinishEdges = 0L)
         .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
@@ -110,6 +119,9 @@ class DupClustersSpec extends AnyFunSuite {
     val edges = Seq((0L, 1L), (7L, 7L), (3L, 3L), (3L, 4L)).toDF("a", "b")
     val prop = Dedup.dupClusters(edges)
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val propDist = Dedup.dupClusters(edges, localFinishEdges = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(propDist == prop, "self-pair handling diverged local vs distributed")
     val star = Dedup.dupClustersStar(edges)
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     assert(star == prop, "self-pair handling diverged between algorithms")
@@ -207,8 +219,14 @@ class DupClustersSpec extends AnyFunSuite {
       val spk = Dedup.centralityFixedPoint(df, 5)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(spk == exp, s"trial $trial diverged from the reference")
+      // the distributed Pregel path (forced) must match bit-for-bit —
+      // integer Q40 arithmetic is order-independent
+      val dist = Dedup.centralityFixedPoint(df, 5, localFinishEdges = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(dist == exp, s"trial $trial distributed path diverged")
       // integer arithmetic ⇒ identical under any partitioning
-      val spk7 = Dedup.centralityFixedPoint(df.repartition(7), 5)
+      val spk7 = Dedup.centralityFixedPoint(df.repartition(7), 5,
+          localFinishEdges = 0L)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(spk7 == exp)
     }
