@@ -144,8 +144,21 @@ object TweetPipeline {
                 seed: Long = 123L): EvalResult = {
     val Array(training, testing) =
       featurized.randomSplit(Array(0.8, 0.2), seed)
+    // dt trains on a repartitioned copy of the SAME training rows
+    // (split membership fixed above; deterministic round-robin from
+    // the 1-partition frame): single-tree classification aggregates
+    // integer class counts and findSplits samples every row at this
+    // n (< 10k), so the fitted tree — and the pinned accuracy/f1
+    // doubles — are bit-identical at any layout, only 3× faster
+    // (tools.TreeParProbe, round 14: fit 7.1 → 2.4 s, acc/f1 equal
+    // to the last ulp; re-verified twice per layout). rf/gbt were
+    // probed and REJECTED: rf's per-partition feature-bagging rng and
+    // gbt's real-valued residual sums both change the model with the
+    // layout (probe output in OPTIMIZATION_r14.md).
+    val fitInput =
+      if (algo == "dt") training.repartition(8) else training
     val t0 = System.nanoTime()
-    val model = classifier(algo).fit(training)
+    val model = classifier(algo).fit(fitInput)
       .asInstanceOf[org.apache.spark.ml.Transformer]
     val t1 = System.nanoTime()
     val predictions = model.transform(testing).persist()
