@@ -103,13 +103,88 @@ object Bpe {
       lit(Sep + lhs + Sep + Sep + rhs + Sep),
       lit(Sep + lhs + rhs + Sep))
 
+  /** Unsigned-byte UTF-8 comparison — the binary order Spark's
+    * UTF8String (and DuckDB's VARCHAR compare) sort strings by, used
+    * for the local trainer's tie-break so it matches the distributed
+    * `orderBy(lhs, rhs)` byte-for-byte even off-ASCII.
+    */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** Driver-side merge loop over a collected (marked, freq) vocab —
+    * the bounded local finish of [[trainMerges]]. Exactly the
+    * distributed recurrence: adjacent-symbol pair counts are Long
+    * sums (order-independent), argmax ties break (pf desc, lhs asc,
+    * rhs asc) in UTF-8 binary order, and `String.replace` is the same
+    * leftmost-non-overlapping greedy application as the SQL
+    * `replace`. Parity with the distributed path is spec'd in
+    * BpeSpec.
+    */
+  private[operators] def trainMergesLocal(vocabRows: Array[(String, Long)],
+      numMerges: Int): Seq[Merge] = {
+    var words = vocabRows
+    val out = Seq.newBuilder[Merge]
+    var k = 1
+    var exhausted = false
+    while (k <= numMerges && !exhausted) {
+      val pf = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (m, f) =>
+        // symbols(): trim the single boundary markers, split on "##"
+        val syms = m.substring(1, m.length - 1).split("##", -1)
+        var i = 0
+        while (i < syms.length - 1) {
+          val key = (syms(i), syms(i + 1))
+          pf.update(key, pf.getOrElse(key, 0L) + f)
+          i += 1
+        }
+      }
+      if (pf.isEmpty) exhausted = true
+      else {
+        var best: ((String, String), Long) = null
+        pf.foreach { case (key, c) =>
+          if (best == null || c > best._2 ||
+            (c == best._2 && (utf8Lt(key._1, best._1._1) ||
+              (key._1 == best._1._1 && utf8Lt(key._2, best._1._2)))))
+            best = (key, c)
+        }
+        val ((l, r), c) = best
+        out += Merge(k, l, r, c)
+        val pat = Sep + l + Sep + Sep + r + Sep
+        val rep = Sep + l + r + Sep
+        words = words.map { case (m, f) => (m.replace(pat, rep), f) }
+        k += 1
+      }
+    }
+    out.result()
+  }
+
   /** Learn `numMerges` merge rules over `docs`. Ties in pair
     * frequency break by (lhs, rhs) ascending — deterministic across
     * partitionings and engines. Stops early if the vocabulary runs
     * out of adjacent pairs (single-symbol words only).
+    *
+    * Bounded local finish (round 14): pair statistics are word-
+    * internal, so after the one corpus-sized shuffle the loop state
+    * is the VOCABULARY. When that fits the 2^20-row driver bound
+    * (the dupClusters/Splits policy) the merge rounds run locally —
+    * the distributed loop paid one pair-count shuffle + a codegen'd
+    * replace-chain plan per round for a frame of a few thousand rows.
+    * Distributed rounds still run for vocabularies above the bound;
+    * `localFinishVocab = 0` forces them (specs do, for parity).
     */
   def trainMerges(docs: DataFrame, tokens: Column, numMerges: Int,
-                  checkpointEvery: Int = 16): Seq[Merge] = {
+                  checkpointEvery: Int = 16,
+                  localFinishVocab: Long = 1L << 20): Seq[Merge] = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     require(checkpointEvery >= 1,
       s"checkpointEvery must be >= 1, got $checkpointEvery")
@@ -120,6 +195,11 @@ object Bpe {
     // exit — training returns only driver-side rules, so it pins zero
     // executor storage after it returns.
     var v = vocab(docs, tokens).localCheckpoint()
+    if (v.count() <= localFinishVocab) {
+      val rows = v.collect().map(r => (r.getString(0), r.getLong(1)))
+      graft.core.Checkpoints.release(v)
+      return trainMergesLocal(rows, numMerges)
+    }
     var lastCp = v
     val out = Seq.newBuilder[Merge]
     var k = 1

@@ -152,6 +152,11 @@ class BpeSpec extends AnyFunSuite {
       val got = Bpe.trainMerges(d, toks, 4)
       assert(got.map(m => (m.lhs, m.rhs, m.freq)) == expRules,
         s"rules diverged for corpus $words")
+      // the distributed merge rounds (forced past the bounded local
+      // finish) must learn the identical rule sequence
+      val gotDist = Bpe.trainMerges(d, toks, 4, localFinishVocab = 0L)
+      assert(gotDist == got, s"local vs distributed trainer diverged " +
+        s"for corpus $words")
       val enc = d.select(Bpe.encode(toks, got).as("e"))
         .as[String].collect().head
       val gotSyms = if (enc.isEmpty) Nil
