@@ -181,10 +181,22 @@ object Bpe {
     * replace-chain plan per round for a frame of a few thousand rows.
     * Distributed rounds still run for vocabularies above the bound;
     * `localFinishVocab = 0` forces them (specs do, for parity).
+    *
+    * The gate is three-way (round 15, VERDICT r14 #4 + ADVICE): rows
+    * ≤ `localFinishVocab` AND collected marked bytes ≤
+    * `localFinishBytes` (a row bound alone would let a vocabulary of
+    * huge words OOM the driver) AND rows × numMerges ≤
+    * `localFinishWork` (the local loop rewrites the whole vocab
+    * serially per merge round, so a production-scale numMerges over a
+    * near-bound vocab must stay distributed where the rewrite
+    * parallelizes). Rows and bytes come from one aggregate over the
+    * already-checkpointed vocab — no extra pass over the corpus.
     */
   def trainMerges(docs: DataFrame, tokens: Column, numMerges: Int,
                   checkpointEvery: Int = 16,
-                  localFinishVocab: Long = 1L << 20): Seq[Merge] = {
+                  localFinishVocab: Long = 1L << 20,
+                  localFinishBytes: Long = 1L << 26,
+                  localFinishWork: Long = 1L << 28): Seq[Merge] = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     require(checkpointEvery >= 1,
       s"checkpointEvery must be >= 1, got $checkpointEvery")
@@ -195,7 +207,12 @@ object Bpe {
     // exit — training returns only driver-side rules, so it pins zero
     // executor storage after it returns.
     var v = vocab(docs, tokens).localCheckpoint()
-    if (v.count() <= localFinishVocab) {
+    val stats = v.agg(count(lit(1)), sum(octet_length(col("marked"))))
+      .collect()(0)
+    val nRows = stats.getLong(0)
+    val nBytes = if (stats.isNullAt(1)) 0L else stats.getLong(1)
+    if (nRows <= localFinishVocab && nBytes <= localFinishBytes &&
+        nRows * math.max(numMerges, 1) <= localFinishWork) {
       val rows = v.collect().map(r => (r.getString(0), r.getLong(1)))
       graft.core.Checkpoints.release(v)
       return trainMergesLocal(rows, numMerges)

@@ -935,6 +935,15 @@ object Dedup {
     * d, trips the guard at d-1 — so the default 25 tolerates any
     * graph of diameter ≤ 25, vastly beyond near-dup cliques.
     *
+    * `maxIters` (and its fail-loud convergence guard) applies to the
+    * DISTRIBUTED rounds only: a pair list at or under
+    * `localFinishEdges` finishes on the driver by union-find, which
+    * is exact for any graph shape and never trips the guard. Edge
+    * rows are two Longs (16 B fixed), so the 2^20-row default is
+    * simultaneously a ≤16 MB byte bound — no wide-row escape exists
+    * for this operator (unlike Bpe.trainMerges, whose vocab rows are
+    * strings and carry an explicit byte cap).
+    *
     * Pin contract: the loop holds O(1) storage ([[graft.core.Checkpoints.roll]])
     * and the result plan is backed by the FINAL label checkpoint —
     * callers done with the materialized result free it with
@@ -1747,8 +1756,16 @@ object Dedup {
         es.foreach { case (src, dst) =>
           s(dst) = s.getOrElse(dst, 0L) + r(src) / deg(src)
         }
+        // s.getOrElse, not s(k): the symmetric edge list built above
+        // guarantees every node both sends and receives (the
+        // LOAD-BEARING invariant of this local path), so the default
+        // never fires on inputs this method constructs. It exists so
+        // a future non-symmetrized caller gets a defined value (base
+        // rank) instead of NoSuchElementException (ADVICE r14) — note
+        // the distributed path would instead drop such a node via its
+        // inner join, so symmetry is still required for parity.
         r = deg.iterator.map { case (k, _) =>
-          k -> (base + 85L * s(k) / 100L) }.toMap
+          k -> (base + 85L * s.getOrElse(k, 0L) / 100L) }.toMap
       }
       val spark = pairs.sparkSession
       import spark.implicits._
