@@ -161,8 +161,10 @@ object TwoLayerNet {
   case class Result(params: Params, costs: Array[Double])
 
   def train(data: Dataset[SparseDoc], cfg: Config,
-            initial: Option[Params] = None): Result =
-    trainRdd(data.rdd, cfg, initial)
+            initial: Option[Params] = None,
+            localFinishRows: Long = 1L << 20,
+            localFinishBytes: Long = 1L << 28): Result =
+    trainRdd(data.rdd, cfg, initial, localFinishRows, localFinishBytes)
 
   /** RDD form — callers that iterate many times should persist the
     * RDD itself (deserialized object cache) so the per-iteration pass
@@ -171,7 +173,9 @@ object TwoLayerNet {
     * OPTIMIZATION_r14.md m08).
     */
   def trainRdd(rdd: RDD[SparseDoc], cfg: Config,
-               initial: Option[Params] = None): Result = {
+               initial: Option[Params] = None,
+               localFinishRows: Long = 1L << 20,
+               localFinishBytes: Long = 1L << 28): Result = {
     val sc = rdd.sparkContext
     val p = initial.getOrElse(init(cfg))
     val nIn = cfg.nIn; val nH = cfg.nHidden; val nOut = cfg.nOut
@@ -198,9 +202,118 @@ object TwoLayerNet {
         (c1 + c2, add(a1, b1), add(a2, b2), add(a3, b3), add(a4, b4))
     }
 
+    // Driver-side update step, shared verbatim by the local and
+    // distributed paths: same 1/n scaling, same SGD/Adam updates,
+    // same bold-driver lr recurrence.
+    def step(cost: Double, dW1: Array[Double], dB1: Array[Double],
+             dW2: Array[Double], dB2: Array[Double], i: Int): Unit = {
+      val avgCost = cost / n
+      def scale(a: Array[Double]): Array[Double] = {
+        var k = 0
+        while (k < a.length) { a(k) /= n; k += 1 }
+        a
+      }
+      scale(dW1); scale(dB1); scale(dW2); scale(dB2)
+      cfg.optimizer match {
+        case "SGD" =>
+          def sgd(x: Array[Double], g: Array[Double]): Unit = {
+            var k = 0
+            while (k < x.length) { x(k) -= lr * g(k); k += 1 }
+          }
+          sgd(p.w1, dW1); sgd(p.b1, dB1); sgd(p.w2, dW2); sgd(p.b2, dB2)
+        case "Adam" =>
+          adamUpdate(p.w1, dW1, sW1, i, lr, squareGrad = true)
+          adamUpdate(p.b1, dB1, sB1, i, lr, squareGrad = false)
+          adamUpdate(p.w2, dW2, sW2, i, lr, squareGrad = true)
+          adamUpdate(p.b2, dB2, sB2, i, lr, squareGrad = false)
+        case other =>
+          throw new IllegalArgumentException(s"unknown optimizer: $other")
+      }
+      lr = if (avgCost < oldCost) lr * 1.05 else lr * 0.5
+      costs += avgCost
+      oldCost = avgCost
+    }
+
+    // Bounded local finish (round 15 — the GradientDescent.runRdd
+    // policy, see its scaladoc): 300 iterations over a bench-scale
+    // training set pay per-job machinery, not compute. Below the
+    // rows+bytes bound the partitions are collected once (glom keeps
+    // partition structure and order), each iteration accumulates the
+    // per-partition gradients on a fixed thread pool (one slot per
+    // partition — per-partition accumulation order unchanged), and
+    // partials merge in partition-INDEX order, one of the arrival
+    // orders the distributed reduce already produces. Per-partition
+    // buffers are reused across iterations and fully zeroed first
+    // (the RowScratch discipline — bit-identical to fresh arrays).
+    // Above the bound: the distributed loop below, unchanged.
+    if (localFinishRows > 0 && n <= localFinishRows.toDouble) {
+      val estBytes = rdd.map(d =>
+        (48L + 2L * d.id.length + 12L * d.indices.length).toDouble).sum()
+      if (estBytes <= localFinishBytes.toDouble) {
+        val parts = rdd.glom().collect()
+        val nP = parts.length
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.max(1, math.min(nP,
+            Runtime.getRuntime.availableProcessors)))
+        try {
+          val bufs = Array.tabulate(nP)(_ =>
+            (new Array[Double](nIn * nH), new Array[Double](nH),
+              new Array[Double](nH * nOut), new Array[Double](nOut),
+              new RowScratch(nH, nOut)))
+          var i = 0
+          while (i < cfg.iterations) {
+            val futs = (0 until nP).map { pi =>
+              pool.submit(new java.util.concurrent.Callable[Double] {
+                def call(): Double = {
+                  val docs = parts(pi)
+                  val (w1, b1, w2, b2, scr) = bufs(pi)
+                  java.util.Arrays.fill(w1, 0.0)
+                  java.util.Arrays.fill(b1, 0.0)
+                  java.util.Arrays.fill(w2, 0.0)
+                  java.util.Arrays.fill(b2, 0.0)
+                  var c = 0.0
+                  var r = 0
+                  while (r < docs.length) {
+                    c += rowCostGrad(docs(r), p, nIn, nH, nOut,
+                      w1, b1, w2, b2, scr)
+                    r += 1
+                  }
+                  c
+                }
+              })
+            }
+            var total: Buf = null
+            var pi = 0
+            while (pi < nP) {
+              val c = futs(pi).get()
+              // empty partitions emit nothing, like the distributed
+              // mapPartitions
+              if (parts(pi).nonEmpty) {
+                val (w1, b1, w2, b2, _) = bufs(pi)
+                val b: Buf = (c, w1, b1, w2, b2)
+                total = if (total == null) b else combOp(total, b)
+              }
+              pi += 1
+            }
+            val (cost, dW1, dB1, dW2, dB2) = total
+            step(cost, dW1, dB1, dW2, dB2, i)
+            i += 1
+          }
+        } finally pool.shutdown()
+        return Result(p, costs.toArray)
+      }
+    }
+
+    // phase accounting under SPARK_GRAFT_GD_DEBUG, same attribution
+    // as GradientDescent.runRdd (guide §1: measure before blaming)
+    val debug = sys.env.contains("SPARK_GRAFT_GD_DEBUG")
+    var tBcast = 0L; var tJob = 0L; var tDestroy = 0L; var tDrv = 0L
+
     var i = 0
     while (i < cfg.iterations) {
+      var t0 = System.nanoTime()
       val bc = sc.broadcast(p)
+      tBcast += System.nanoTime() - t0; t0 = System.nanoTime()
       // Gradient buffers are allocated INSIDE the partition (the old
       // treeAggregate form shipped a (nIn·nH + …)-double zero value
       // in every task closure — ~1 MB serialized per task per
@@ -228,37 +341,17 @@ object TwoLayerNet {
       val (cost, dW1, dB1, dW2, dB2) =
         if (depth <= 1) partials.reduce(combOp)
         else partials.treeReduce(combOp, depth)
+      tJob += System.nanoTime() - t0; t0 = System.nanoTime()
       bc.destroy()
-
-      val avgCost = cost / n
-      def scale(a: Array[Double]): Array[Double] = {
-        var k = 0
-        while (k < a.length) { a(k) /= n; k += 1 }
-        a
-      }
-      scale(dW1); scale(dB1); scale(dW2); scale(dB2)
-
-      cfg.optimizer match {
-        case "SGD" =>
-          def sgd(x: Array[Double], g: Array[Double]): Unit = {
-            var k = 0
-            while (k < x.length) { x(k) -= lr * g(k); k += 1 }
-          }
-          sgd(p.w1, dW1); sgd(p.b1, dB1); sgd(p.w2, dW2); sgd(p.b2, dB2)
-        case "Adam" =>
-          adamUpdate(p.w1, dW1, sW1, i, lr, squareGrad = true)
-          adamUpdate(p.b1, dB1, sB1, i, lr, squareGrad = false)
-          adamUpdate(p.w2, dW2, sW2, i, lr, squareGrad = true)
-          adamUpdate(p.b2, dB2, sB2, i, lr, squareGrad = false)
-        case other =>
-          throw new IllegalArgumentException(s"unknown optimizer: $other")
-      }
-
-      lr = if (avgCost < oldCost) lr * 1.05 else lr * 0.5
-      costs += avgCost
-      oldCost = avgCost
+      tDestroy += System.nanoTime() - t0; t0 = System.nanoTime()
+      step(cost, dW1, dB1, dW2, dB2, i)
+      tDrv += System.nanoTime() - t0
       i += 1
     }
+    if (debug) System.err.println(
+      f"[nn-debug/${cfg.optimizer}] iters=$i bcast=${tBcast / 1e9}%.2fs " +
+      f"job=${tJob / 1e9}%.2fs destroy=${tDestroy / 1e9}%.2fs " +
+      f"driver=${tDrv / 1e9}%.2fs")
     Result(p, costs.toArray)
   }
 

@@ -268,9 +268,16 @@ object MlQueries {
       // job, so running them from two driver threads back-fills the
       // idle cores (guide §2.6 "overlap independent jobs") — results
       // are per-run identical, only the wall clock halves.
-      import scala.concurrent.{Await, Future}
+      import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
+      // dedicated 2-thread pool, NOT Implicits.global: the trainings
+      // block on Spark actions, and global's parallelism tracks host
+      // cores — on a low-core driver the intended 2-way overlap would
+      // silently serialize (ADVICE r14). Shut down in the finally so
+      // repeated m08 runs don't leak threads.
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      implicit val m08Ec: ExecutionContext =
+        ExecutionContext.fromExecutorService(pool)
       val futures = Seq("SGD", "Adam").map { opt => (opt, Future {
         val g = M08Golden.byOpt(opt)
         val (res, trainSec) = timed {
@@ -300,8 +307,9 @@ object MlQueries {
         val lastOk = relOk(res.costs.last, g.lastCost, lastTol)
         (opt, c, curveOk, lastOk, diag)
       }) }
-      val outcomes = futures.map { case (_, fu) =>
-        Await.result(fu, Duration.Inf) }
+      val outcomes =
+        try futures.map { case (_, fu) => Await.result(fu, Duration.Inf) }
+        finally pool.shutdown()
       // GateDiag.record REPLACES a query's entry, so emit ONE record
       // with both optimizers' raw measurements (the old per-opt
       // records clobbered each other and only the footer survived)

@@ -17,11 +17,15 @@ object M07Dump {
     // shared via RddPipeline.gateSplit so they cannot drift.
     val (tr, testing) = graft.features.RddPipeline.gateSplit(fz.data)
     tr.persist().count(); testing.persist().count()
+    // localFinishRows = 0: goldens stay anchored to the DISTRIBUTED
+    // job shape (the round-15 bounded local finish reproduces them
+    // within the gate bands — GdLocalParitySpec)
     val res = graft.gd.GradientDescent.run(tr, 10000,
       graft.gd.LogisticLoss,
       graft.gd.GradientDescent.Config(iterations = 300,
         learningRate = 0.01, optimizer = "SGD",
-        reg = graft.gd.GradientDescent.L2(1.15)))
+        reg = graft.gd.GradientDescent.L2(1.15)),
+      localFinishRows = 0L)
     val c = graft.gd.Predict.evaluate(testing, res.coef)
     println(s"[m07dump] train_n=${tr.count()} test_n=${testing.count()}")
     println(s"[m07dump] tp=${c.tp} tn=${c.tn} fp=${c.fp} fn=${c.fn}")

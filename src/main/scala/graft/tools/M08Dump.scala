@@ -24,8 +24,12 @@ object M08Dump {
     val testN = testing.persist().count()
     println(s"[m08dump] train_n=$trainN test_n=$testN")
     for (opt <- Seq("SGD", "Adam")) {
+      // localFinishRows = 0: goldens stay anchored to the DISTRIBUTED
+      // job shape (the round-15 bounded local finish reproduces them
+      // within the gate bands — GdLocalParitySpec)
       val res = graft.gd.TwoLayerNet.train(tr,
-        graft.gd.TwoLayerNet.Config(optimizer = opt))
+        graft.gd.TwoLayerNet.Config(optimizer = opt),
+        localFinishRows = 0L)
       val sp = spark
       import sp.implicits._
       val bc = spark.sparkContext.broadcast(res.params)
