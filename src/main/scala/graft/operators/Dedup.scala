@@ -287,24 +287,89 @@ object Dedup {
                                          survivors: DataFrame,
                                          result: DataFrame)
 
+  /** Cost-based exact Jaccard self-join (round 15, VERDICT r14 #5):
+    * the identical lossless `jaccard ≥ threshold` relation is
+    * computable two ways, and SCALE.md's measured strategy matrix
+    * says which wins where — all-shared-shingle emission
+    * ([[jaccardPairs]] unbounded) on a benign shingle-frequency
+    * profile (pseudo-sf1: 11.9 s vs the prefix path's 41.7 s, because
+    * the prefix path pays a df join, a per-doc rarest-first sort and
+    * a candidate verify join for pruning a benign corpus barely
+    * needs), prefix filtering ([[prefixFilterPairs]]) under a
+    * heavy-tailed df (one hot shingle makes the emission's pair
+    * volume quadratic — the planted-skew spec measures a >1000×
+    * volume ratio — while rarest-first prefixes exclude it with NO
+    * lossy cap). This operator reads the decision off the observed df
+    * distribution itself: the emission's EXACT pre-dedup candidate
+    * volume is Σ_shingle df·(df−1)/2, one narrow aggregate over the
+    * df table the prefix path needs anyway, and emission wins while
+    * that volume stays within `emissionBudgetPerOcc` candidates per
+    * shingle OCCURRENCE (the linear-work unit both paths share). The
+    * default 16 sits an order of magnitude inside either measured
+    * regime (DedupSimilaritySpec pins the decision on both fixture
+    * shapes; both paths are spec-equal to the string-relation
+    * jaccardPairs, so the choice is invisible to results — only the
+    * plan changes with the corpus, which is the point).
+    *
+    * The hashed shingle frame is persisted: the decision aggregate
+    * and both paths' 2-3 consumers read one materialization instead
+    * of re-running the upstream tokenize+explode per consumer.
+    * Callers (bench/verify sweeps, session stop) release it like
+    * every query-lifetime pin.
+    */
+  def exactJaccardPairsAuto(shStr: DataFrame, threshold: Double,
+      emissionBudgetPerOcc: Double = 16.0): DataFrame = {
+    val sh = hashedShingles(shStr).persist()
+    val dfTab = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    if (emissionWins(dfTab, emissionBudgetPerOcc))
+      jaccardPairs(sh, threshold)
+    else
+      prefixFilterStagesHashed(sh, dfTab, threshold).result
+  }
+
+  /** The [[exactJaccardPairsAuto]] decision, exposed for the spec:
+    * emission's exact pre-dedup candidate volume Σ df·(df−1)/2 vs the
+    * budget × total occurrences Σ df.
+    */
+  private[graft] def emissionWins(dfTab: DataFrame,
+                                  emissionBudgetPerOcc: Double): Boolean = {
+    val row = dfTab.agg(
+      sum(col("df") * (col("df") - lit(1))).as("pairs2"),
+      sum(col("df")).as("occ")).collect()(0)
+    if (row.isNullAt(0) || row.isNullAt(1)) true // empty corpus
+    else {
+      val pairs = row.getLong(0) / 2.0
+      val occ = row.getLong(1).toDouble
+      pairs <= emissionBudgetPerOcc * occ
+    }
+  }
+
+  // shingles ride as xxhash64 i64s from here on: prefix-filter
+  // COMPLETENESS only needs a consistent global order (Bayardo et
+  // al. 2007 — any fixed order works; rarest-first is the good
+  // heuristic and df is hash-invariant), and Jaccard over hashed
+  // sets equals Jaccard over the strings absent a 64-bit collision
+  // (which would perturb one pair's jaccard and fail the standing
+  // d20 oracle loudly — ~2^-64·pairs odds). Longs cut the verify
+  // join's array bytes ~3× vs shingle strings and make the
+  // intersect a primitive-table probe (IntersectCountI64); the
+  // ≡ jaccardPairs losslessness spec runs on the STRING relation,
+  // so it also cross-checks the hashing end to end.
+  private def hashedShingles(shStr: DataFrame): DataFrame =
+    shStr.select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+
   private[graft] def prefixFilterStages(shStr: DataFrame,
                                         threshold: Double): PrefixStages = {
+    val sh = hashedShingles(shStr)
+    prefixFilterStagesHashed(sh,
+      sh.groupBy(col("shingle")).agg(count(lit(1)).as("df")), threshold)
+  }
+
+  private[graft] def prefixFilterStagesHashed(
+      sh: DataFrame, dfTab: DataFrame,
+      threshold: Double): PrefixStages = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1], got $threshold")
-    // shingles ride as xxhash64 i64s from here on: prefix-filter
-    // COMPLETENESS only needs a consistent global order (Bayardo et
-    // al. 2007 — any fixed order works; rarest-first is the good
-    // heuristic and df is hash-invariant), and Jaccard over hashed
-    // sets equals Jaccard over the strings absent a 64-bit collision
-    // (which would perturb one pair's jaccard and fail the standing
-    // d20 oracle loudly — ~2^-64·pairs odds). Longs cut the verify
-    // join's array bytes ~3× vs shingle strings and make the
-    // intersect a primitive-table probe (IntersectCountI64); the
-    // ≡ jaccardPairs losslessness spec runs on the STRING relation,
-    // so it also cross-checks the hashing end to end.
-    val sh = shStr.select(col("doc_id"),
-      xxhash64(col("shingle")).as("shingle"))
-    val dfTab = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     // per-doc shingle array in rarest-first (df, shingle) order — the
     // prefix reads the order, the verify reads the set; persisted
     // because three consumers would otherwise re-run the df join +

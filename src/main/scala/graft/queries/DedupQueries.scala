@@ -205,16 +205,20 @@ object DedupQueries {
       Dedup.minhashCalibration(sh, numHashes = 16, minJaccard = 0.2)
     }),
 
-    // EXACT corpus-wide Jaccard pairs via prefix filtering (AllPairs/
-    // PPJoin): the same relation as d02 but over the FULL corpus —
-    // no 500-doc slice, no LSH miss probability, no df cap —
-    // candidates only from shared rarest-first prefix shingles.
-    // The lossless exact path at scale; shares d02's oracle shape
-    // unrestricted.
+    // EXACT corpus-wide Jaccard pairs — cost-based (round 15): the
+    // operator reads the observed shingle-df distribution (one narrow
+    // aggregate) and picks all-shared-shingle emission on a benign
+    // profile or rarest-first prefix filtering (AllPairs/PPJoin)
+    // under heavy-tailed df, both computing the identical lossless
+    // relation — same as d02 but over the FULL corpus, no 500-doc
+    // slice, no LSH miss probability, no df cap. The decision rule
+    // and both regimes' measurements are in SCALE.md's strategy
+    // matrix; DedupSimilaritySpec pins path parity and the choice on
+    // both corpus shapes.
     "d20_prefix_filter_pairs" -> ((s, d) => {
       val sh = Dedup.shingles(Tables.documents(s, d), "doc_id",
         docTokens(s))
-      Dedup.prefixFilterPairs(sh, threshold = 0.5)
+      Dedup.exactJaccardPairsAuto(sh, threshold = 0.5)
     }),
 
     // WITHIN-doc repeated-window strip: cut every 3-token run a

@@ -780,4 +780,50 @@ class DedupSimilaritySpec extends AnyFunSuite {
         (r.getInt(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
     assert(got.toSet == ref)
   }
+
+  test("exactJaccardPairsAuto: emission on benign df, prefix under skew, " +
+      "identical relation either way") {
+    import spark.implicits._
+    def dfTab(sh: org.apache.spark.sql.DataFrame) =
+      sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
+    def rel(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.select($"a", $"b", $"jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+
+    // benign random corpus (the parity-test generator): candidate
+    // volume per occurrence sits around 1-2 — decision says emission
+    val vocab = Vector("a", "b", "c", "d")
+    val rnd = new scala.util.Random(761)
+    val benign = (0L until 25L).map { id =>
+      id -> Seq.fill(4 + rnd.nextInt(14))(vocab(rnd.nextInt(4)))
+        .mkString(" ")
+    }.toDF("doc_id", "text")
+    val shB = Dedup.shingles(benign, "doc_id", TextOps.tokenize($"text"))
+    assert(Dedup.emissionWins(dfTab(shB), 16.0),
+      "benign corpus must pick the emission path")
+    assert(rel(Dedup.exactJaccardPairsAuto(shB, 0.5)) ==
+      rel(Dedup.prefixFilterPairs(shB, 0.5)))
+
+    // hot-shingle skew (the self-defusing-prefix fixture at n=4000:
+    // one shingle in ~40% of docs → Σ df·(df−1)/2 ≈ 1.3M over ~44k
+    // occurrences, an order of magnitude past the budget) — decision
+    // says prefix filtering, result is exactly the planted pair
+    val n = 4000
+    val hot = "hot1 hot2 hot3 "
+    def uniq(d: Int) = (1 to 10).map(i => s"d${d}_$i").mkString(" ")
+    val rows = Seq(
+      (1L, hot + (1 to 10).map(i => s"p$i").mkString(" ")),
+      (2L, hot + (1 to 9).map(i => s"p$i").mkString(" ") + " p10x")) ++
+      (3 to n).map(d =>
+        (d.toLong, (if (d % 10 < 4) hot else "") + uniq(d)))
+    val shS = Dedup.shingles(rows.toDF("doc_id", "text"),
+      "doc_id", TextOps.tokenize($"text")).persist()
+    try {
+      assert(!Dedup.emissionWins(dfTab(shS), 16.0),
+        "skewed corpus must pick the prefix path")
+      val got = Dedup.exactJaccardPairsAuto(shS, 0.5)
+        .select($"a", $"b").as[(Long, Long)].collect().toSeq.sorted
+      assert(got == Seq((1L, 2L)))
+    } finally shS.unpersist()
+  }
 }
