@@ -1,0 +1,165 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Round-15 deliverable: before/after plans for every query this
+  * optimization round touched, written to plans/r15/.
+  *
+  * "Before" plans come from the SAME code with the pre-round behavior
+  * forced: `parallelismFirst=true` on an isolated session reproduces
+  * the round-14 AQE coalescing for the tiny-stage tail, and the d20
+  * "before" is the unconditional prefix path. For the imperative RDD
+  * trainers (m07/m08) the "plan" is the job structure, recorded as a
+  * header note plus the final face plan (the r14 convention).
+  *
+  * AQE partition evidence: every AQEShuffleRead node's runtime
+  * partition count is appended, because the text plan alone only
+  * prints "coalesced".
+  *
+  * Usage: runMain graft.tools.R15PlanDump [sfDir]
+  */
+object R15PlanDump {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = graft.core.Sessions.local("graft-r15-plans", "*")
+    val dir = Paths.get("plans", "r15")
+    Files.createDirectories(dir)
+
+    def aqeCounts(df: DataFrame): String = {
+      val counts = scala.collection.mutable.ArrayBuffer.empty[String]
+      def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+        p match {
+          case a: org.apache.spark.sql.execution.adaptive
+              .AQEShuffleReadExec =>
+            counts += s"AQEShuffleRead partitions=" +
+              s"${a.partitionSpecs.length}"
+          case _ =>
+        }
+        p.children.foreach(walk)
+        p match {
+          case a: org.apache.spark.sql.execution.adaptive
+              .AdaptiveSparkPlanExec => walk(a.executedPlan)
+          // query stages are leaves (children = Nil) wrapping the
+          // materialized sub-plan — descend explicitly, else the walk
+          // sees only the result stage
+          case q: org.apache.spark.sql.execution.adaptive
+              .QueryStageExec => walk(q.plan)
+          case _ =>
+        }
+        p.subqueries.foreach(walk)
+      }
+      walk(df.queryExecution.executedPlan)
+      if (counts.isEmpty) "(no AQEShuffleRead nodes)"
+      else counts.mkString("\n")
+    }
+
+    def write(name: String, note: String, sess: SparkSession,
+              df: => DataFrame): Unit = {
+      val d = df
+      d.queryExecution.toRdd.foreach(_ => ())
+      val plan = d.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      val formatted = d.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      Files.write(dir.resolve(s"$name.txt"),
+        (s"# $name\n# $note\n\n== explain(\"formatted\") ==\n" +
+          formatted + "\n== final executed plan (post-AQE) ==\n" +
+          plan + "\n== AQE runtime partition counts ==\n" +
+          aqeCounts(d) + "\n").getBytes("UTF-8"))
+      sess.sparkContext.getPersistentRDDs.foreach {
+        case (_, rdd) => rdd.unpersist(blocking = true)
+      }
+      println(s"[r15-plans] wrote $name")
+    }
+
+    // ---- AQE tiny-stage tail: parallelismFirst=true (before, the
+    // round-14 session default) vs the new byte-sized coalescing ----
+    val aqeTargets = Seq("q25_conversion_funnel", "q10_conditional_agg",
+      "q02_filter_project", "e11_pq_adc_topk", "d11_containment_pairs",
+      "sk04_aqe_skew_join")
+    for (n <- aqeTargets) {
+      val before = spark.newSession()
+      before.conf.set(
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
+      write(s"${n}_before",
+        "round-14 conf: coalescePartitions.parallelismFirst=true " +
+          "(AQE targets totalBytes/defaultParallelism - tiny reduce " +
+          "stages keep up to core-count partitions)", before,
+        graft.SparkEntry.queries(n)(before, sfDir))
+      val after = spark.newSession()
+      write(s"${n}_after",
+        "round-15 conf: parallelismFirst=false + advisory 16m (AQE " +
+          "coalesces to the advisory byte size; tiny stages collapse)",
+        after, graft.SparkEntry.queries(n)(after, sfDir))
+    }
+
+    // ---- d20: unconditional prefix path (before) vs cost-based
+    // choice, which picks emission on this corpus (after) ----
+    {
+      import org.apache.spark.sql.functions._
+      def sh = graft.operators.Dedup.shingles(
+        graft.core.Tables.documents(spark, sfDir), "doc_id",
+        graft.text.TextOps.tokenize(col("text")))
+      write("d20_prefix_filter_pairs_before",
+        "round-14 path: unconditional AllPairs/PPJoin prefix filter " +
+          "(df join + rarest-first sort + candidate verify join)",
+        spark, graft.operators.Dedup.prefixFilterPairs(sh, 0.5))
+      write("d20_prefix_filter_pairs_after",
+        "round-15 path: exactJaccardPairsAuto reads the df " +
+          "distribution (sf0.1: emission candidate volume 4.9 per " +
+          "occurrence, budget 16) and picks the all-shared-shingle " +
+          "emission - same lossless relation, no df join, no " +
+          "verify join; the prefix plan remains the heavy-tail path " +
+          "(see _before and DedupSimilaritySpec)",
+        spark, graft.operators.Dedup.exactJaccardPairsAuto(sh, 0.5))
+    }
+
+    // ---- m07/m08: imperative trainers. The RESULT RELATION (the
+    // tiny gate row) and hence its plan are identical in rounds 14
+    // and 15 — the optimization changed the TRAINING JOB STRUCTURE,
+    // which a SQL plan cannot show. The r14 convention applies:
+    // header note records the job structure + measured phase
+    // evidence; the face plan is dumped for completeness. The r14
+    // structure is reproducible from this same code via the
+    // trainers' localFinishRows=0 switch (what M07Dump/M08Dump and
+    // the forced-distributed parity specs run). ----
+    write("m07_rdd_lr_train_before",
+      "FACE PLAN IDENTICAL BEFORE/AFTER (tiny gate-row relation) - " +
+        "the change is job structure, not the plan. round-14 " +
+        "structure (reproduce: localFinishRows=0): 300 " +
+        "driver-sequenced iteration jobs, each broadcast coef -> " +
+        "8-task mapPartitions+treeAggregate -> blocking destroy; " +
+        "gd-debug measured ~15ms/job warm and up to ~100ms/job in a " +
+        "cold 32-slot JVM (cold pass: bcast=6.99s job=25.93s " +
+        "destroy=0.43s over 300 iters; 8-slot cold: job=5.57s).",
+      spark,
+      graft.SparkEntry.queries("m07_rdd_lr_train")(spark, sfDir))
+    write("m07_rdd_lr_train_after",
+      "round-15 structure: training set fits the rows+bytes driver " +
+        "bound -> ONE glom().collect() (plus count + estBytes jobs) " +
+        "and 300 in-process iterations; partition structure and " +
+        "merge order preserved (GdLocalParitySpec, 1e-9). gd-debug " +
+        "after: train phase 0.5-0.7s at local[32]. Distributed loop " +
+        "unchanged above the bound (M07Dump pins goldens to it).",
+      spark, graft.SparkEntry.queries("m07_rdd_lr_train")(spark, sfDir))
+    write("m08_rdd_nn_train_before",
+      "FACE PLAN IDENTICAL BEFORE/AFTER (2-row gate relation) - the " +
+        "change is job structure, not the plan. round-14 structure " +
+        "(reproduce: localFinishRows=0): 2 trainings x 300 iteration " +
+        "jobs (overlapped on 2 driver threads), same per-job " +
+        "machinery as m07 with ~1MB gradient state per task; in-pass " +
+        "train phases 15.9+16.0s at local[32] (seed-502 stderr).",
+      spark, graft.SparkEntry.queries("m08_rdd_nn_train")(spark, sfDir))
+    write("m08_rdd_nn_train_after",
+      "round-15 structure: both trainings run the bounded local " +
+        "finish (glom-collected partitions, fixed thread pool, " +
+        "partition-index merge order, reused zeroed buffers); " +
+        "2.1-2.2s per training at local[32] vs 15.9-16.0s " +
+        "distributed in-pass. Distributed loop unchanged above the " +
+        "bound.", spark,
+      graft.SparkEntry.queries("m08_rdd_nn_train")(spark, sfDir))
+
+    spark.stop()
+  }
+}
