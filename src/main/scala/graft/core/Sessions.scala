@@ -22,21 +22,18 @@ object Sessions {
         if (cores == "*") "32" else cores)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      // Coalesce post-shuffle partitions to the advisory BYTE size,
-      // not to the core count: with the default parallelismFirst=true
-      // AQE targets max(totalBytes/defaultParallelism, 1MB), so on a
-      // 32-core session every tiny reduce stage keeps up to 32
-      // partitions and pays 32 tasks of fixed cost for KBs of data
-      // (driver bench r14: q25/q10/q02/e11/d11 ran 2-5x faster at 8
-      // cores purely from this). Spark's own docs recommend false.
-      // The advisory size is env-tunable: 16m locally keeps decade-
-      // scale stages (100MB+) at full width while collapsing the
-      // fixed-cost tail; a production deploy raises it toward the
-      // guide's 100MB-1GB shuffle-partition sizing.
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
-        sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false"))
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
-        sys.env.getOrElse("SPARK_GRAFT_AQE_ADVISORY", "16m"))
+      // coalescePartitions.parallelismFirst stays at Spark's default
+      // (true) DELIBERATELY — round-15 probed the docs-recommended
+      // `false` (byte-sized targeting) and REVERTED it on decade
+      // evidence: at pseudo-sf1 it coalesces the pre-generator
+      // shuffles of d20/q17 by their INPUT bytes, under-parallelizing
+      // stages whose row count fans out 5x+ downstream (d20 5.8 ->
+      // 17.5 s, q17 3.3 -> 9.4 s warm, tools.AqeAudit), while the
+      // sf0.1 tiny-stage tail already collapses to 1 partition under
+      // EITHER setting (the default's target is
+      // max(totalBytes/parallelism, 1MB), so KB-sized stages merge to
+      // one partition both ways — plans/r15 runtime partition
+      // counts). Full story: OPTIMIZATION_r15.md "AQE" section.
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet stores TIMESTAMP(NANOS); read as raw long once

@@ -73,25 +73,39 @@ object R15PlanDump {
       println(s"[r15-plans] wrote $name")
     }
 
-    // ---- AQE tiny-stage tail: parallelismFirst=true (before, the
-    // round-14 session default) vs the new byte-sized coalescing ----
+    // ---- AQE tiny-stage-tail PROBE (VERDICT r14 #3/#6): the
+    // docs-recommended parallelismFirst=false was trialled and
+    // REJECTED on decade evidence (d20/q17 3x slower at pseudo-sf1 —
+    // byte-sized coalescing under-parallelizes pre-generator
+    // shuffles whose row count fans out downstream). These dumps are
+    // the probe's evidence that at sf0.1 BOTH settings already
+    // coalesce the tiny tail to 1 partition — i.e. the driver's
+    // 32-core cliff on these queries was never reduce width (it was
+    // the cold-32-slot transient, see the m07 files). The shipped
+    // session keeps Spark's default (pf_true = shipped conf). ----
     val aqeTargets = Seq("q25_conversion_funnel", "q10_conditional_agg",
       "q02_filter_project", "e11_pq_adc_topk", "d11_containment_pairs",
       "sk04_aqe_skew_join")
     for (n <- aqeTargets) {
-      val before = spark.newSession()
-      before.conf.set(
+      val t = spark.newSession()
+      t.conf.set(
         "spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
-      write(s"${n}_before",
-        "round-14 conf: coalescePartitions.parallelismFirst=true " +
-          "(AQE targets totalBytes/defaultParallelism - tiny reduce " +
-          "stages keep up to core-count partitions)", before,
-        graft.SparkEntry.queries(n)(before, sfDir))
-      val after = spark.newSession()
-      write(s"${n}_after",
-        "round-15 conf: parallelismFirst=false + advisory 16m (AQE " +
-          "coalesces to the advisory byte size; tiny stages collapse)",
-        after, graft.SparkEntry.queries(n)(after, sfDir))
+      write(s"${n}_pf_true",
+        "SHIPPED conf (Spark default, parallelismFirst=true): AQE " +
+          "target max(totalBytes/parallelism, 1MB) - note the " +
+          "runtime partition counts at the bottom: the tiny stages " +
+          "coalesce to 1 partition already", t,
+        graft.SparkEntry.queries(n)(t, sfDir))
+      val f = spark.newSession()
+      f.conf.set(
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        "false")
+      write(s"${n}_pf_false",
+        "PROBED AND REJECTED conf (parallelismFirst=false): same " +
+          "partition counts on this tiny tail (no win available " +
+          "here), and 3x decade regressions on d20/q17 generator " +
+          "stages (OPTIMIZATION_r15.md AQE section)", f,
+        graft.SparkEntry.queries(n)(f, sfDir))
     }
 
     // ---- d20: unconditional prefix path (before) vs cost-based
