@@ -252,9 +252,16 @@ object TwoLayerNet {
       if (estBytes <= localFinishBytes.toDouble) {
         val parts = rdd.glom().collect()
         val nP = parts.length
+        // thread budget = the session's task-slot count
+        // (defaultParallelism), NOT availableProcessors: a
+        // SPARK_GRAFT_CPUS=8 bench must not borrow the host's other
+        // 24 vCPUs for the local loop when the distributed path it
+        // replaces would have been capped at 8 task slots — the
+        // core-count scaling measurement stays honest. Thread count
+        // never affects the result (each thread owns whole
+        // partitions; merge order is partition-indexed).
         val pool = java.util.concurrent.Executors.newFixedThreadPool(
-          math.max(1, math.min(nP,
-            Runtime.getRuntime.availableProcessors)))
+          math.max(1, math.min(nP, sc.defaultParallelism)))
         try {
           val bufs = Array.tabulate(nP)(_ =>
             (new Array[Double](nIn * nH), new Array[Double](nH),
